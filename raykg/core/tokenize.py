@@ -1,0 +1,225 @@
+"""Native multilingual tokenizer.
+
+Re-implements, from public knowledge of spaCy's documented tokenization
+algorithm (affix stripping + token_match + infix splitting) and the
+reference's customizations (hashtag-as-one-token patch,
+``spacy_tokenizer.py:316-327``; emoji kept whole, exercised by
+``test_ontology_tagger.py:133-158``), enough of the per-language
+tokenization semantics for dictionary matching parity:
+
+- whitespace handling: single ' ' is a separator; any other whitespace run
+  becomes its own token (so ``\\n`` is a token the sentencizer can split on)
+- prefix/suffix punctuation stripped one char at a time
+- abbreviations with inner periods stay whole (``N.Y``, ``1.1.1.1``)
+- ``#hashtag`` and URLs are single tokens
+- French/Italian/Catalan elision ("d'automne" -> "d'", "automne")
+- English contractions ("don't" -> "do", "n't")
+- CJK text is segmented per character with Latin/digit runs kept together
+  (greedy dictionary tokenization is the scale path; char-level keeps
+  keyword matching exact because both keyword and text segment identically)
+
+Tokens are ``(text, start, end)`` char-offset triples over the input
+string, so span text can be sliced exactly from the original sentence.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import List, Tuple
+
+Token = Tuple[str, int, int]  # (text, start_char, end_char)
+
+MAX_NUM_CHARACTERS = 10**7  # reference spacy_tokenizer.py:130
+
+# --- character classes -----------------------------------------------------
+
+_PREFIX_CHARS = set("([{<\"'“‘«„‚¿¡§¶$£€¥₹฿*&")
+_SUFFIX_CHARS = set(")]}>\"'”’»….,!?:;%°")
+_URL_RE = re.compile(r"^(?:https?://|www\.)\S+$")
+_HASHTAG_RE = re.compile(r"^#\w+$", re.UNICODE)
+# number-like: digits with ., , : / - separators (keeps 1.1.1.1, 3,5, 10:30)
+_NUMLIKE_RE = re.compile(r"^\d[\d.,:/\-]*\d$|^\d$")
+
+_EN_CONTRACTION_RE = re.compile(r"^(.+?)(n['’]t|['’](?:s|re|ve|ll|d|m))$", re.IGNORECASE)
+_ELISION_RE = re.compile(r"^([dljmtnscDLJMTNSC]|[qQ]u|[jJ]usqu|[lL]orsqu|[pP]uisqu)(['’])(.+)$")
+_ELISION_LANGS = {"fr", "it", "ca", "lb"}
+_CJK_LANGS = {"zh", "ja", "th", "ko"}
+
+# infix split points (spaCy-documented English defaults, simplified)
+_INFIX_RE = re.compile(
+    r"(?<=[0-9])[+\-*^](?=[0-9-])"
+    r"|(?<=[a-zÀ-ɏ])\.(?=[A-ZÀ-ɏ])"
+    r"|(?<=[a-zA-Z]),(?=[a-zA-Z])"
+    r"|(?<=[a-zA-Z0-9])(?:--+|[:<>=/])(?=[a-zA-Z])"
+    r"|…|\.{2,}"
+)
+
+_WS_CHUNK_RE = re.compile(r"\S+|\s+")
+
+
+def _is_cjk_char(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        0x4E00 <= o <= 0x9FFF  # CJK unified
+        or 0x3400 <= o <= 0x4DBF
+        or 0x3040 <= o <= 0x30FF  # hiragana + katakana
+        or 0xF900 <= o <= 0xFAFF
+        or 0xAC00 <= o <= 0xD7AF  # hangul
+        or 0x0E00 <= o <= 0x0E7F  # thai
+    )
+
+
+def _contains_cjk(s: str) -> bool:
+    return any(_is_cjk_char(c) for c in s)
+
+
+def _is_punct_token(s: str) -> bool:
+    """All chars in Unicode P category (spaCy token.is_punct semantics)."""
+    return bool(s) and all(unicodedata.category(c).startswith("P") for c in s)
+
+
+class Tokenizer:
+    """Per-language tokenizer; one instance per language, held in actor state
+    (reference holds per-language spaCy pipelines, ontology_tagger.py:324-330)."""
+
+    def __init__(self, language: str = "en", max_num_characters: int = MAX_NUM_CHARACTERS):
+        self.language = language
+        self.max_num_characters = max_num_characters
+        self._cjk = language in _CJK_LANGS
+        self._elision = language in _ELISION_LANGS
+        self._en = language == "en"
+
+    # -- public -------------------------------------------------------------
+
+    def tokenize(self, text: str) -> List[Token]:
+        if len(text) > self.max_num_characters:
+            raise ValueError(
+                f"Text of length {len(text)} exceeds maximum of {self.max_num_characters} characters"
+            )
+        tokens: List[Token] = []
+        for m in _WS_CHUNK_RE.finditer(text):
+            chunk = m.group()
+            start = m.start()
+            if chunk.isspace():
+                # single space = separator; longer runs become whitespace
+                # tokens (minus one trailing space, per spaCy's documented rule)
+                if chunk == " ":
+                    continue
+                if chunk.endswith(" "):
+                    chunk = chunk[:-1]
+                tokens.append((chunk, start, start + len(chunk)))
+            elif self._cjk and _contains_cjk(chunk):
+                tokens.extend(self._split_cjk(chunk, start))
+            else:
+                tokens.extend(self._split_affixes(chunk, start))
+        return tokens
+
+    def token_texts(self, text: str) -> List[str]:
+        return [t[0] for t in self.tokenize(text)]
+
+    # -- internals ----------------------------------------------------------
+
+    def _split_cjk(self, chunk: str, offset: int) -> List[Token]:
+        out: List[Token] = []
+        i = 0
+        n = len(chunk)
+        while i < n:
+            ch = chunk[i]
+            if _is_cjk_char(ch):
+                out.append((ch, offset + i, offset + i + 1))
+                i += 1
+            elif ch.isalnum():
+                j = i + 1
+                while j < n and chunk[j].isalnum() and not _is_cjk_char(chunk[j]):
+                    j += 1
+                out.append((chunk[i:j], offset + i, offset + j))
+                i = j
+            else:  # punctuation (incl. fullwidth) one char at a time
+                out.append((ch, offset + i, offset + i + 1))
+                i += 1
+        return out
+
+    def _special_case(self, s: str, offset: int) -> List[Token] | None:
+        """Whole-chunk token_match and language exceptions."""
+        if _HASHTAG_RE.match(s) or _URL_RE.match(s) or _NUMLIKE_RE.match(s):
+            return [(s, offset, offset + len(s))]
+        if self._elision:
+            m = _ELISION_RE.match(s)
+            if m:
+                head = m.group(1) + m.group(2)
+                rest = m.group(3)
+                return [
+                    (head, offset, offset + len(head)),
+                    *self._split_affixes(rest, offset + len(head)),
+                ]
+        if self._en:
+            m = _EN_CONTRACTION_RE.match(s)
+            if m and any(c.isalpha() for c in m.group(1)):
+                head, tail = m.group(1), m.group(2)
+                return [
+                    (head, offset, offset + len(head)),
+                    (tail, offset + len(head), offset + len(s)),
+                ]
+        return None
+
+    def _split_affixes(self, chunk: str, offset: int) -> List[Token]:
+        prefixes: List[Token] = []
+        suffixes: List[Token] = []  # collected right-to-left
+        s = chunk
+        start = offset
+        while s:
+            special = self._special_case(s, start)
+            if special is not None:
+                return prefixes + special + list(reversed(suffixes))
+            if s[0] in _PREFIX_CHARS:
+                prefixes.append((s[0], start, start + 1))
+                s = s[1:]
+                start += 1
+                continue
+            if s[-1] in _SUFFIX_CHARS:
+                end = start + len(s)
+                suffixes.append((s[-1], end - 1, end))
+                s = s[:-1]
+                continue
+            break
+        if s:
+            prefixes.extend(self._split_infixes(s, start))
+        return prefixes + list(reversed(suffixes))
+
+    def _split_infixes(self, s: str, offset: int) -> List[Token]:
+        out: List[Token] = []
+        pos = 0
+        for m in _INFIX_RE.finditer(s):
+            if m.start() > pos:
+                out.append((s[pos : m.start()], offset + pos, offset + m.start()))
+            out.append((m.group(), offset + m.start(), offset + m.end()))
+            pos = m.end()
+        if pos < len(s):
+            out.append((s[pos:], offset + pos, offset + len(s)))
+        return out
+
+
+# ISO 639-1 codes the reference supports (public list, spaCy-supported
+# languages; reference language_support.py). Kept permissive: the native
+# tokenizer degrades gracefully for any code, but we validate against this
+# set exactly as dku_plugin_config_loading.py:153-159 errors on unsupported.
+SUPPORTED_LANGUAGES = {
+    "af", "bg", "bn", "ca", "cs", "da", "de", "el", "en", "es", "et", "eu",
+    "fa", "fi", "fr", "ga", "gu", "he", "hi", "hr", "hu", "hy", "id", "is",
+    "it", "ja", "kn", "ko", "lb", "lij", "lt", "lv", "mk", "ml", "mr", "nb",
+    "ne", "nl", "pl", "pt", "ro", "ru", "sa", "si", "sk", "sl", "sq", "sr",
+    "sv", "ta", "te", "th", "tl", "tr", "tt", "uk", "ur", "vi", "yo", "zh",
+}
+
+
+class UnsupportedLanguageError(ValueError):
+    pass
+
+
+def check_language(language: str) -> str:
+    if not language or language != language:  # catches "" and NaN
+        raise UnsupportedLanguageError("Missing language code")
+    if language not in SUPPORTED_LANGUAGES:
+        raise UnsupportedLanguageError(f"Unsupported language code: '{language}'")
+    return language

@@ -1,0 +1,185 @@
+"""Matcher + ontology conformance vs the reference unit tests
+(test_ontology_tagger.py, test_lemmatization.py) and Appendix A semantics."""
+
+import pytest
+
+from raykg.core.automaton import TokenAutomaton, filter_longest
+from raykg.core.normalize import normalize
+from raykg.core.ontology import (
+    MatchConfig,
+    clean_ontology,
+    compile_matcher,
+    match_sentences,
+)
+
+
+def make_matcher(rows, has_category=False, **cfg):
+    onto = clean_ontology(rows, has_category=has_category)
+    return compile_matcher(onto, "en", MatchConfig(**cfg), has_category)
+
+
+def test_automaton_overlapping_matches():
+    a = TokenAutomaton()
+    a.add(["b", "c"], 0)
+    a.add(["a", "b", "c", "d"], 1)
+    a.add(["c"], 2)
+    a.build()
+    got = set(a.find(["a", "b", "c", "d"]))
+    assert got == {(1, 3, 0), (0, 4, 1), (2, 3, 2)}
+
+
+def test_filter_longest_prefers_longest_then_earliest():
+    spans = [(0, 2, 0), (1, 4, 1), (0, 4, 2), (5, 6, 3)]
+    assert filter_longest(spans) == [(0, 4, 2), (5, 6, 3)]
+    # tie on length -> earliest
+    assert filter_longest([(2, 4, 1), (0, 2, 0)]) == [(0, 2, 0), (2, 4, 1)]
+
+
+def test_missing_keywords_dropped():
+    # reference test_ontology_tagger.py:12-28 — matcher holds exactly 1 pattern
+    m = make_matcher([("tag1", float("nan")), ("tag2", "keyword2"), ("tag3", "")])
+    assert m.automaton.num_patterns == 1
+
+
+def test_empty_ontology_raises():
+    with pytest.raises(ValueError):
+        clean_ontology([("tag1", None), (None, "kw")], has_category=False)
+
+
+def test_missing_categories_uncategorized():
+    # reference test_ontology_tagger.py:30-41
+    onto = clean_ontology(
+        [("tag1", "keyword1", ""), ("tag2", "keyword2", float("nan"))],
+        has_category=True,
+    )
+    assert [(r.tag, r.keyword, r.category) for r in onto] == [
+        ("tag1", "keyword1", "uncategorized"),
+        ("tag2", "keyword2", "uncategorized"),
+    ]
+
+
+def test_keyword_tokenization_keys():
+    # reference test_ontology_tagger.py:43-65 — every tokenized keyword is a
+    # key of keyword_to_tag
+    m = make_matcher(
+        [("tag1", "keyword"), ("tag2", "keyword two"), ("tag3", "N.Y"), ("tag4", "1.1.1.1")]
+    )
+    for kw in ["keyword", "keyword two", "N.Y", "1.1.1.1"]:
+        assert kw in m.keyword_to_tag
+
+
+def test_matching_in_lowercase():
+    # reference test_ontology_tagger.py:83-109 — 2 match rows
+    m = make_matcher(
+        [("tag1", "My KeYword"), ("tag2", "other keyword")], ignore_case=True
+    )
+    sents = [
+        "I have my keyword in this sentence.",
+        "I have an oTHer keyWord in the second sentence.",
+    ]
+    mentions = match_sentences(m, sents)
+    assert len(mentions) == 2
+    assert mentions[0].tag == "tag1" and mentions[0].keyword == "my keyword"
+    assert mentions[0].sentence == sents[0]  # original un-normalized sentence
+    assert mentions[1].tag == "tag2" and mentions[1].keyword == "other keyword"
+
+
+def test_matching_ignore_diacritics():
+    # reference test_ontology_tagger.py:112-130 — 1 match row
+    m = make_matcher([("tag1", "ÄâêËùûôçèîÏìàñ")], ignore_diacritics=True)
+    mentions = match_sentences(m, ["The keyword is AaeEuuoceiIian."])
+    assert len(mentions) == 1
+    assert mentions[0].tag == "tag1"
+    assert mentions[0].keyword == "AaeEuuoceiIian"
+
+
+def test_matching_emojis():
+    # reference test_ontology_tagger.py:133-158 — 2 match rows
+    m = make_matcher([("👍", "👍"), ("👩", "👩🏾")])
+    mentions = match_sentences(
+        m,
+        [
+            "I have an emoji 👍 in this sentence.",
+            "I have an face emoji 👩🏾 in the second sentence.",
+        ],
+    )
+    assert [mn.tag for mn in mentions] == ["👍", "👩"]
+
+
+def test_duplicate_keyword_last_tag_wins():
+    # ontology_tagger.py:221-231 — last duplicate normalized keyword wins
+    m = make_matcher([("first", "kw"), ("second", "KW")], ignore_case=True)
+    mentions = match_sentences(m, ["some kw here"])
+    assert [mn.tag for mn in mentions] == ["second", "second"] or [
+        mn.tag for mn in mentions
+    ] == ["second"]
+
+
+def test_category_longest_match_wins():
+    # EntityRuler doc.ents: longest span wins, no overlaps (Appendix A.3)
+    m = make_matcher(
+        [("NY", "new york", "city"), ("Y", "york", "other")], has_category=True
+    )
+    mentions = match_sentences(m, ["i love new york a lot"])
+    assert len(mentions) == 1
+    assert mentions[0].tag == "NY" and mentions[0].category == "city"
+
+
+def test_no_category_all_overlaps_emitted():
+    m = make_matcher([("NY", "new york"), ("Y", "york")])
+    mentions = match_sentences(m, ["i love new york a lot"])
+    assert sorted(mn.tag for mn in mentions) == ["NY", "Y"]
+
+
+@pytest.mark.parametrize(
+    "keyword,language,lemma",
+    [
+        ("worked", "en", "work"),
+        ("trabajó", "es", "trabajar"),
+        ("travaillé", "fr", "travailler"),
+        ("hat funktioniert", "de", "haben funktionieren"),
+        ("treballat", "ca", "treballar"),
+        ("pracoval", "cs", "pracovat"),
+        ("arbejdede", "da", "arbejde"),
+        ("radio", "hr", "raditi"),
+        ("dolgozott", "hu", "dolgozik"),
+        ("bekerja", "id", "kerja"),
+        ("lavorato", "it", "lavorare"),
+        ("geschafft", "lb", "schaffen"),
+        ("dirbo", "lt", "dirbti"),
+        ("trabalhado", "pt", "trabalhar"),
+        ("a lucrat", "ro", "avea lucra"),
+        ("радио", "sr", "радити"),
+        ("çalıştı", "tr", "çalış"),
+        ("arbetade", "sv", "arbeta"),
+    ],
+)
+def test_lemmatize_keywords(keyword, language, lemma):
+    # reference test_lemmatization.py:10-56 (lookup-coverable languages)
+    from raykg.core.ontology import OntologyRow
+
+    cfg = MatchConfig(lemmatization=True)
+    m = compile_matcher(
+        [OntologyRow("verb", keyword)], language, cfg, has_category=False
+    )
+    norm_kw = cfg.normalize(keyword)
+    token_texts = [t[0] for t in m.tokenizer.tokenize(norm_kw)]
+    assert m.lemmatizer.lemmatize_joined(token_texts) == lemma
+
+
+def test_lemma_matching_end_to_end():
+    # keyword 'worked' must fire on inflected text via lemma attr
+    m = make_matcher([("WORK", "worked")], lemmatization=True)
+    mentions = match_sentences(m, ["She has working hours.", "it working now"])
+    # 'working' lemmatizes to 'work'... and keyword 'worked' -> 'work'
+    assert len(mentions) == 2
+    assert all(mn.tag == "WORK" for mn in mentions)
+
+
+def test_normalize_invariant_order():
+    # Appendix A.1: lowercase -> unicode -> strip combining
+    assert normalize("Ä", ignore_case=True, ignore_diacritics=True) == "a"
+    assert normalize("Ä", ignore_case=False, ignore_diacritics=True) == "A"
+    # NFD leaves combining chars when not ignoring diacritics
+    out = normalize("é", ignore_case=False, ignore_diacritics=False)
+    assert len(out) == 2  # e + combining accent (NFD)

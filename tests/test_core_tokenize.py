@@ -1,0 +1,92 @@
+"""Tokenizer + sentencizer conformance vs the reference unit tests
+(test_spacy_tokenizer.py, test_sentence_splitter.py)."""
+
+import pytest
+
+from raykg.core.sentencize import split_sentences
+from raykg.core.tokenize import Tokenizer, UnsupportedLanguageError, check_language
+
+
+def toks(text, lang="en"):
+    return Tokenizer(lang).token_texts(text)
+
+
+def test_tokenize_english_counts():
+    # reference test_spacy_tokenizer.py:15-21 expects 15 tokens
+    out = toks("I hope nothing. I fear nothing. I am free. 💩 😂 #OMG")
+    assert out == [
+        "I", "hope", "nothing", ".", "I", "fear", "nothing", ".",
+        "I", "am", "free", ".", "💩", "😂", "#OMG",
+    ]
+    assert len(out) == 15
+
+
+def test_tokenize_abbreviations_and_numbers():
+    # inner periods kept whole (reference test_ontology_tagger.py:43-65)
+    assert toks("N.Y") == ["N.Y"]
+    assert toks("1.1.1.1") == ["1.1.1.1"]
+    assert toks("keyword two") == ["keyword", "two"]
+    assert toks("sentence.") == ["sentence", "."]
+
+
+def test_tokenize_emoji():
+    assert toks("👍") == ["👍"]
+    assert toks("👩🏾") == ["👩🏾"]  # emoji + skin-tone modifier = one token
+
+
+def test_tokenize_french_elision():
+    out = toks("Les sanglots longs des violons d'automne", lang="fr")
+    assert out == ["Les", "sanglots", "longs", "des", "violons", "d'", "automne"]
+
+
+def test_tokenize_leading_space_token():
+    # spaCy emits whitespace tokens for runs != single space
+    out = toks("a  b")
+    assert out == ["a", " ", "b"]
+
+
+def test_tokenize_cjk_chars():
+    out = toks("期一会。", lang="ja")
+    assert out == ["期", "一", "会", "。"]
+
+
+def test_tokenize_max_chars():
+    with pytest.raises(ValueError):
+        Tokenizer("en", max_num_characters=1).tokenize("Long text")
+
+
+def test_check_language():
+    assert check_language("en") == "en"
+    with pytest.raises(UnsupportedLanguageError):
+        check_language("xx")
+    with pytest.raises(UnsupportedLanguageError):
+        check_language("")
+
+
+def test_split_sentences_nan():
+    # reference test_sentence_splitter.py:5-18
+    assert split_sentences(float("nan"), Tokenizer("en")) == []
+    assert split_sentences(None, Tokenizer("en")) == []
+
+
+def test_split_sentences_linebreaks():
+    # reference test_sentence_splitter.py:21-40 — expects 4 sentences
+    text = (
+        "first line with carriage return\rsecond line with two linebreaks\n\n"
+        "third line with parenthesis)\nLast line"
+    )
+    sents = split_sentences(text, Tokenizer("en"))
+    assert len(sents) == 4
+    assert sents[0].startswith("first line with carriage return")
+    assert sents[-1] == "Last line"
+
+
+def test_split_sentences_periods():
+    sents = split_sentences(
+        "I have my keyword in this sentence. I have an oTHer keyWord in the second sentence.",
+        Tokenizer("en"),
+    )
+    assert sents == [
+        "I have my keyword in this sentence.",
+        "I have an oTHer keyWord in the second sentence.",
+    ]
