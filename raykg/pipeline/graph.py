@@ -1,0 +1,284 @@
+"""Graph construction: transcripts + ontology -> triples / nodes / edges /
+concept scores.
+
+Per the target data model (SURVEY.md §1.2, BASELINE.json north_star):
+
+- ``(subj=turn_id#keyword, pred='tagged_as', obj='concept:'+tag)`` triples
+  from deduplicated per-turn mentions,
+- structural ``(conv_id, 'utters', turn_id)`` and
+  ``(turn_id, 'used_tool', tool)`` edges,
+- canonical node table (conversation / turn / concept / mention / tool),
+- per-concept mention/conversation counts.
+
+Shuffle design: triple/edge extraction is a pure streaming actor-pool stage
+(per-turn dedup happens inside the actor, so no cross-block dedup shuffle is
+ever needed); only the node canonicalization and score reduces shuffle, and
+both pre-aggregate inside ``map_batches`` first so the all-to-all exchange
+moves one row per (key, batch) instead of one per mention.  Hot-conversation
+skew is absorbed by that same in-batch partial aggregation (the salt: a hot
+conv_id contributes at most one partial row per block, not one per turn).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..core.format import unique_list
+from .config import PipelineConfig
+from .tag import MentionActor, _broadcast_ontology
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("weight", pa.float64()),
+    ]
+)
+
+NODE_SCHEMA = pa.schema(
+    [
+        ("node_id", pa.string()),
+        ("node_type", pa.string()),
+        ("label", pa.string()),
+        ("category", pa.string()),
+    ]
+)
+
+
+def turn_id(conv_id: str, turn_idx: int) -> str:
+    return f"{conv_id}#{turn_idx}"
+
+
+def concept_id(tag: str) -> str:
+    return f"concept:{tag}"
+
+
+class TripleActor(MentionActor):
+    """Transcripts batch -> triples. One streaming pass, no shuffle:
+
+    - per turn, the distinct (tag, keyword) mention set (dedup inside the
+      actor — a turn's mentions never span blocks, so this dedup is globally
+      exact) -> ``tagged_as`` triples
+    - one ``utters`` edge per turn (keys unique by schema)
+    - one ``used_tool`` edge per turn with a non-null tool
+    """
+
+    def __init__(self, *args, tool_column: str = "tool",
+                 include_structural: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tool_column = tool_column
+        self.include_structural = include_structural
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.config.text_column].to_pylist()
+        langs = self._row_languages(batch)
+        convs = batch[self.conv_column].to_pylist()
+        turns = batch[self.turn_column].to_pylist()
+        tools = (
+            batch[self.tool_column].to_pylist()
+            if self.include_structural and self.tool_column in batch.schema.names
+            else [None] * batch.num_rows
+        )
+        subj: List[str] = []
+        pred: List[str] = []
+        obj: List[str] = []
+        e_conv: List[str] = []
+        e_turn: List[int] = []
+        weight: List[float] = []
+
+        def emit(s, p, o, c, t, w=1.0):
+            subj.append(s)
+            pred.append(p)
+            obj.append(o)
+            e_conv.append(c)
+            e_turn.append(t)
+            weight.append(w)
+
+        for conv, turn, text, lang, tool in zip(convs, turns, texts, langs, tools):
+            tid = turn_id(conv, turn)
+            if self.include_structural:
+                emit(conv, "utters", tid, conv, turn)
+                if tool is not None and tool == tool and tool != "":
+                    emit(tid, "used_tool", str(tool), conv, turn)
+            mentions = self._doc_mentions(text, lang)
+            if mentions:
+                for tag, keyword in unique_list(
+                    [(m.tag, m.keyword) for m in mentions]
+                ):
+                    emit(f"{tid}#{keyword}", "tagged_as", concept_id(tag), conv, turn)
+        return pa.Table.from_arrays(
+            [
+                pa.array(subj, type=pa.string()),
+                pa.array(pred, type=pa.string()),
+                pa.array(obj, type=pa.string()),
+                pa.array(e_conv, type=pa.string()),
+                pa.array(e_turn, type=pa.int32()),
+                pa.array(weight, type=pa.float64()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+
+def extract_triples(
+    transcripts: "ray.data.Dataset",
+    ontology,
+    config: PipelineConfig,
+    include_structural: bool = True,
+) -> "ray.data.Dataset":
+    ref = _broadcast_ontology(ontology, config)
+    return transcripts.map_batches(
+        TripleActor,
+        fn_constructor_kwargs={
+            "ontology": ref,
+            "config": config,
+            "include_structural": include_structural,
+        },
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=config.concurrency,
+        num_cpus=config.num_cpus,
+    )
+
+
+def triples_to_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Edge table is the triple table under graph column names."""
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src", "rel", "dst", "conv_id", "turn_idx", "weight"])
+
+    return triples.map_batches(rename, batch_format="pyarrow")
+
+
+# --- nodes ----------------------------------------------------------------
+
+def _batch_nodes(batch: pa.Table) -> pa.Table:
+    """Per-batch node rows (turn + mention exact; conversation/tool partial,
+    deduped in-batch then reduced globally)."""
+    out: Dict[str, List[Optional[str]]] = {
+        "node_id": [],
+        "node_type": [],
+        "label": [],
+        "category": [],
+    }
+    seen: set = set()
+    for subj, pred, obj in zip(
+        batch["subj"].to_pylist(), batch["pred"].to_pylist(), batch["obj"].to_pylist()
+    ):
+        if pred == "utters":
+            for nid, ntype in ((subj, "conversation"), (obj, "turn")):
+                if (nid, ntype) not in seen:
+                    seen.add((nid, ntype))
+                    out["node_id"].append(nid)
+                    out["node_type"].append(ntype)
+                    out["label"].append(nid)
+                    out["category"].append(None)
+        elif pred == "used_tool":
+            key = (obj, "tool")
+            if key not in seen:
+                seen.add(key)
+                out["node_id"].append(f"tool:{obj}")
+                out["node_type"].append("tool")
+                out["label"].append(obj)
+                out["category"].append(None)
+        elif pred == "tagged_as":
+            key = (subj, "mention")
+            if key not in seen:
+                seen.add(key)
+                out["node_id"].append(subj)
+                out["node_type"].append("mention")
+                out["label"].append(subj.rsplit("#", 1)[-1])
+                out["category"].append(None)
+    return pa.Table.from_pydict(out, schema=NODE_SCHEMA)
+
+
+def build_nodes(
+    triples: "ray.data.Dataset", ontology_rows=None
+) -> "ray.data.Dataset":
+    """Canonical node table from the triple stream.
+
+    Turn and mention node ids are unique by construction (no shuffle needed);
+    conversation and tool nodes repeat across blocks, so the stream is
+    pre-deduped per batch and then reduced with a groupby — the shuffle moves
+    at most (distinct convs x blocks) rows.  Concept nodes come straight from
+    the broadcast ontology (driver-side, tiny).
+    """
+    nodes = triples.map_batches(_batch_nodes, batch_format="pyarrow")
+    deduped = nodes.groupby("node_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    if ontology_rows:
+        concept_rows = pa.Table.from_pydict(
+            {
+                "node_id": [concept_id(r.tag) for r in _uniq_tags(ontology_rows)],
+                "node_type": ["concept"] * len(_uniq_tags(ontology_rows)),
+                "label": [r.tag for r in _uniq_tags(ontology_rows)],
+                "category": [r.category for r in _uniq_tags(ontology_rows)],
+            },
+            schema=NODE_SCHEMA,
+        )
+        deduped = deduped.union(ray.data.from_arrow(concept_rows))
+    return deduped
+
+
+def _uniq_tags(rows):
+    seen = {}
+    for r in rows:
+        if r.tag not in seen:
+            seen[r.tag] = r
+    return list(seen.values())
+
+
+# --- concept scores -------------------------------------------------------
+
+def concept_scores(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-concept reduce: total mention occurrences + distinct conversations.
+
+    Two-phase: in-batch partial counts per (tag, conv_id) — this is the
+    skew-salting step; a hot conversation collapses to one row per block —
+    then ``groupby(tag, conv_id).sum`` and a final tiny ``groupby(tag)``.
+    Output: (tag, concept_id, n_mentions, n_convs).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[tuple, int] = {}
+        for tag, conv in zip(batch["tag"].to_pylist(), batch["conv_id"].to_pylist()):
+            counts[(tag, conv)] = counts.get((tag, conv), 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "tag": [k[0] for k in counts],
+                "conv_id": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+    per_conv = (
+        mentions.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tag", "conv_id"])
+        .aggregate(Sum("n", alias_name="n_mentions_conv"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return batch
+
+    scores = (
+        per_conv.map_batches(finalize, batch_format="pyarrow")
+        .groupby("tag")
+        .aggregate(
+            Sum("n_mentions_conv", alias_name="n_mentions"),
+            Count(alias_name="n_convs"),
+        )
+    )
+
+    def add_concept(batch: pa.Table) -> pa.Table:
+        cid = pa.array([concept_id(t) for t in batch["tag"].to_pylist()])
+        return batch.add_column(1, pa.field("concept_id", pa.string()), cid)
+
+    return scores.map_batches(add_concept, batch_format="pyarrow")

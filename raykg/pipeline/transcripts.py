@@ -1,0 +1,93 @@
+"""Transcripts table derivation.
+
+The engine's input is a Parquet table of multi-turn conversation / agent
+transcripts ``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us])``.  The sandbox test data has no such table,
+so we synthesize it *deterministically* from the ``documents`` table
+(dense ``doc_id`` 0..N-1): every document becomes one turn, conversations
+are fixed-size blocks of consecutive doc_ids.  The mapping is a pure
+per-row projection — streaming, no shuffle, SQL-expressible (the DuckDB
+oracle mirrors it row for row), and stable under any partitioning, so the
+per-turn text-equality invariant holds by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+TURNS_PER_CONV = 8
+ROLES = ("user", "assistant")
+TOOLS = ("search", "python", "browser")
+TS_EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z in microseconds
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def documents_to_transcripts_batch(batch: pa.Table) -> pa.Table:
+    """Pure Arrow/numpy projection documents -> transcripts (one doc = one turn).
+
+    conv_id = 'c' + doc_id // 8, turn_idx = doc_id % 8,
+    role alternates user/assistant by turn_idx,
+    tool = TOOLS[doc_id % 3] on turns where doc_id % 5 == 3, else null,
+    ts = 2025-01-01 + doc_id seconds.
+    """
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    conv_num = doc_id // TURNS_PER_CONV
+    turn_idx = (doc_id % TURNS_PER_CONV).astype(np.int32)
+    conv_id = pa.array([f"c{c}" for c in conv_num], type=pa.string())
+    role = pa.array([ROLES[t % 2] for t in turn_idx], type=pa.string())
+    tool_mask = (doc_id % 5) == 3
+    tool = pa.array(
+        [TOOLS[d % 3] if m else None for d, m in zip(doc_id, tool_mask)],
+        type=pa.string(),
+    )
+    ts = pa.array(TS_EPOCH_US + doc_id * 1_000_000, type=pa.timestamp("us"))
+    return pa.Table.from_arrays(
+        [
+            conv_id,
+            pa.array(turn_idx, type=pa.int32()),
+            role,
+            batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"],
+            tool,
+            ts,
+            batch["lang"].combine_chunks() if isinstance(batch["lang"], pa.ChunkedArray) else batch["lang"],
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def read_transcripts(sf_dir: str) -> "ray.data.Dataset":
+    """documents.parquet -> transcripts Dataset (column-pruned read, streaming
+    per-batch projection)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(documents_to_transcripts_batch, batch_format="pyarrow")
+
+
+TRANSCRIPTS_SQL = f"""
+SELECT 'c' || CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR) AS conv_id,
+       CAST(doc_id % {TURNS_PER_CONV} AS INTEGER) AS turn_idx,
+       CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       text,
+       CASE WHEN doc_id % 5 = 3 THEN
+           CASE doc_id % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'python' ELSE 'browser' END
+       END AS tool,
+       TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts,
+       lang
+FROM documents
+"""

@@ -1,0 +1,180 @@
+"""Ray Data pipeline tests: tagging stage, graph layer, partitioned IO."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from raykg.pipeline.config import PipelineConfig
+from raykg.pipeline.graph import (
+    build_nodes,
+    concept_scores,
+    extract_triples,
+    triples_to_edges,
+)
+from raykg.pipeline.io import PartitionedWriter, partition_of
+from raykg.pipeline.tag import extract_mentions, tag_dataset
+from raykg.pipeline.transcripts import read_transcripts
+
+SF = "/root/testdata/sf0.001"
+ONTO = [
+    ("Engine", "spark", "tech"),
+    ("Window", "window", "op"),
+    ("AggRow", "agg row", "pattern"),
+    ("Customer", "customer", "entity"),
+]
+ONTO_NOCAT = [(t, k) for t, k, _ in ONTO]
+
+
+def sample_transcripts(n_blocks=1):
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "My keyword is here. Nothing else.", "tool": None, "lang": "en"},
+        {"conv_id": "c0", "turn_idx": 1, "role": "assistant", "text": "no matches at all", "tool": "search", "lang": "en"},
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": None, "tool": None, "lang": "en"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "keyword and keyword again", "tool": "python", "lang": "en"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTagging:
+    def test_one_row_per_match_keeps_unmatched_rows(self):
+        cfg = PipelineConfig(language="en", concurrency=1, batch_size=2)
+        out = tag_dataset(sample_transcripts(), [("T", "keyword")], cfg).to_pandas()
+        # c0t0 1 match, c0t1 no match (null row), c1t0 null text, c1t1 dedup -> 1
+        assert len(out) == 4
+        assert out.columns.tolist()[:6] == [
+            "conv_id", "turn_idx", "role", "text", "tag", "tag_keyword"
+        ]  # tag cols inserted right after text
+        matched = out[out["tag"].notna()]
+        assert len(matched) == 2
+        assert set(matched["tag_keyword"]) == {"keyword"}
+
+    def test_category_format(self):
+        cfg = PipelineConfig(
+            language="en", category_column="category", concurrency=1, batch_size=2
+        )
+        out = tag_dataset(
+            sample_transcripts(), [("T", "keyword", "catA")], cfg
+        ).to_pandas()
+        assert "tag_category" in out.columns
+        assert set(out["tag_category"].dropna()) == {"catA"}
+
+    def test_one_row_per_doc_json(self):
+        cfg = PipelineConfig(
+            language="en", output_format="one_row_per_doc_json", concurrency=1
+        )
+        out = tag_dataset(sample_transcripts(), [("T", "keyword")], cfg).to_pandas()
+        assert len(out) == 4
+        val = json.loads(out[out["conv_id"] == "c1"].iloc[1]["tag_json_full"])
+        assert val["T"]["count"] == 2
+
+    def test_nblock_equals_1block(self):
+        cfg = PipelineConfig(language="en", concurrency=2, batch_size=1)
+        one = tag_dataset(sample_transcripts(1), ONTO_NOCAT, cfg).to_pandas()
+        many = tag_dataset(sample_transcripts(4), ONTO_NOCAT, cfg).to_pandas()
+        key = ["conv_id", "turn_idx", "tag", "tag_keyword"]
+        a = one.sort_values(key).reset_index(drop=True)
+        b = many.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[key], b[key])
+
+    def test_multilingual_dispatch(self):
+        rows = [
+            {"conv_id": "c", "turn_idx": 0, "text": "the keyword here", "lang": "en"},
+            {"conv_id": "c", "turn_idx": 1, "text": "le keyword ici", "lang": "fr"},
+        ]
+        cfg = PipelineConfig(
+            language="language_column", language_column="lang", concurrency=1
+        )
+        out = tag_dataset(
+            ray.data.from_pandas(pd.DataFrame(rows)), [("T", "keyword")], cfg
+        ).to_pandas()
+        assert out["tag"].notna().sum() == 2
+
+    def test_mentions_table(self):
+        cfg = PipelineConfig(language="en", concurrency=1)
+        m = extract_mentions(sample_transcripts(), [("T", "keyword")], cfg).to_pandas()
+        # c0t0 has 1, c1t1 has 2 occurrences (mentions are NOT deduped)
+        assert len(m) == 3
+        assert set(m.columns) == {
+            "conv_id", "turn_idx", "sent_idx", "match_start", "match_end",
+            "keyword", "tag", "category", "sentence",
+        }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraph:
+    def test_triples_structural_and_tagged(self):
+        cfg = PipelineConfig(language="en", concurrency=1)
+        t = extract_triples(sample_transcripts(), [("T", "keyword")], cfg).to_pandas()
+        utters = t[t["pred"] == "utters"]
+        tools = t[t["pred"] == "used_tool"]
+        tagged = t[t["pred"] == "tagged_as"]
+        assert len(utters) == 4
+        assert set(tools["obj"]) == {"search", "python"}
+        # tagged_as deduped per turn: c0t0 1, c1t1 1
+        assert len(tagged) == 2
+        assert set(tagged["obj"]) == {"concept:T"}
+        assert set(tagged["subj"]) == {"c0#0#keyword", "c1#1#keyword"}
+
+    def test_nodes_and_edges(self):
+        from raykg.core.ontology import clean_ontology
+
+        cfg = PipelineConfig(language="en", concurrency=1)
+        triples = extract_triples(sample_transcripts(), [("T", "keyword")], cfg)
+        edges = triples_to_edges(triples).to_pandas()
+        assert {"src", "dst", "rel", "weight", "conv_id"} <= set(edges.columns)
+        onto_rows = clean_ontology([("T", "keyword")], has_category=False)
+        nodes = build_nodes(triples, onto_rows).to_pandas()
+        by_type = nodes.groupby("node_type")["node_id"].count().to_dict()
+        assert by_type == {
+            "conversation": 2, "turn": 4, "tool": 2, "mention": 2, "concept": 1,
+        }
+        assert nodes["node_id"].is_unique
+
+    def test_concept_scores(self):
+        cfg = PipelineConfig(language="en", concurrency=1)
+        m = extract_mentions(sample_transcripts(), [("T", "keyword")], cfg)
+        s = concept_scores(m).to_pandas()
+        assert len(s) == 1
+        row = s.iloc[0]
+        assert row["tag"] == "T" and row["concept_id"] == "concept:T"
+        assert row["n_mentions"] == 3 and row["n_convs"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedIO:
+    def test_write_resume_roundtrip(self, tmp_path):
+        cfg = PipelineConfig(language="en", concurrency=1)
+        triples = extract_triples(read_transcripts(SF), ONTO, cfg)
+        out = str(tmp_path / "edges")
+        w = PartitionedWriter(out, num_partitions=8)
+        summary = w.write(triples, key_column="conv_id")
+        assert summary["rows"].sum() == triples.count()
+        assert w.done_partitions() == set(summary["part"])
+        # manifests carry lineage
+        mf = json.load(open(w.manifest_path(int(summary["part"].iloc[0]))))
+        assert mf["status"] == "complete" and mf["rows"] > 0 and mf["content_md5"]
+
+        # simulate a partial failure: delete one partition's manifest+data
+        victim = int(summary["part"].iloc[0])
+        os.remove(w.manifest_path(victim))
+        os.remove(os.path.join(out, f"part={victim:05d}", "data.parquet"))
+        w2 = PartitionedWriter(out, num_partitions=8)
+        assert victim not in w2.done_partitions()
+        summary2 = w2.write(triples, key_column="conv_id")
+        # only the victim partition was rewritten
+        assert summary2["part"].tolist() == [victim]
+        # resumed output equals single-shot output
+        total = w2.read().count()
+        assert total == triples.count()
+
+    def test_partition_of_deterministic(self):
+        assert partition_of("c123", 64) == partition_of("c123", 64)
+        assert 0 <= partition_of("anything", 8) < 8
