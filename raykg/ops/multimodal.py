@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this environment, so the
+decode kernels are STUBS (clearly marked, ``NotImplementedError``) with a
+deterministic fake mode — but the Ray-side plumbing is real and tested:
+binary columns ride through Arrow blocks untouched, decode/feature stages
+are actor pools with small batches (large payloads -> keep batch bytes
+bounded), and outputs are fixed-width feature columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+def documents_to_media(batch: pa.Table, id_column: str = "doc_id",
+                       text_column: str = "text") -> pa.Table:
+    """Deterministic fake media table from documents (test/bench harness):
+    the text bytes become the opaque payload."""
+    ids = batch[id_column].to_pylist()
+    texts = batch[text_column].to_pylist()
+    types = ["image", "audio", "video"]
+    payloads = [(t or "").encode("utf-8") for t in texts]
+    return pa.Table.from_pydict(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array([types[i % 3] for i in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(
+                ["application/octet-stream"] * len(ids), type=pa.string()
+            ),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: decode + feature-extract one batch of payloads.
+
+    Real decoders (PIL / libsndfile / ffmpeg) are unavailable here; with
+    ``fake=True`` (default) features are a deterministic digest-based
+    16-float vector plus fake width/height/duration, so schema, batching and
+    determinism are fully exercised.  With ``fake=False`` the stub raises.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def _decode(self, payload: bytes, media_type: str):
+        if not self.fake:
+            # STUB: real decode requires PIL/torchaudio/ffmpeg (not in env)
+            raise NotImplementedError(
+                "real media decode not available in this environment; "
+                "use fake=True or plug a decoder"
+            )
+        digest = hashlib.md5(payload).digest()
+        w = 1 + digest[0] % 64
+        h = 1 + digest[1] % 64
+        dur = round((digest[2] % 1000) / 10.0, 1)
+        feats = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+        feats = np.concatenate([feats, feats])[: self.FEATURE_DIM] / 255.0
+        return w, h, dur, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths: List[Optional[int]] = []
+        heights: List[Optional[int]] = []
+        durations: List[Optional[float]] = []
+        features: List[list] = []
+        for payload, mtype in zip(
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            w, h, dur, feats = self._decode(payload or b"", mtype)
+            widths.append(w if mtype == "image" else None)
+            heights.append(h if mtype == "image" else None)
+            durations.append(dur if mtype in ("audio", "video") else None)
+            features.append(np.round(feats, 6).tolist())
+        out = batch.drop_columns(["payload"])  # features replace the payload
+        out = out.append_column("width", pa.array(widths, type=pa.int32()))
+        out = out.append_column("height", pa.array(heights, type=pa.int32()))
+        out = out.append_column("duration_s", pa.array(durations, type=pa.float64()))
+        out = out.append_column(
+            "features", pa.array(features, type=pa.list_(pa.float64()))
+        )
+        return out
+
+
+def extract_media_features(
+    ds: "ray.data.Dataset", fake: bool = True, batch_size: int = 256, concurrency=2
+) -> "ray.data.Dataset":
+    """Media table -> feature table. Small batch_size on purpose: payload
+    bytes x batch x concurrency must fit the worker heap (ray_guide
+    memory-aware rule)."""
+    return ds.map_batches(
+        MediaFeatureActor,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

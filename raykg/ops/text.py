@@ -1,0 +1,146 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All are streaming ``map_batches`` stages; integer
+metrics are used wherever an exact DuckDB oracle compares values (floats
+only where rows-only checks apply)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# BPE-ish word/punct split; RE2-compatible (same pattern is used in the
+# DuckDB oracle) and ASCII-safe on both engines.
+TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+WORD_RE = re.compile(r"\S+")
+
+
+def token_count_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    texts = batch[text_column].to_pylist()
+    findall = TOKEN_RE.findall
+    n_tokens = pa.array(
+        [len(findall(t)) if t is not None else 0 for t in texts], type=pa.int64()
+    )
+    return batch.append_column("n_tokens", n_tokens)
+
+
+def quality_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Integer quality metrics: n_chars, n_words, n_distinct_words,
+    max_word_len, quality_score = 100*n_distinct_words // n_words."""
+    texts = batch[text_column].to_pylist()
+    n_chars: List[int] = []
+    n_words: List[int] = []
+    n_distinct: List[int] = []
+    max_len: List[int] = []
+    score: List[int] = []
+    for t in texts:
+        t = t or ""
+        words = WORD_RE.findall(t)
+        nw = len(words)
+        nd = len(set(words))
+        n_chars.append(len(t))
+        n_words.append(nw)
+        n_distinct.append(nd)
+        max_len.append(max((len(w) for w in words), default=0))
+        score.append((100 * nd) // nw if nw else 0)
+    for name, vals in [
+        ("n_chars", n_chars),
+        ("n_words", n_words),
+        ("n_distinct_words", n_distinct),
+        ("max_word_len", max_len),
+        ("quality_score", score),
+    ]:
+        batch = batch.append_column(name, pa.array(vals, type=pa.int64()))
+    return batch
+
+
+def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Content fingerprints: md5 of the text plus a winnowed rolling-hash
+    fingerprint (min of 8-gram word-window hashes) for fuzzy comparison."""
+    texts = batch[text_column].to_pylist()
+    md5s: List[str] = []
+    winnow: List[int] = []
+    for t in texts:
+        t = t or ""
+        md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        words = t.split()
+        if len(words) < 8:
+            h = hashlib.md5(" ".join(words).encode()).digest()
+            winnow.append(int.from_bytes(h[:8], "big") >> 1)
+        else:
+            mins = min(
+                int.from_bytes(
+                    hashlib.md5(" ".join(words[i : i + 8]).encode()).digest()[:8], "big"
+                )
+                for i in range(len(words) - 7)
+            )
+            winnow.append(mins >> 1)
+    batch = batch.append_column("text_md5", pa.array(md5s, type=pa.string()))
+    batch = batch.append_column("fingerprint", pa.array(winnow, type=pa.int64()))
+    return batch
+
+
+# Tiny embedded stopword profiles for the heuristic language identifier.
+_LANG_PROFILES: Dict[str, set] = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "en"},
+    "it": {"il", "la", "di", "e", "un", "una", "che", "per", "con", "del"},
+    "pt": {"o", "a", "os", "de", "e", "um", "uma", "que", "em", "para"},
+}
+
+
+class LangIdActor:
+    """Heuristic n-gram/stopword language identifier (actor pool: profiles
+    compiled once per actor)."""
+
+    def __init__(self, text_column: str = "text", default: str = "en"):
+        self.text_column = text_column
+        self.default = default
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        preds: List[str] = []
+        for t in texts:
+            words = (t or "").lower().split()
+            best, best_score = self.default, 0
+            for lang, stops in self.profiles.items():
+                s = sum(1 for w in words if w in stops)
+                if s > best_score:
+                    best, best_score = lang, s
+            preds.append(best)
+        return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
+
+
+def add_token_counts(ds: "ray.data.Dataset", text_column: str = "text"):
+    return ds.map_batches(
+        lambda b: token_count_batch(b, text_column), batch_format="pyarrow"
+    )
+
+
+def add_quality(ds: "ray.data.Dataset", text_column: str = "text"):
+    return ds.map_batches(
+        lambda b: quality_batch(b, text_column), batch_format="pyarrow"
+    )
+
+
+def add_fingerprints(ds: "ray.data.Dataset", text_column: str = "text"):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, text_column), batch_format="pyarrow"
+    )
+
+
+def add_lang_id(ds: "ray.data.Dataset", text_column: str = "text", concurrency=2):
+    return ds.map_batches(
+        LangIdActor,
+        fn_constructor_kwargs={"text_column": text_column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,185 @@
+"""Training-data operator tests: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from raykg.ops.dedup import (
+    embedding_near_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_verify,
+    simhash_near_pairs,
+)
+from raykg.ops.multimodal import MediaFeatureActor, documents_to_media, extract_media_features
+from raykg.ops.similarity import IVFIndex, topk_cosine
+from raykg.ops.text import add_fingerprints, add_lang_id, add_quality, add_token_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+DUP_ROWS = [
+    {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+    {"doc_id": 2, "text": "completely different content here about databases"},
+    {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"},
+    {"doc_id": 4, "text": "unrelated words entirely separate payload tokens"},
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup_groups(self):
+        out = exact_dedup_groups(docs_ds(DUP_ROWS)).to_pandas()
+        assert len(out) == 4  # 5 rows, one exact duplicate pair
+        assert out.set_index("doc_id").loc[0, "n_dups"] == 2
+
+    def test_exact_dedup_keeps_first(self):
+        out = exact_dedup(docs_ds(DUP_ROWS)).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 2, 3, 4]
+
+    def test_minhash_lsh_finds_near_dups(self):
+        out = minhash_lsh_pairs(
+            docs_ds(DUP_ROWS), threshold=0.5, concurrency=1
+        ).to_pandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs  # exact dup pair must surface
+        assert (0, 3) in pairs or (1, 3) in pairs  # near dup (1 word changed)
+        assert not any(4 in p for p in pairs)
+
+    def test_ngram_jaccard_verify(self):
+        cands = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 4]})
+        out = ngram_jaccard_verify(docs_ds(DUP_ROWS), cands)
+        j = out.set_index(["id_a", "id_b"])["jaccard"]
+        assert j[(0, 1)] == 1.0
+        assert j[(0, 4)] == 0.0
+
+    def test_simhash_near_pairs(self):
+        out = simhash_near_pairs(docs_ds(DUP_ROWS), max_hamming=3).to_pandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs
+        assert all(h <= 3 for h in out["hamming"])
+
+    def test_embedding_near_pairs(self):
+        rng = np.random.RandomState(0)
+        base = rng.randn(4, 16)
+        rows = []
+        for i, v in enumerate(base):
+            rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+            rows.append(
+                {"vec_id": 2 * i + 1, "embedding": (v + 0.01 * rng.randn(16)).tolist()}
+            )
+        out = embedding_near_pairs(docs_ds(rows), threshold=0.99).to_pandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert {(0, 1), (2, 3), (4, 5), (6, 7)} <= pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_topk_cosine_matches_numpy(self):
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        df = emb.to_pandas()
+        m = np.array(df["embedding"].tolist(), dtype=np.float64)
+        ids = df["vec_id"].to_numpy()
+        q = m[:3]
+        out = topk_cosine(emb, q, [0, 1, 2], k=5, concurrency=1).to_pandas()
+        # oracle: full numpy
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = np.round(mn @ qn.T, 6)
+        for qi in range(3):
+            order = np.lexsort((ids, -sims[:, qi]))[:5]
+            expect = ids[order].tolist()
+            got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got == expect
+
+    def test_ivf_recall(self):
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        df = emb.to_pandas()
+        m = np.array(df["embedding"].tolist(), dtype=np.float64)
+        q = m[:2]
+        idx = IVFIndex(nlist=8, nprobe=8).fit(emb)  # nprobe=nlist -> exact
+        assigned = idx.assign(emb)
+        out = idx.search(assigned, q, [0, 1], k=3).to_pandas()
+        brute = topk_cosine(emb, q, [0, 1], k=3, concurrency=1).to_pandas()
+        for qi in (0, 1):
+            a = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            b = brute[brute["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextOps:
+    ROWS = [
+        {"doc_id": 0, "text": "the quick fox. #tag!"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "le la les de des et"},
+    ]
+
+    def test_token_count(self):
+        out = add_token_counts(docs_ds(self.ROWS)).to_pandas()
+        assert out["n_tokens"].tolist() == [7, 0, 6]
+
+    def test_quality(self):
+        out = add_quality(docs_ds(self.ROWS)).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_words"] == 4
+        assert out.loc[1, "quality_score"] == 0
+        assert out.loc[2, "n_distinct_words"] == 6
+
+    def test_fingerprints(self):
+        out = add_fingerprints(docs_ds(self.ROWS)).to_pandas()
+        import hashlib
+
+        assert out["text_md5"][0] == hashlib.md5(self.ROWS[0]["text"].encode()).hexdigest()
+        assert (out["fingerprint"] >= 0).all()
+
+    def test_lang_id(self):
+        out = add_lang_id(docs_ds(self.ROWS), concurrency=1).to_pandas()
+        assert out["pred_lang"].tolist()[0] == "en"
+        assert out["pred_lang"].tolist()[2] == "fr"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_media_pipeline(self):
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        media = docs.map_batches(documents_to_media, batch_format="pyarrow")
+        feats = extract_media_features(media, concurrency=1)
+        out = feats.take_batch(10, batch_format="pandas")
+        assert "payload" not in out.columns
+        assert len(out["features"][0]) == MediaFeatureActor.FEATURE_DIM
+        imgs = out[out["media_type"] == "image"]
+        assert imgs["width"].notna().all()
+
+    def test_real_decode_raises(self):
+        import pyarrow as pa
+
+        actor = MediaFeatureActor(fake=False)
+        batch = pa.Table.from_pydict(
+            {"media_id": [1], "media_type": ["image"], "payload": [b"xx"],
+             "mime": ["x"], "n_bytes": [2]}
+        )
+        with pytest.raises(NotImplementedError):
+            actor(batch)
+
+    def test_fake_features_deterministic(self):
+        a = MediaFeatureActor(fake=True)
+        import pyarrow as pa
+
+        batch = pa.Table.from_pydict(
+            {"media_id": [1], "media_type": ["image"], "payload": [b"hello"],
+             "mime": ["x"], "n_bytes": [5]}
+        )
+        f1 = a(batch)["features"].to_pylist()
+        f2 = MediaFeatureActor(fake=True)(batch)["features"].to_pylist()
+        assert f1 == f2
