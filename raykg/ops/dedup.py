@@ -198,7 +198,7 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
         g = g.sort_values("doc_id").drop_duplicates("doc_id")
         ids = g["doc_id"].tolist()
         sigs = [np.asarray(s) for s in g["sig"]]
@@ -271,7 +271,7 @@ def simhash_near_pairs(
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
         g = g.sort_values("doc_id").drop_duplicates("doc_id")
         ids = g["doc_id"].tolist()
         sims = g["simhash"].tolist()
@@ -373,7 +373,7 @@ def embedding_near_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
         g = g.sort_values(id_column)
         ids = g[id_column].tolist()
         m = np.array(g[embedding_column].tolist(), dtype=np.float64)

@@ -1,0 +1,430 @@
+"""The engine's query surface: one callable per operator/pipeline from
+SURVEY.md §2 plus the training-data ops, each taking ``sf_dir`` and paired
+(where SQL-expressible) with a DuckDB oracle over the same parquet tables.
+
+Column names match between the Ray result and the oracle SQL exactly — the
+driver's correctness gate sorts columns by name and value-hashes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .config import PipelineConfig
+from .graph import build_nodes, concept_scores, extract_triples, triples_to_edges
+from .tag import extract_mentions, tag_dataset
+from .transcripts import TRANSCRIPTS_SQL, read_transcripts
+from ..core.ontology import clean_ontology
+from ..ops import dedup as dedup_ops
+from ..ops import multimodal as mm_ops
+from ..ops import similarity as sim_ops
+from ..ops import text as text_ops
+
+# The benchmark/correctness ontology: keywords from the corpus vocabulary,
+# chosen so no two keywords share a token (category longest-match == all
+# matches) and no keyword self-overlaps (token-scan count == non-overlapping
+# regex count, verified in tests).
+ONTOLOGY = [
+    ("Engine", "spark", "tech"),
+    ("Windowing", "window", "op"),
+    ("AggRow", "agg row", "pattern"),
+    ("BigData", "big data", "buzz"),
+    ("Customer", "customer", "entity"),
+    ("FastMerge", "fast merge", "pattern"),
+]
+
+ONTOLOGY_SQL_VALUES = ", ".join(
+    f"('{t}', '{k}', '{c}')" for t, k, c in ONTOLOGY
+)
+_ONTO_CTE = f"onto(tag, keyword, category) AS (VALUES {ONTOLOGY_SQL_VALUES})"
+_T_CTE = f"t AS ({TRANSCRIPTS_SQL})"
+# per-(turn, keyword) occurrence counts — the SQL mirror of the matcher on
+# this corpus (single-sentence turns, space-separated tokens)
+_OCC_CTE = (
+    "occ AS (SELECT t.conv_id, t.turn_idx, onto.tag, onto.category, onto.keyword, "
+    "len(regexp_extract_all(t.text, '\\b' || onto.keyword || '\\b')) AS n_matches "
+    "FROM t, onto "
+    "WHERE regexp_matches(t.text, '\\b' || onto.keyword || '\\b'))"
+)
+
+
+def _cfg(**kw) -> PipelineConfig:
+    defaults = dict(language="en", concurrency=(1, 8), batch_size=1024)
+    defaults.update(kw)
+    return PipelineConfig(**defaults)
+
+
+# --- KG pipeline queries ---------------------------------------------------
+
+def q_transcripts(sf_dir: str):
+    return read_transcripts(sf_dir)
+
+
+def q_tag_match(sf_dir: str):
+    """one_row_per_match with categories over the derived transcripts."""
+    ds = read_transcripts(sf_dir)
+    return tag_dataset(ds, ONTOLOGY, _cfg(category_column="category"))
+
+
+def q_tag_doc(sf_dir: str):
+    ds = read_transcripts(sf_dir)
+    return tag_dataset(
+        ds, ONTOLOGY, _cfg(category_column="category", output_format="one_row_per_doc")
+    )
+
+
+def q_tag_doc_json(sf_dir: str):
+    ds = read_transcripts(sf_dir)
+    return tag_dataset(
+        ds, ONTOLOGY,
+        _cfg(category_column="category", output_format="one_row_per_doc_json"),
+    )
+
+
+def _mentions(sf_dir: str):
+    # no-category mode: all matches (PhraseMatcher semantics)
+    return extract_mentions(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+
+
+def q_mention_counts(sf_dir: str):
+    """(conv_id, turn_idx, tag, keyword, n_matches) occurrence counts."""
+    m = _mentions(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[tuple, int] = {}
+        for key in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["tag"].to_pylist(),
+            batch["keyword"].to_pylist(),
+        ):
+            counts[key] = counts.get(key, 0) + 1
+        keys = list(counts)
+        return pa.Table.from_pydict(
+            {
+                "conv_id": [k[0] for k in keys],
+                "turn_idx": pa.array([k[1] for k in keys], type=pa.int32()),
+                "tag": [k[2] for k in keys],
+                "keyword": [k[3] for k in keys],
+                "n": list(counts.values()),
+            }
+        )
+
+    return (
+        m.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_idx", "tag", "keyword"])
+        .aggregate(Sum("n", alias_name="n_matches"))
+    )
+
+
+def q_concept_scores(sf_dir: str):
+    return concept_scores(_mentions(sf_dir))
+
+
+def q_triples(sf_dir: str):
+    return extract_triples(
+        read_transcripts(sf_dir), ONTOLOGY, _cfg(category_column="category")
+    )
+
+
+def q_edges(sf_dir: str):
+    return triples_to_edges(q_triples(sf_dir))
+
+
+def q_nodes(sf_dir: str):
+    onto_rows = clean_ontology(ONTOLOGY, has_category=True)
+    return build_nodes(q_triples(sf_dir), onto_rows)
+
+
+def q_doc_tags(sf_dir: str):
+    """Per matched turn: sorted distinct tag/keyword rollup
+    (canonicalized variant of one_row_per_doc for oracle comparison)."""
+    m = _mentions(sf_dir)
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        seen = set()
+        out = {"conv_id": [], "turn_idx": [], "tag": [], "keyword": []}
+        for key in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["tag"].to_pylist(),
+            batch["keyword"].to_pylist(),
+        ):
+            if key not in seen:
+                seen.add(key)
+                out["conv_id"].append(key[0])
+                out["turn_idx"].append(key[1])
+                out["tag"].append(key[2])
+                out["keyword"].append(key[3])
+        return pa.Table.from_pydict(
+            {
+                "conv_id": out["conv_id"],
+                "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
+                "tag": out["tag"],
+                "keyword": out["keyword"],
+            }
+        )
+
+    import pandas as pd
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        tags = sorted(set(g["tag"]))
+        kws = sorted(set(g["keyword"]))
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": g["conv_id"].iloc[0],
+                    "turn_idx": g["turn_idx"].iloc[0],
+                    "tags_sorted": ",".join(tags),
+                    "keywords_sorted": ",".join(kws),
+                    "n_tags": len(tags),
+                }
+            ]
+        )
+
+    return (
+        m.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_idx"])
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
+def q_distinct_langs(sf_dir: str):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+# --- training-data ops -----------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_ops.exact_dedup_groups(docs)
+
+
+def q_token_counts(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_ops.add_token_counts(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_ops.add_quality(docs).select_columns(
+        ["doc_id", "n_chars", "n_words", "n_distinct_words", "max_word_len", "quality_score"]
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_ops.add_fingerprints(docs).select_columns(["doc_id", "text_md5"])
+
+
+def q_lang_id(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_ops.add_lang_id(docs, concurrency=(1, 4)).select_columns(
+        ["doc_id", "pred_lang"]
+    )
+
+
+N_ANN_QUERIES = 4
+ANN_K = 5
+
+
+def q_ann_topk(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qtab = qtab[qtab["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
+    q = np.array(qtab["embedding"].tolist(), dtype=np.float64)
+    out = sim_ops.topk_cosine(
+        emb, q, qtab["vec_id"].tolist(), k=ANN_K, concurrency=(1, 4)
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_ops.minhash_lsh_pairs(docs, threshold=0.4, concurrency=(1, 4))
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_ops.simhash_near_pairs(docs, max_hamming=8)
+
+
+def q_embedding_near(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup_ops.embedding_near_pairs(emb, threshold=0.9)
+
+
+def q_media_features(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_media, batch_format="pyarrow")
+    return mm_ops.extract_media_features(media, concurrency=(1, 4)).select_columns(
+        ["media_id", "media_type", "n_bytes", "width", "height", "duration_s"]
+    )
+
+
+# --- registry --------------------------------------------------------------
+
+QUERIES: Dict[str, Callable] = {
+    "transcripts": q_transcripts,
+    "tag_match": q_tag_match,
+    "tag_doc": q_tag_doc,
+    "tag_doc_json": q_tag_doc_json,
+    "mention_counts": q_mention_counts,
+    "concept_scores": q_concept_scores,
+    "triples": q_triples,
+    "edges": q_edges,
+    "nodes": q_nodes,
+    "doc_tags": q_doc_tags,
+    "distinct_langs": q_distinct_langs,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "lang_id": q_lang_id,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near": q_embedding_near,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "transcripts": TRANSCRIPTS_SQL,
+    "tag_match": f"""
+        WITH {_T_CTE}, {_ONTO_CTE},
+        m AS (SELECT t.conv_id, t.turn_idx, onto.category AS tag_category,
+                     onto.tag, onto.keyword AS tag_keyword, t.text AS tag_sentence
+              FROM t, onto
+              WHERE regexp_matches(t.text, '\\b' || onto.keyword || '\\b'))
+        SELECT t.conv_id, t.turn_idx, t.role, t.text,
+               m.tag_category, m.tag, m.tag_keyword, m.tag_sentence,
+               t.tool, t.ts, t.lang
+        FROM t LEFT JOIN m USING (conv_id, turn_idx)
+    """,
+    "mention_counts": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT conv_id, turn_idx, tag, keyword, n_matches FROM occ
+    """,
+    "concept_scores": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT tag, 'concept:' || tag AS concept_id,
+               CAST(SUM(n_matches) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM occ GROUP BY tag
+    """,
+    "triples": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT conv_id AS subj, 'utters' AS pred,
+               conv_id || '#' || turn_idx AS obj, conv_id, turn_idx,
+               1.0 AS weight FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, 'used_tool', tool, conv_id, turn_idx, 1.0
+        FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'tagged_as',
+               'concept:' || tag, conv_id, turn_idx, 1.0 FROM occ
+    """,
+    "edges": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT conv_id AS src, 'utters' AS rel,
+               conv_id || '#' || turn_idx AS dst, conv_id, turn_idx,
+               1.0 AS weight FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, 'used_tool', tool, conv_id, turn_idx, 1.0
+        FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'tagged_as',
+               'concept:' || tag, conv_id, turn_idx, 1.0 FROM occ
+    """,
+    "nodes": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT DISTINCT conv_id AS node_id, 'conversation' AS node_type,
+               conv_id AS label, CAST(NULL AS VARCHAR) AS category FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, 'turn', conv_id || '#' || turn_idx, NULL FROM t
+        UNION ALL
+        SELECT DISTINCT 'tool:' || tool, 'tool', tool, NULL FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'mention', keyword, NULL FROM occ
+        UNION ALL
+        SELECT DISTINCT 'concept:' || tag, 'concept', tag, category FROM onto
+    """,
+    "doc_tags": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT conv_id, turn_idx,
+               string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags_sorted,
+               string_agg(DISTINCT keyword, ',' ORDER BY keyword) AS keywords_sorted,
+               CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_tags
+        FROM occ GROUP BY conv_id, turn_idx
+    """,
+    "distinct_langs": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    """,
+    "dedup_exact": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "token_counts": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "quality": r"""
+        WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS words
+                   FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+               CAST(COALESCE(list_max(list_transform(words, x -> length(x))), 0) AS BIGINT)
+                   AS max_word_len,
+               CAST(CASE WHEN len(words) = 0 THEN 0
+                    ELSE (100 * len(list_distinct(words))) // len(words) END AS BIGINT)
+                   AS quality_score
+        FROM w
+    """,
+    "fingerprint": """
+        SELECT doc_id, md5(text) AS text_md5 FROM documents
+    """,
+    "ann_topk": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
+        s AS (SELECT q.qid AS query_id, e.vec_id,
+                     round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS score
+              FROM q, embeddings e),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {ANN_K}
+    """,
+}
