@@ -1,0 +1,124 @@
+"""Benchmark driver.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+at $RAY_GRAFT_CPUS cpus (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from raykg.pipeline.queries import QUERIES
+
+    # warm the page cache and the Ray worker pool (untimed) so we measure
+    # compute + shuffle, not first-use process forking or the first disk read
+    QUERIES["transcripts"](sf_dir).count()
+    QUERIES["triples"]("/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, consume=None):
+        t0 = time.perf_counter()
+        ds = QUERIES[name](sf_dir)
+        n = ds.count() if consume is None else consume(ds)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    # headline: full KG build (transcripts -> triples) + concept reduce
+    n_triples = timed("triples")
+    timed("concept_scores")
+    timed("tag_match")
+    timed("mention_counts")
+    timed("nodes")
+    n_turns = timed("transcripts")
+    # training-data ops
+    timed("dedup_exact")
+    timed("minhash_pairs")
+    timed("token_counts")
+    timed("quality")
+    timed("ann_topk")
+
+    headline = timings["triples"]
+    result = {
+        "metric": "kg_triples_build_seconds_sf0.1",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_triples": int(n_triples),
+        "n_turns": int(n_turns),
+        "triples_per_sec": round(n_triples / headline, 1) if headline else None,
+        "turns_per_sec": round(n_turns / timings["triples"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_triples_8_to_32_cpus",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

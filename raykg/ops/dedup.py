@@ -135,19 +135,19 @@ class MinHashActor:
             dtype=np.uint64,
             count=len(shingles),
         )
-        # (a*x + b) mod p for each permutation, vectorized over shingles
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for j in range(self.num_perm):
-            sig[j] = ((self.a[j] * hv + self.b[j]) % _MERSENNE).min()
-        return sig
+        # (a*x + b) mod p, vectorized over (perm, shingle) in one shot
+        return ((self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit (band, band_hash, doc_id) rows only — signatures never leave
+        the actor (at 16 bands a shipped 64-int signature would multiply the
+        shuffle volume ~50x; candidates are verified with exact Jaccard in a
+        second corpus pass instead)."""
         ids = batch[self.id_column].to_pylist()
         texts = batch[self.text_column].to_pylist()
         band_col: List[int] = []
         bh_col: List[int] = []
         id_col: List[int] = []
-        sig_col: List[list] = []
         r = self.rows_per_band
         for i, t in zip(ids, texts):
             sig = self.signature(t)
@@ -159,15 +159,52 @@ class MinHashActor:
                 band_col.append(band)
                 bh_col.append(bh)
                 id_col.append(i)
-                sig_col.append(sig.astype(np.int64).tolist())
         return pa.Table.from_pydict(
             {
                 "band": pa.array(band_col, type=pa.int32()),
                 "band_hash": pa.array(bh_col, type=pa.int64()),
                 "doc_id": pa.array(id_col, type=pa.int64()),
-                "sig": pa.array(sig_col, type=pa.list_(pa.int64())),
             }
         )
+
+
+def _hot_bucket_pairs(bands: "ray.data.Dataset", bucket_keys: List[str],
+                      value_cols: List[str]) -> pd.DataFrame:
+    """Shared LSH tail: count rows per bucket, keep only buckets with >= 2
+    members (the overwhelming majority of buckets are singletons — calling
+    Python once per singleton group is what makes a naive
+    ``groupby.map_groups`` quadratic-feeling), then emit candidate pairs from
+    the hot buckets on the driver (candidate volume == true near-dup volume,
+    bounded by construction).
+
+    ``bands`` is materialized so the signature stage runs once, not once per
+    consumer."""
+    bands = bands.materialize()
+    counts = bands.groupby(bucket_keys).aggregate(Count(alias_name="__n"))
+
+    import pyarrow.compute as pc
+
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["__n"], 1)), batch_format="pyarrow"
+    ).to_pandas()  # tiny: one row per non-singleton bucket
+    if not len(hot):
+        return []
+    hot_keys = set(map(tuple, hot[bucket_keys].itertuples(index=False, name=None)))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        cols = [batch[k].to_pylist() for k in bucket_keys]
+        mask = pa.array([t in hot_keys for t in zip(*cols)])
+        return batch.filter(mask)
+
+    members = bands.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    rows = []
+    for _, g in members.groupby(bucket_keys):
+        g = g.sort_values(value_cols[0]).drop_duplicates(value_cols[0])
+        vals = list(g[value_cols].itertuples(index=False, name=None))
+        for x in range(len(vals)):
+            for y in range(x + 1, len(vals)):
+                rows.append((vals[x], vals[y]))
+    return rows
 
 
 def minhash_lsh_pairs(
@@ -180,9 +217,11 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     concurrency=2,
 ) -> "ray.data.Dataset":
-    """Candidate near-duplicate pairs with signature-estimated Jaccard >=
-    threshold: (id_a, id_b, est_jaccard). Pairs are deduped across bands by
-    a final groupby."""
+    """Near-duplicate pairs (id_a, id_b, jaccard >= threshold).
+
+    LSH banding proposes candidates (bucket count prefilter -> only hot
+    buckets generate pairs); candidates are verified with EXACT n-gram
+    Jaccard in a second streaming pass over just those docs."""
     bands = ds.map_batches(
         MinHashActor,
         fn_constructor_kwargs={
@@ -195,29 +234,21 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs = [np.asarray(s) for s in g["sig"]]
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                est = float(np.mean(sigs[x] == sigs[y]))
-                if est >= threshold:
-                    rows.append((ids[x], ids[y], round(est, 6)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
-
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    raw = _hot_bucket_pairs(bands, ["band", "band_hash"], ["doc_id"])
+    if not raw:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        return ray.data.from_pandas(empty)
+    cand = pd.DataFrame(
+        {"id_a": [a[0] for a, b in raw], "id_b": [b[0] for a, b in raw]}
+    ).drop_duplicates()
+    verified = ngram_jaccard_verify(
+        ds, cand, text_column=text_column, id_column=id_column, shingle_k=shingle_k
     )
-    # same pair can surface from several bands -> dedup
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
-    )
+    out = verified[verified["jaccard"] >= threshold].reset_index(drop=True)
+    return ray.data.from_pandas(out)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -269,28 +300,22 @@ def simhash_near_pairs(
                 out["simhash"].append(s)
         return pa.Table.from_pydict(out)
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        sims = g["simhash"].tolist()
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = bin((sims[x] ^ sims[y]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    rows.append((ids[x], ids[y], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
-
-    pairs = (
-        hashed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(bucket, batch_format="pandas")
+    bands = hashed.map_batches(explode, batch_format="pyarrow")
+    raw = _hot_bucket_pairs(bands, ["chunk", "chunk_val"], ["doc_id", "simhash"])
+    rows = []
+    seen = set()
+    for (ida, sa), (idb, sb) in raw:
+        if (ida, idb) in seen:
+            continue
+        seen.add((ida, idb))
+        d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+        if d <= max_hamming:
+            rows.append((ida, idb, d))
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return ray.data.from_pandas(out)
 
 
 # --- exact n-gram Jaccard verification ------------------------------------
