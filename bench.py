@@ -56,7 +56,31 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return n
 
-    # headline: full KG build (transcripts -> triples) + concept reduce
+    # headline: full KG build (transcripts -> triples) at
+    # RAYKG_REPLICATION x the sf input (deterministic amplifier; default 1 for
+    # the per-round bench, 24 for --scaling so the actor pool has enough
+    # batches to spread over every CPU)
+    replication = int(os.environ.get("RAYKG_REPLICATION", "1"))
+    from raykg.pipeline.config import PipelineConfig
+    from raykg.pipeline.graph import extract_triples
+    from raykg.pipeline.queries import ONTOLOGY
+    from raykg.pipeline.transcripts import read_transcripts_scaled
+
+    t0 = time.perf_counter()
+    headline_ds = extract_triples(
+        read_transcripts_scaled(sf_dir, replication),
+        ONTOLOGY,
+        PipelineConfig(
+            language="en",
+            category_column="category",
+            batch_size=1024,
+            concurrency=None,  # auto: 3/4 of cluster CPUs (see resolve_concurrency)
+        ),
+    )
+    n_triples_scaled = headline_ds.count()
+    t_headline = round(time.perf_counter() - t0, 3)
+    timings["triples_scaled"] = t_headline
+
     n_triples = timed("triples")
     timed("concept_scores")
     timed("tag_match")
@@ -70,7 +94,7 @@ def run_bench() -> dict:
     timed("quality")
     timed("ann_topk")
 
-    headline = timings["triples"]
+    headline = timings["triples_scaled"]
     result = {
         "metric": "kg_triples_build_seconds_sf0.1",
         "value": headline,
@@ -78,10 +102,11 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "n_triples": int(n_triples),
+        "replication": replication,
+        "n_triples": int(n_triples_scaled),
         "n_turns": int(n_turns),
-        "triples_per_sec": round(n_triples / headline, 1) if headline else None,
-        "turns_per_sec": round(n_turns / timings["triples"], 1),
+        "triples_per_sec": round(n_triples_scaled / headline, 1) if headline else None,
+        "turns_per_sec": round(n_turns * replication / headline, 1),
     }
     ray.shutdown()
     return result
@@ -89,7 +114,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAYKG_REPLICATION=os.environ.get("RAYKG_REPLICATION", "512"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -109,6 +109,11 @@ class Tokenizer:
                 if chunk.endswith(" "):
                     chunk = chunk[:-1]
                 tokens.append((chunk, start, start + len(chunk)))
+            elif chunk.isalnum() and not (self._cjk and _contains_cjk(chunk)):
+                # fast path: a plain word/number chunk can't carry affixes,
+                # infixes, elision or contractions (all need punctuation) —
+                # skips 4 regex probes on the overwhelmingly common case
+                tokens.append((chunk, start, start + len(chunk)))
             elif self._cjk and _contains_cjk(chunk):
                 tokens.extend(self._split_cjk(chunk, start))
             else:

@@ -1,0 +1,166 @@
+"""End-to-end KG construction job — what ``ray job submit`` runs on the
+cluster (north_rule: "run via ray job submit on a fixed-size multi-node Ray
+cluster").
+
+    python -m raykg.job --input /data/transcripts --out /data/kg \
+        --ontology /data/ontology.parquet --language language_column \
+        --num-partitions 256
+
+Reads a transcripts Parquet table (or derives one from a documents table
+with ``--derive-from-documents``), extracts mentions/triples, and writes:
+
+    out/edges/part=NNNNN/{data.parquet,manifest.json}   (hash(conv_id))
+    out/mentions/part=NNNNN/...
+    out/nodes/...            out/concept_scores/...
+
+Every table goes through the resumable partitioned writer — a re-run after
+a failure skips complete partitions (checked via the atomic manifests).
+Only this entry point owns the Ray session (guarded init; the library never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_graph(
+    transcripts,
+    ontology,
+    config,
+    out_dir: str,
+    num_partitions: int = 64,
+    resume: bool = True,
+) -> dict:
+    """The job body (importable for tests): transcripts + ontology ->
+    partitioned graph tables on disk; returns the run report."""
+    import os
+
+    from .core.ontology import clean_ontology
+    from .pipeline.graph import build_nodes, concept_scores, extract_triples
+    from .pipeline.io import PartitionedWriter
+    from .pipeline.tag import extract_mentions
+
+    fingerprint = json.dumps(
+        {
+            "ignore_case": config.ignore_case,
+            "ignore_diacritics": config.ignore_diacritics,
+            "lemmatization": config.lemmatization,
+            "language": config.language,
+        },
+        sort_keys=True,
+    )
+    report: dict = {"out_dir": out_dir, "tables": {}}
+
+    triples = extract_triples(transcripts, ontology, config)
+    w_edges = PartitionedWriter(os.path.join(out_dir, "edges"), num_partitions)
+    s = w_edges.write(triples, key_column="conv_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["edges"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
+
+    mentions = extract_mentions(transcripts, ontology, config)
+    w_m = PartitionedWriter(os.path.join(out_dir, "mentions"), num_partitions)
+    s = w_m.write(mentions, key_column="conv_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["mentions"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
+
+    if isinstance(ontology, list) and ontology and hasattr(ontology[0], "tag"):
+        onto_rows = ontology
+    else:
+        onto_rows = clean_ontology(
+            list(ontology), has_category=config.has_category
+        )
+    nodes = build_nodes(w_edges.read(), onto_rows)
+    w_n = PartitionedWriter(os.path.join(out_dir, "nodes"), max(num_partitions // 4, 1))
+    s = w_n.write(nodes, key_column="node_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["nodes"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
+
+    scores = concept_scores(w_m.read())
+    w_s = PartitionedWriter(os.path.join(out_dir, "concept_scores"), 1)
+    s = w_s.write(scores, key_column="tag", resume=resume, fingerprint=fingerprint)
+    report["tables"]["concept_scores"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
+    return report
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="transcripts (or documents) parquet path/dir")
+    p.add_argument("--out", required=True, help="output directory for graph tables")
+    p.add_argument("--ontology", help="ontology parquet (tag/keyword[/category] columns)")
+    p.add_argument("--derive-from-documents", action="store_true",
+                   help="input is a documents table; derive transcripts")
+    p.add_argument("--language", default="en")
+    p.add_argument("--language-column", default=None)
+    p.add_argument("--ignore-case", action="store_true")
+    p.add_argument("--ignore-diacritics", action="store_true")
+    p.add_argument("--lemmatization", action="store_true")
+    p.add_argument("--num-partitions", type=int, default=64)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only for standalone runs; under ray job submit the cluster decides")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or 32,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from .pipeline.config import PipelineConfig
+        from .pipeline.queries import ONTOLOGY
+        from .pipeline.transcripts import read_transcripts
+
+        if args.ontology:
+            otab = pq.read_table(args.ontology)
+            has_cat = "category" in otab.schema.names
+            cols = ["tag", "keyword"] + (["category"] if has_cat else [])
+            ontology = list(
+                zip(*[otab.column(c).to_pylist() for c in cols])
+            )
+        else:
+            ontology = ONTOLOGY
+            has_cat = True
+
+        config = PipelineConfig(
+            language=args.language if not args.language_column else "language_column",
+            language_column=args.language_column,
+            category_column="category" if has_cat else None,
+            ignore_case=args.ignore_case,
+            ignore_diacritics=args.ignore_diacritics,
+            lemmatization=args.lemmatization,
+        )
+        if args.derive_from_documents:
+            transcripts = read_transcripts(args.input)
+        else:
+            transcripts = ray.data.read_parquet(args.input)
+
+        t0 = time.perf_counter()
+        report = build_graph(
+            transcripts,
+            ontology,
+            config,
+            args.out,
+            num_partitions=args.num_partitions,
+            resume=not args.no_resume,
+        )
+        report["seconds"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps(report))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

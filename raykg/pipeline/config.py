@@ -28,11 +28,12 @@ class PipelineConfig:
     lemmatization: bool = False
     # output shape
     output_format: str = "one_row_per_match"
-    # Ray sizing: actor pool for the stateful tag stage. Tuned so that on a
-    # multi-node cluster the pool scales with the cluster while the dictionary
-    # build cost stays amortized in actor __init__ (SURVEY.md §7.4).
+    # Ray sizing: actor pool for the stateful tag stage.  Fixed-size pools:
+    # Ray 2.49's autoscaling pool was observed stuck at min_size under a busy
+    # read stage, and a pool equal to the CPU count starves the reads into a
+    # deadlock — size to (cluster CPUs - small headroom) explicitly.
     batch_size: int = 2048
-    concurrency: Union[int, Tuple[int, int]] = (2, 16)
+    concurrency: Union[int, Tuple[int, int], None] = None  # None = auto: 3/4 of cluster CPUs
     num_cpus: float = 1.0
 
     def __post_init__(self) -> None:

@@ -31,7 +31,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..core.format import unique_list
 from .config import PipelineConfig
-from .tag import MentionActor, _broadcast_ontology
+from .tag import MentionActor, _broadcast_ontology, resolve_concurrency as _resolve_concurrency
 
 TRIPLE_SCHEMA = pa.schema(
     [
@@ -144,7 +144,7 @@ def extract_triples(
         },
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.concurrency,
+        concurrency=_resolve_concurrency(config),
         num_cpus=config.num_cpus,
     )
 
@@ -289,3 +289,93 @@ def concept_scores(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
         return batch.add_column(1, pa.field("concept_id", pa.string()), cid)
 
     return scores.map_batches(add_concept, batch_format="pyarrow")
+
+
+def conversation_stats(
+    mentions: "ray.data.Dataset", salt_buckets: int = 16
+) -> "ray.data.Dataset":
+    """Per-conversation mention/turn/concept counts with an EXPLICIT salted
+    two-phase reduce (north_rule: "explicit salting for hot conversations").
+
+    A conversation with millions of turns would make a bare
+    ``groupby(conv_id)`` ship every one of its mention rows to a single
+    reducer.  Phase 1 reduces on ``(conv_id, salt)`` where
+    ``salt = turn_idx % k`` — a hot conversation fans out over k reducers —
+    phase 2 merges the k partials per conversation.  Output:
+    (conv_id, n_mentions, n_turns, n_tags).
+    """
+    import zlib
+
+    def phase0(batch: pa.Table) -> pa.Table:
+        # in-batch partial: (conv, salt) -> mention count + turn/tag sets
+        agg: Dict[tuple, list] = {}
+        for conv, turn, tag in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["tag"].to_pylist(),
+        ):
+            key = (conv, turn % salt_buckets)
+            cur = agg.setdefault(key, [0, set(), set()])
+            cur[0] += 1
+            cur[1].add(turn)
+            cur[2].add(tag)
+        keys = list(agg)
+        return pa.Table.from_pydict(
+            {
+                "conv_id": [k[0] for k in keys],
+                "salt": pa.array([k[1] for k in keys], type=pa.int32()),
+                "n_mentions": [agg[k][0] for k in keys],
+                "turns": pa.array(
+                    [sorted(agg[k][1]) for k in keys], type=pa.list_(pa.int32())
+                ),
+                "tags": pa.array(
+                    [sorted(agg[k][2]) for k in keys], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
+        # phase-1 reducer: one (conv, salt) group
+        turns = set()
+        tags = set()
+        for t in g["turns"]:
+            turns.update(t)
+        for t in g["tags"]:
+            tags.update(t)
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": g["conv_id"].iloc[0],
+                    "n_mentions": int(g["n_mentions"].sum()),
+                    "turns": sorted(turns),
+                    "tags": sorted(tags),
+                }
+            ]
+        )
+
+    def merge_conv(g: pd.DataFrame) -> pd.DataFrame:
+        turns = set()
+        tags = set()
+        for t in g["turns"]:
+            turns.update(t)
+        for t in g["tags"]:
+            tags.update(t)
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": g["conv_id"].iloc[0],
+                    "n_mentions": int(g["n_mentions"].sum()),
+                    "n_turns": len(turns),
+                    "n_tags": len(tags),
+                }
+            ]
+        )
+
+    salted = (
+        mentions.map_batches(phase0, batch_format="pyarrow")
+        .groupby(["conv_id", "salt"])
+        .map_groups(merge_salted, batch_format="pandas")
+    )
+    return salted.groupby("conv_id").map_groups(merge_conv, batch_format="pandas")

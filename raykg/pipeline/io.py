@@ -145,6 +145,11 @@ class PartitionedWriter:
             write_group, batch_format="pandas"
         )
         result = summary.to_pandas()  # tiny: one row per partition
+        if result.empty:  # full resume: every partition already complete
+            return pd.DataFrame(
+                {"part": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64"),
+                 "content_md5": pd.Series(dtype="object")}
+            )
         schema_path = os.path.join(out_dir, "_schema.json")
         if not os.path.exists(schema_path) and len(result):
             with open(schema_path, "w") as f:

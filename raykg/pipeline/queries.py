@@ -57,7 +57,7 @@ _OCC_CTE = (
 
 
 def _cfg(**kw) -> PipelineConfig:
-    defaults = dict(language="en", concurrency=(1, 8), batch_size=1024)
+    defaults = dict(language="en", concurrency=None, batch_size=1024)
     defaults.update(kw)
     return PipelineConfig(**defaults)
 
@@ -289,6 +289,53 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table:
+    (event_type, window_start, n_events, sum_value).  Batch-local partials
+    then a small groupby — the Ray Data expression of a windowed aggregate
+    (SURVEY.md §2.9: event-time windows reduce to groupby(key, bucket))."""
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        agg: Dict[tuple, list] = {}
+        for et, h, v in zip(
+            batch["event_type"].to_pylist(), hours.to_pylist(), batch["value"].to_pylist()
+        ):
+            cur = agg.setdefault((et, h), [0, 0.0])
+            cur[0] += 1
+            cur[1] += v if v is not None else 0.0
+        keys = list(agg)
+        return pa.Table.from_pydict(
+            {
+                "event_type": [k[0] for k in keys],
+                "window_start": pa.array([k[1] for k in keys], type=pa.timestamp("us")),
+                "n": [agg[k][0] for k in keys],
+                "s": [agg[k][1] for k in keys],
+            }
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        rounded = pc.round(batch["sum_value"], 4)
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            pa.field("sum_value", pa.float64()),
+            rounded,
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -313,6 +360,7 @@ QUERIES: Dict[str, Callable] = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
+    "events_window": q_events_window,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -413,6 +461,12 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "fingerprint": """
         SELECT doc_id, md5(text) AS text_md5 FROM documents
+    """,
+    "events_window": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(SUM(COALESCE(value, 0)), 4) AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     "ann_topk": f"""
         WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

@@ -40,6 +40,19 @@ from ..core.sentencize import split_sentences
 from ..core.tokenize import Tokenizer, check_language
 from .config import PipelineConfig
 
+def resolve_concurrency(config: "PipelineConfig"):
+    """None -> fixed pool sized to ~3/4 of the cluster's CPUs.
+
+    Fixed pools because Ray 2.49's autoscaling pool was observed pinned at
+    min_size under a busy upstream; 3/4 because a pool that reserves every
+    CPU starves the read stage into a standstill (observed as a whole-run
+    deadlock on a pool == num_cpus)."""
+    if config.concurrency is not None:
+        return config.concurrency
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, (ncpu * 3) // 4)
+
+
 MENTION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -244,6 +257,8 @@ def _broadcast_ontology(ontology, config: PipelineConfig):
         )
     else:
         rows = list(ontology)
+    if rows and isinstance(rows[0], OntologyRow):  # already cleaned
+        return ray.put(rows)
     cleaned = clean_ontology(rows, has_category=config.has_category)
     return ray.put(cleaned)
 
@@ -263,7 +278,7 @@ def tag_dataset(
         fn_constructor_kwargs={"ontology": ref, "config": config},
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.concurrency,
+        concurrency=resolve_concurrency(config),
         num_cpus=config.num_cpus,
     )
 
@@ -287,6 +302,6 @@ def extract_mentions(
         },
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.concurrency,
+        concurrency=resolve_concurrency(config),
         num_cpus=config.num_cpus,
     )

@@ -48,12 +48,16 @@ def documents_to_transcripts_batch(batch: pa.Table) -> pa.Table:
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     conv_num = doc_id // TURNS_PER_CONV
     turn_idx = (doc_id % TURNS_PER_CONV).astype(np.int32)
-    conv_id = pa.array([f"c{c}" for c in conv_num], type=pa.string())
-    role = pa.array([ROLES[t % 2] for t in turn_idx], type=pa.string())
+    conv_id = pc.binary_join_element_wise(
+        pa.array(np.full(len(doc_id), "c"), type=pa.string()),
+        pc.cast(pa.array(conv_num), pa.string()),
+        "",
+    )
+    role = pa.array(np.where(turn_idx % 2 == 0, ROLES[0], ROLES[1]), type=pa.string())
     tool_mask = (doc_id % 5) == 3
-    tool = pa.array(
-        [TOOLS[d % 3] if m else None for d, m in zip(doc_id, tool_mask)],
-        type=pa.string(),
+    tool_all = np.array(TOOLS)[(doc_id % 3)]
+    tool = pc.if_else(
+        pa.array(tool_mask), pa.array(tool_all, type=pa.string()), pa.scalar(None, pa.string())
     )
     ts = pa.array(TS_EPOCH_US + doc_id * 1_000_000, type=pa.timestamp("us"))
     return pa.Table.from_arrays(
@@ -77,6 +81,48 @@ def read_transcripts(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return ds.map_batches(documents_to_transcripts_batch, batch_format="pyarrow")
+
+
+def read_transcripts_scaled(sf_dir: str, replication: int = 1) -> "ray.data.Dataset":
+    """Deterministic synthetic scale-up for benchmarking: the documents table
+    replicated ``replication`` times with shifted doc_ids (copy r of doc d
+    gets id d + r*N), then the same transcripts projection.
+
+    Each replica is its own read task unioned into one Dataset — Ray Data
+    parallelism is block-granular, and a single-file read is one block, so
+    replicating *inside* one map task would serialize the whole downstream
+    actor pool onto one task.  The union models what production input looks
+    like anyway: many parquet fragments.  No randomness; byte-stable."""
+    import pyarrow.parquet as pq_mod
+
+    if replication == 1:
+        return read_transcripts(sf_dir)
+    n_docs = pq_mod.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    path = f"{sf_dir}/documents.parquet"
+
+    # manifest pattern: range(R) gives R one-row blocks -> R parallel tasks,
+    # each reading the (page-cached) file itself and emitting one replica.
+    # A union of R read_parquet datasets pays ~0.5 s of driver planning per
+    # branch; a single-file read is a single block.  This is also how a real
+    # many-fragment input parallelizes.
+    def expand(batch: pa.Table) -> pa.Table:
+        tbl = pq_mod.read_table(path, columns=["doc_id", "text", "lang"])
+        parts = []
+        for rid in batch["id"].to_pylist():
+            shifted = tbl.set_column(
+                0, "doc_id", pc.add(tbl["doc_id"], rid * n_docs)
+            )
+            parts.append(documents_to_transcripts_batch(shifted))
+        return pa.concat_tables(parts)
+
+    # num_cpus=0.5 (≠ downstream stages' 1.0) deliberately blocks operator
+    # fusion: fused with an actor stage, the bundler would count the RANGE
+    # rows (1 per replica) against the actor's batch_size and pack every
+    # replica into a single task — observed as a 32-replica run executing as
+    # "1 task, 1 block".  Unfused, each replica is its own expand task.
+    return ray.data.range(replication, override_num_blocks=replication).map_batches(
+        expand, batch_size=1, batch_format="pyarrow", num_cpus=0.5
+    )
 
 
 TRANSCRIPTS_SQL = f"""
