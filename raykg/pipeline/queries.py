@@ -197,6 +197,14 @@ def q_doc_tags(sf_dir: str):
     )
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation rollup via the explicitly salted two-phase reduce
+    (graph.conversation_stats)."""
+    from .graph import conversation_stats
+
+    return conversation_stats(_mentions(sf_dir))
+
+
 def q_distinct_langs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -349,6 +357,7 @@ QUERIES: Dict[str, Callable] = {
     "edges": q_edges,
     "nodes": q_nodes,
     "doc_tags": q_doc_tags,
+    "conv_stats": q_conv_stats,
     "distinct_langs": q_distinct_langs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
@@ -431,6 +440,14 @@ ORACLE_SQL: Dict[str, str] = {
                string_agg(DISTINCT keyword, ',' ORDER BY keyword) AS keywords_sorted,
                CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_tags
         FROM occ GROUP BY conv_id, turn_idx
+    """,
+    "conv_stats": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT conv_id,
+               CAST(SUM(n_matches) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+               CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_tags
+        FROM occ GROUP BY conv_id
     """,
     "distinct_langs": """
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang

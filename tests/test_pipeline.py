@@ -178,3 +178,26 @@ class TestPartitionedIO:
     def test_partition_of_deterministic(self):
         assert partition_of("c123", 64) == partition_of("c123", 64)
         assert 0 <= partition_of("anything", 8) < 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_build_graph_and_resume(tmp_path):
+    from raykg.job import build_graph
+    from raykg.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig(language="en", category_column="category", concurrency=2)
+    out = str(tmp_path / "kg")
+    transcripts = read_transcripts(SF)
+    report = build_graph(transcripts, ONTO, cfg, out, num_partitions=4)
+    assert set(report["tables"]) == {"edges", "mentions", "nodes", "concept_scores"}
+    assert report["tables"]["edges"]["rows"] > 0
+    # full resume: second run skips everything
+    report2 = build_graph(transcripts, ONTO, cfg, out, num_partitions=4)
+    assert report2["tables"]["edges"]["rows"] == 0
+    # but the data on disk is intact
+    import ray.data as rd
+
+    total = rd.read_parquet(
+        [str(p) for p in (tmp_path / "kg" / "edges").glob("part=*/data.parquet")]
+    ).count()
+    assert total == report["tables"]["edges"]["rows"]
