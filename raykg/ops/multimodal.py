@@ -103,6 +103,88 @@ class MediaFeatureActor:
         return out
 
 
+class MediaResizeActor:
+    """Image resize stage (STUB decode; deterministic fake keeps the
+    payload plumbing honest: output payload is a digest-derived byte string
+    of the target size's magnitude, metadata updated)."""
+
+    def __init__(self, width: int = 32, height: int = 32, fake: bool = True):
+        self.width = width
+        self.height = height
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real image resize requires PIL (not in env)")
+        payloads = []
+        for p in batch["payload"].to_pylist():
+            digest = hashlib.md5(p or b"").digest()
+            payloads.append((digest * ((self.width * self.height) // 16 + 1))[: self.width * self.height])
+        out = batch.set_column(
+            batch.schema.get_field_index("payload"),
+            pa.field("payload", pa.binary()),
+            pa.array(payloads, type=pa.binary()),
+        )
+        out = out.append_column("width", pa.array([self.width] * len(payloads), type=pa.int32()))
+        out = out.append_column("height", pa.array([self.height] * len(payloads), type=pa.int32()))
+        return out
+
+
+class FrameSampleActor:
+    """Video frame sampling stage (STUB decode): emits ``n_frames`` rows per
+    video payload — the fan-out shape (one row per sampled frame with a
+    frame_idx) is the real contract; frame bytes are digest-derived fakes."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real frame sampling requires ffmpeg (not in env)")
+        out = {"media_id": [], "frame_idx": [], "frame": []}
+        for mid, p, mtype in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["media_type"].to_pylist(),
+        ):
+            if mtype != "video":
+                continue
+            for f in range(self.n_frames):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(f)
+                out["frame"].append(hashlib.md5((p or b"") + bytes([f])).digest())
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "frame": pa.array(out["frame"], type=pa.binary()),
+            }
+        )
+
+
+def resize_images(ds: "ray.data.Dataset", width=32, height=32,
+                  batch_size: int = 256, concurrency=2) -> "ray.data.Dataset":
+    return ds.map_batches(
+        MediaResizeActor,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds: "ray.data.Dataset", n_frames=4,
+                  batch_size: int = 256, concurrency=2) -> "ray.data.Dataset":
+    return ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def extract_media_features(
     ds: "ray.data.Dataset", fake: bool = True, batch_size: int = 256, concurrency=2
 ) -> "ray.data.Dataset":

@@ -144,3 +144,105 @@ def add_lang_id(ds: "ray.data.Dataset", text_column: str = "text", concurrency=2
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class TokenizeActor:
+    """``tokenize_df`` parity (reference spacy_tokenizer.py:432-488): adds a
+    ``tokens`` list<string> column, dispatching per-row by language when a
+    language column is given.  Tokenizers are actor state, built lazily per
+    language."""
+
+    def __init__(self, text_column: str = "text", language: str = "en",
+                 language_column: str | None = None):
+        from ..core.tokenize import Tokenizer, check_language
+
+        self.text_column = text_column
+        self.language = language
+        self.language_column = language_column
+        self._check = check_language
+        self._Tokenizer = Tokenizer
+        self._tokenizers = {}
+
+    def _tok(self, lang):
+        t = self._tokenizers.get(lang)
+        if t is None:
+            self._check(lang)
+            t = self._Tokenizer(lang)
+            self._tokenizers[lang] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        langs = (
+            batch[self.language_column].to_pylist()
+            if self.language_column
+            else [self.language] * len(texts)
+        )
+        tokens = [
+            self._tok(lang).token_texts(t or "") for t, lang in zip(texts, langs)
+        ]
+        return batch.append_column(
+            "tokens", pa.array(tokens, type=pa.list_(pa.string()))
+        )
+
+
+def add_tokens(ds: "ray.data.Dataset", text_column: str = "text",
+               language: str = "en", language_column: str | None = None,
+               concurrency=2):
+    return ds.map_batches(
+        TokenizeActor,
+        fn_constructor_kwargs={
+            "text_column": text_column,
+            "language": language,
+            "language_column": language_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class TokenFilterActor:
+    """Token-attribute filtering (reference DEFAULT_FILTER_TOKEN_ATTRIBUTES,
+    spacy_tokenizer.py:132-146): drops tokens matching any of the requested
+    attributes (is_punct, is_stop, like_num, is_emoji, ...) from a
+    ``tokens`` list column into a ``tokens_filtered`` column."""
+
+    def __init__(self, attributes, language: str = "en",
+                 stopwords_folder_path: str | None = None,
+                 tokens_column: str = "tokens"):
+        from ..core.token_attrs import ATTRIBUTE_PREDICATES, Stopwords
+
+        self.tokens_column = tokens_column
+        preds = []
+        for attr in attributes:
+            if attr == "is_stop":
+                sw = Stopwords(language, stopwords_folder_path)
+                preds.append(sw.is_stop)
+            else:
+                preds.append(ATTRIBUTE_PREDICATES[attr])
+        self.preds = preds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = self.preds
+        out = [
+            [t for t in (toks or []) if not any(p(t) for p in preds)]
+            for toks in batch[self.tokens_column].to_pylist()
+        ]
+        return batch.append_column(
+            "tokens_filtered", pa.array(out, type=pa.list_(pa.string()))
+        )
+
+
+def filter_tokens(ds: "ray.data.Dataset", attributes,
+                  language: str = "en", stopwords_folder_path: str | None = None,
+                  concurrency=2):
+    return ds.map_batches(
+        TokenFilterActor,
+        fn_constructor_kwargs={
+            "attributes": list(attributes),
+            "language": language,
+            "stopwords_folder_path": stopwords_folder_path,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -183,3 +183,29 @@ class TestMultimodal:
         f1 = a(batch)["features"].to_pylist()
         f2 = MediaFeatureActor(fake=True)(batch)["features"].to_pylist()
         assert f1 == f2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodalStages:
+    def _media(self):
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).limit(30)
+        return docs.map_batches(documents_to_media, batch_format="pyarrow")
+
+    def test_resize(self):
+        from raykg.ops.multimodal import resize_images
+
+        out = resize_images(self._media(), width=8, height=8, concurrency=1).to_pandas()
+        assert (out["width"] == 8).all()
+        assert out["payload"].map(len).eq(64).all()
+
+    def test_frame_sample_fanout(self):
+        from raykg.ops.multimodal import sample_frames
+
+        media = self._media()
+        n_videos = media.to_pandas()["media_type"].eq("video").sum()
+        out = sample_frames(media, n_frames=3, concurrency=1).to_pandas()
+        assert len(out) == 3 * n_videos
+        assert set(out["frame_idx"]) == {0, 1, 2}
+        assert out["frame"].map(len).eq(16).all()
