@@ -219,6 +219,22 @@ def q_dedup_exact(sf_dir: str):
     return dedup_ops.exact_dedup_groups(docs)
 
 
+def q_dedup_keep_first(sf_dir: str):
+    """Full-row exact dedup: keep the min-doc_id row of every distinct text
+    (hash-partition + per-group first)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dedup_ops.exact_dedup(docs)
+
+
+def q_top_tags(sf_dir: str):
+    """Top-3 concepts by mention count — sort/limit/top-k coverage.
+    Deterministic tie-break on tag."""
+    scores = concept_scores(_mentions(sf_dir)).select_columns(["tag", "n_mentions"])
+    return scores.sort(["n_mentions", "tag"], descending=[True, False]).limit(3)
+
+
 def q_token_counts(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -360,6 +376,8 @@ QUERIES: Dict[str, Callable] = {
     "conv_stats": q_conv_stats,
     "distinct_langs": q_distinct_langs,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
+    "top_tags": q_top_tags,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
@@ -456,6 +474,16 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY text
+    """,
+    "dedup_keep_first": """
+        SELECT doc_id, text, lang FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    "top_tags": f"""
+        WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+        SELECT tag, CAST(SUM(n_matches) AS BIGINT) AS n_mentions
+        FROM occ GROUP BY tag
+        ORDER BY n_mentions DESC, tag LIMIT 3
     """,
     "token_counts": r"""
         SELECT doc_id,
