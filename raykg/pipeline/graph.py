@@ -245,19 +245,28 @@ def _uniq_tags(rows):
 
 # --- concept scores -------------------------------------------------------
 
-def concept_scores(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+def concept_scores(
+    mentions: "ray.data.Dataset", count_column: Optional[str] = None
+) -> "ray.data.Dataset":
     """Per-concept reduce: total mention occurrences + distinct conversations.
 
     Two-phase: in-batch partial counts per (tag, conv_id) — this is the
     skew-salting step; a hot conversation collapses to one row per block —
     then ``groupby(tag, conv_id).sum`` and a final tiny ``groupby(tag)``.
-    Output: (tag, concept_id, n_mentions, n_convs).
+    Input is either the raw mention stream (each row counts 1) or the
+    per-turn pre-counted table (pass ``count_column`` — far fewer rows enter
+    the exchange).  Output: (tag, concept_id, n_mentions, n_convs).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: Dict[tuple, int] = {}
-        for tag, conv in zip(batch["tag"].to_pylist(), batch["conv_id"].to_pylist()):
-            counts[(tag, conv)] = counts.get((tag, conv), 0) + 1
+        weights = (
+            batch[count_column].to_pylist() if count_column else [1] * batch.num_rows
+        )
+        for tag, conv, w in zip(
+            batch["tag"].to_pylist(), batch["conv_id"].to_pylist(), weights
+        ):
+            counts[(tag, conv)] = counts.get((tag, conv), 0) + w
         return pa.Table.from_pydict(
             {
                 "tag": [k[0] for k in counts],

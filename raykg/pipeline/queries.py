@@ -95,38 +95,20 @@ def _mentions(sf_dir: str):
 
 
 def q_mention_counts(sf_dir: str):
-    """(conv_id, turn_idx, tag, keyword, n_matches) occurrence counts."""
-    m = _mentions(sf_dir)
+    """(conv_id, turn_idx, tag, keyword, n_matches) occurrence counts —
+    computed inside the mention actor (turn-local), zero shuffle."""
+    from .tag import extract_mention_counts
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: Dict[tuple, int] = {}
-        for key in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["tag"].to_pylist(),
-            batch["keyword"].to_pylist(),
-        ):
-            counts[key] = counts.get(key, 0) + 1
-        keys = list(counts)
-        return pa.Table.from_pydict(
-            {
-                "conv_id": [k[0] for k in keys],
-                "turn_idx": pa.array([k[1] for k in keys], type=pa.int32()),
-                "tag": [k[2] for k in keys],
-                "keyword": [k[3] for k in keys],
-                "n": list(counts.values()),
-            }
-        )
-
-    return (
-        m.map_batches(partial, batch_format="pyarrow")
-        .groupby(["conv_id", "turn_idx", "tag", "keyword"])
-        .aggregate(Sum("n", alias_name="n_matches"))
-    )
+    return extract_mention_counts(read_transcripts(sf_dir), ONTOLOGY, _cfg())
 
 
 def q_concept_scores(sf_dir: str):
-    return concept_scores(_mentions(sf_dir))
+    # feed the per-turn pre-counted table: the shuffle moves one row per
+    # (turn, keyword) instead of one per occurrence
+    from .tag import extract_mention_counts
+
+    counts = extract_mention_counts(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+    return concept_scores(counts, count_column="n_matches")
 
 
 def q_triples(sf_dir: str):
@@ -145,56 +127,11 @@ def q_nodes(sf_dir: str):
 
 
 def q_doc_tags(sf_dir: str):
-    """Per matched turn: sorted distinct tag/keyword rollup
-    (canonicalized variant of one_row_per_doc for oracle comparison)."""
-    m = _mentions(sf_dir)
+    """Per matched turn: sorted distinct tag/keyword rollup — computed
+    inside the mention actor (turn-local), zero shuffle."""
+    from .tag import extract_doc_tags
 
-    def dedup_batch(batch: pa.Table) -> pa.Table:
-        seen = set()
-        out = {"conv_id": [], "turn_idx": [], "tag": [], "keyword": []}
-        for key in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["tag"].to_pylist(),
-            batch["keyword"].to_pylist(),
-        ):
-            if key not in seen:
-                seen.add(key)
-                out["conv_id"].append(key[0])
-                out["turn_idx"].append(key[1])
-                out["tag"].append(key[2])
-                out["keyword"].append(key[3])
-        return pa.Table.from_pydict(
-            {
-                "conv_id": out["conv_id"],
-                "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
-                "tag": out["tag"],
-                "keyword": out["keyword"],
-            }
-        )
-
-    import pandas as pd
-
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        tags = sorted(set(g["tag"]))
-        kws = sorted(set(g["keyword"]))
-        return pd.DataFrame(
-            [
-                {
-                    "conv_id": g["conv_id"].iloc[0],
-                    "turn_idx": g["turn_idx"].iloc[0],
-                    "tags_sorted": ",".join(tags),
-                    "keywords_sorted": ",".join(kws),
-                    "n_tags": len(tags),
-                }
-            ]
-        )
-
-    return (
-        m.map_batches(dedup_batch, batch_format="pyarrow")
-        .groupby(["conv_id", "turn_idx"])
-        .map_groups(rollup, batch_format="pandas")
-    )
+    return extract_doc_tags(read_transcripts(sf_dir), ONTOLOGY, _cfg())
 
 
 def q_conv_stats(sf_dir: str):

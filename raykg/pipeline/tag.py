@@ -77,6 +77,69 @@ def ontology_rows_from_table(table: pa.Table, config: PipelineConfig) -> List[tu
     return list(zip(*[t.column(i).to_pylist() for i in range(t.num_columns)]))
 
 
+class _MentionCountActorBody:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self
+        texts = batch[m.config.text_column].to_pylist()
+        langs = m._row_languages(batch)
+        convs = batch[m.conv_column].to_pylist()
+        turns = batch[m.turn_column].to_pylist()
+        out = {"conv_id": [], "turn_idx": [], "tag": [], "keyword": [], "n_matches": []}
+        for conv, turn, text, lang in zip(convs, turns, texts, langs):
+            counts: Dict[tuple, int] = {}
+            for mention in m._doc_mentions(text, lang):
+                key = (mention.tag, mention.keyword)
+                counts[key] = counts.get(key, 0) + 1
+            for (tag, kw), n in counts.items():
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(turn)
+                out["tag"].append(tag)
+                out["keyword"].append(kw)
+                out["n_matches"].append(n)
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
+                "tag": pa.array(out["tag"], type=pa.string()),
+                "keyword": pa.array(out["keyword"], type=pa.string()),
+                "n_matches": pa.array(out["n_matches"], type=pa.int64()),
+            }
+        )
+
+
+class _DocTagsActorBody:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self
+        texts = batch[m.config.text_column].to_pylist()
+        langs = m._row_languages(batch)
+        convs = batch[m.conv_column].to_pylist()
+        turns = batch[m.turn_column].to_pylist()
+        out = {"conv_id": [], "turn_idx": [], "tags_sorted": [],
+               "keywords_sorted": [], "n_tags": []}
+        for conv, turn, text, lang in zip(convs, turns, texts, langs):
+            tags = set()
+            kws = set()
+            for mention in m._doc_mentions(text, lang):
+                tags.add(mention.tag)
+                kws.add(mention.keyword)
+            if not tags:
+                continue
+            out["conv_id"].append(conv)
+            out["turn_idx"].append(turn)
+            out["tags_sorted"].append(",".join(sorted(tags)))
+            out["keywords_sorted"].append(",".join(sorted(kws)))
+            out["n_tags"].append(len(tags))
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
+                "tags_sorted": pa.array(out["tags_sorted"], type=pa.string()),
+                "keywords_sorted": pa.array(out["keywords_sorted"], type=pa.string()),
+                "n_tags": pa.array(out["n_tags"], type=pa.int64()),
+            }
+        )
+
+
 class TagActor:
     """Callable class for ``map_batches``: holds the compiled dictionaries.
 
@@ -232,6 +295,47 @@ class MentionActor(TagActor):
                 out["category"].append(m.category)
                 out["sentence"].append(m.sentence)
         return pa.Table.from_pydict(out, schema=MENTION_SCHEMA)
+
+
+class MentionCountActor(_MentionCountActorBody, MentionActor):
+    """Per-turn (tag, keyword) occurrence counts with NO shuffle: a turn's
+    mentions are all produced inside one actor call, so the count is final
+    the moment the turn is processed — a groupby here would be an all-to-all
+    exchange at 10^12 turns for nothing."""
+
+
+class DocTagsActor(_DocTagsActorBody, MentionActor):
+    """Per-turn sorted tag/keyword rollup, shuffle-free by the same
+    turn-locality argument."""
+
+
+def _mention_stage(actor_cls, ds, ontology, config, conv_column="conv_id",
+                   turn_column="turn_idx"):
+    ref = _broadcast_ontology(ontology, config)
+    return ds.map_batches(
+        actor_cls,
+        fn_constructor_kwargs={
+            "ontology": ref,
+            "config": config,
+            "conv_column": conv_column,
+            "turn_column": turn_column,
+        },
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=resolve_concurrency(config),
+        num_cpus=config.num_cpus,
+    )
+
+
+def extract_mention_counts(ds, ontology, config, **kw):
+    """(conv_id, turn_idx, tag, keyword, n_matches) — streaming, no shuffle."""
+    return _mention_stage(MentionCountActor, ds, ontology, config, **kw)
+
+
+def extract_doc_tags(ds, ontology, config, **kw):
+    """(conv_id, turn_idx, tags_sorted, keywords_sorted, n_tags) — streaming,
+    no shuffle; only matched turns are emitted."""
+    return _mention_stage(DocTagsActor, ds, ontology, config, **kw)
 
 
 def _append_after(

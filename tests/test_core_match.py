@@ -152,6 +152,16 @@ def test_no_category_all_overlaps_emitted():
         ("радио", "sr", "радити"),
         ("çalıştı", "tr", "çalış"),
         ("arbetade", "sv", "arbeta"),
+        # identity-lemma languages (reference lookup tables return the word
+        # itself for these forms) — test_lemmatization.py:10-56
+        ("jobbet", "nb", "jobbet"),
+        ("nagtrabaho", "tl", "nagtrabaho"),
+        ("কাজ করছে", "bn", "কাজ করছে"),
+        ("δούλεψε", "el", "δούλεψε"),
+        ("کار کرد", "fa", "کار کرد"),
+        ("работел", "mk", "работел"),
+        ("werkte", "nl", "werkte"),
+        ("کام کیا", "ur", "کام کَیا"),
     ],
 )
 def test_lemmatize_keywords(keyword, language, lemma):
