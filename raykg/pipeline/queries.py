@@ -450,6 +450,35 @@ ORACLE_SQL: Dict[str, str] = {
                round(SUM(COALESCE(value, 0)), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "lang_id": """
+        WITH w AS (SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents),
+        profiles(lang, prio, stops) AS (VALUES
+          ('en', 0, ['the','a','of','and','to','in','is','that','it','for']),
+          ('fr', 1, ['le','la','les','de','des','et','un','une','est','que']),
+          ('de', 2, ['der','die','das','und','ist','ein','eine','zu','den','nicht']),
+          ('es', 3, ['el','la','los','de','y','un','una','es','que','en']),
+          ('it', 4, ['il','la','di','e','un','una','che','per','con','del']),
+          ('pt', 5, ['o','a','os','de','e','um','uma','que','em','para'])),
+        s AS (SELECT w.doc_id, p.lang, p.prio,
+                     len(list_filter(w.ws, x -> list_contains(p.stops, x))) AS score
+              FROM w, profiles p)
+        SELECT doc_id, lang AS pred_lang FROM s
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, prio) = 1
+    """,
+    "media_features": """
+        WITH d AS (SELECT doc_id AS media_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+            CAST(length(text) AS BIGINT) AS n_bytes,
+            CAST(concat('0x', substr(md5(text),1,2)) AS INTEGER) AS d0,
+            CAST(concat('0x', substr(md5(text),3,2)) AS INTEGER) AS d1,
+            CAST(concat('0x', substr(md5(text),5,2)) AS INTEGER) AS d2
+          FROM documents)
+        SELECT media_id, media_type, n_bytes,
+               CASE WHEN media_type = 'image' THEN CAST(1 + d0 % 64 AS INTEGER) END AS width,
+               CASE WHEN media_type = 'image' THEN CAST(1 + d1 % 64 AS INTEGER) END AS height,
+               CASE WHEN media_type IN ('audio','video') THEN round(d2 / 10.0, 1) END AS duration_s
+        FROM d
+    """,
     "ann_topk": f"""
         WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                    FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
