@@ -340,6 +340,64 @@ ORACLE_SQL: Dict[str, str] = {
                t.tool, t.ts, t.lang
         FROM t LEFT JOIN m USING (conv_id, turn_idx)
     """,
+    "tag_doc": f"""
+        WITH {_T_CTE}, {_ONTO_CTE},
+        occ AS (SELECT t.conv_id, t.turn_idx, onto.tag, onto.category, onto.keyword,
+                       strpos(t.text, onto.keyword) AS p
+                FROM t, onto
+                WHERE regexp_matches(t.text, '\\b' || onto.keyword || '\\b')),
+        tagpos AS (SELECT conv_id, turn_idx, category, tag, MIN(p) AS minp
+                   FROM occ GROUP BY 1,2,3,4),
+        cat AS (SELECT conv_id, turn_idx, category,
+                       '["' || string_agg(tag, '", "' ORDER BY minp) || '"]' AS tag_json
+                FROM tagpos GROUP BY 1,2,3),
+        catp AS (SELECT conv_id, turn_idx,
+            MAX(CASE WHEN category='tech' THEN tag_json END) AS tag_list_tech,
+            MAX(CASE WHEN category='op' THEN tag_json END) AS tag_list_op,
+            MAX(CASE WHEN category='pattern' THEN tag_json END) AS tag_list_pattern,
+            MAX(CASE WHEN category='buzz' THEN tag_json END) AS tag_list_buzz,
+            MAX(CASE WHEN category='entity' THEN tag_json END) AS tag_list_entity
+            FROM cat GROUP BY 1,2),
+        kwpos AS (SELECT conv_id, turn_idx, keyword, MIN(p) AS p FROM occ GROUP BY 1,2,3),
+        kw AS (SELECT conv_id, turn_idx,
+                      '["' || string_agg(keyword, '", "' ORDER BY p) || '"]' AS tag_keywords
+               FROM kwpos GROUP BY 1,2)
+        SELECT t.conv_id, t.turn_idx, t.role, t.text,
+               catp.tag_list_tech, catp.tag_list_op, catp.tag_list_pattern,
+               catp.tag_list_buzz, catp.tag_list_entity,
+               kw.tag_keywords,
+               CASE WHEN kw.tag_keywords IS NOT NULL THEN t.text || chr(10) ELSE '' END AS tag_sentences,
+               t.tool, t.ts, t.lang
+        FROM t LEFT JOIN catp USING (conv_id, turn_idx) LEFT JOIN kw USING (conv_id, turn_idx)
+    """,
+    "tag_doc_json": f"""
+        WITH {_T_CTE}, {_ONTO_CTE},
+        occ AS (SELECT t.conv_id, t.turn_idx, onto.tag, onto.category, onto.keyword,
+                       strpos(t.text, onto.keyword) AS p, t.text,
+                       len(regexp_extract_all(t.text, '\\b' || onto.keyword || '\\b')) AS n
+                FROM t, onto
+                WHERE regexp_matches(t.text, '\\b' || onto.keyword || '\\b')),
+        perkw AS (SELECT conv_id, turn_idx, category, tag, keyword,
+                         MIN(p) AS kwp, CAST(SUM(n) AS BIGINT) AS n, ANY_VALUE(text) AS text
+                  FROM occ GROUP BY 1,2,3,4,5),
+        pertag AS (SELECT conv_id, turn_idx, category, tag, MIN(kwp) AS tagp,
+                          '"' || tag || '": ' ||
+                          '{{"count": ' || CAST(CAST(SUM(n) AS BIGINT) AS VARCHAR) ||
+                          ', "sentences": ["' || ANY_VALUE(text) ||
+                          '"], "keywords": ["' || string_agg(keyword, '", "' ORDER BY kwp) || '"]}}' AS tag_entry
+                   FROM perkw GROUP BY 1,2,3,4),
+        percat AS (SELECT conv_id, turn_idx, category, MIN(tagp) AS catp,
+            '"' || category || '": [' || string_agg('"' || tag || '"', ', ' ORDER BY tagp) || ']' AS cat_entry,
+            '"' || category || '": {{' || string_agg(tag_entry, ', ' ORDER BY tagp) || '}}' AS cat_full
+            FROM pertag GROUP BY 1,2,3),
+        perturn AS (SELECT conv_id, turn_idx,
+            '{{' || string_agg(cat_entry, ', ' ORDER BY catp) || '}}' AS tag_json_categories,
+            '{{' || string_agg(cat_full, ', ' ORDER BY catp) || '}}' AS tag_json_full
+            FROM percat GROUP BY 1,2)
+        SELECT t.conv_id, t.turn_idx, t.role, t.text,
+               p.tag_json_categories, p.tag_json_full, t.tool, t.ts, t.lang
+        FROM t LEFT JOIN perturn p USING (conv_id, turn_idx)
+    """,
     "mention_counts": f"""
         WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
         SELECT conv_id, turn_idx, tag, keyword, n_matches FROM occ
