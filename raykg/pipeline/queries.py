@@ -297,6 +297,41 @@ def q_events_window(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows over the events stream: per user, a >30-minute gap
+    starts a new session.  Ray Data expression of stateful windowing
+    (ray_guide streaming pattern): partition by key, sort within group by
+    (ts, event_id), walk gaps in a per-group kernel.  The ordering
+    assumption — complete per-user history in one group — is exactly what
+    groupby provides."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    GAP = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > GAP) | g["ts"].diff().isna()
+        g = g.assign(session_id=new_session.cumsum().astype("int64"))
+        out = (
+            g.groupby("session_id")
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "count"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -325,6 +360,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -507,6 +543,22 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                round(SUM(COALESCE(value, 0)), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH e AS (SELECT user_id, event_id, ts,
+                          CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_s
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, event_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM s GROUP BY 1, 2
     """,
     "lang_id": """
         WITH w AS (SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents),
