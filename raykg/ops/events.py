@@ -1,0 +1,108 @@
+"""Stream-shaped operators over the events table (ordered, keyed log).
+
+Ray Data has no event-time windows; these express the standard shapes the
+ray_guide documents: tumbling windows as groupby(key, bucket) with in-batch
+partial aggregation, session windows as per-key gap-walks inside hash-bucket
+groups.  Ordering assumption (stated per the guide): a key's complete
+history lands in one group; within the group we sort by (ts, event_id).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def tumbling_window(
+    ds: "ray.data.Dataset",
+    key_column: str = "event_type",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    unit: str = "hour",
+) -> "ray.data.Dataset":
+    """(key, window_start, n_events, sum_value): batch-local partials then a
+    small groupby over (key, bucket)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        buckets = pc.floor_temporal(batch[ts_column], unit=unit)
+        agg = {}
+        for k, b, v in zip(
+            batch[key_column].to_pylist(), buckets.to_pylist(), batch[value_column].to_pylist()
+        ):
+            cur = agg.setdefault((k, b), [0, 0.0])
+            cur[0] += 1
+            cur[1] += v if v is not None else 0.0
+        keys = list(agg)
+        return pa.Table.from_pydict(
+            {
+                key_column: [k[0] for k in keys],
+                "window_start": pa.array([k[1] for k in keys], type=pa.timestamp("us")),
+                "n": [agg[k][0] for k in keys],
+                "s": [agg[k][1] for k in keys],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_column, "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    )
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    gap_minutes: int = 30,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Session windows: a gap > ``gap_minutes`` starts a new session.
+
+    Keys are hashed into ``num_buckets`` groups so the per-group Python call
+    count is O(buckets), not O(keys) (map_groups costs ~1.5 ms per call);
+    inside a bucket the gap-walk is vectorized pandas over ALL of its keys.
+    Output: (key, session_id, n_events, start_ts, end_ts); session_id is
+    1-based per key in time order.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        bucket = pa.array(
+            [
+                zlib.crc32(str(v).encode()) % num_buckets
+                for v in batch[key_column].to_pylist()
+            ],
+            type=pa.int32(),
+        )
+        return batch.append_column("__bucket", bucket)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_column, ts_column, id_column])
+        prev = g.groupby(key_column)[ts_column].shift()
+        new_s = (g[ts_column] - prev > gap) | prev.isna()
+        session_id = new_s.groupby(g[key_column]).cumsum().astype("int64")
+        g = g.assign(session_id=session_id)
+        out = (
+            g.groupby([key_column, "session_id"], sort=False)
+            .agg(
+                n_events=(id_column, "count"),
+                start_ts=(ts_column, "min"),
+                end_ts=(ts_column, "max"),
+            )
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[[key_column, "session_id", "n_events", "start_ts", "end_ts"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )

@@ -251,40 +251,16 @@ def q_media_features(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-hour window aggregate over the events stream table:
-    (event_type, window_start, n_events, sum_value).  Batch-local partials
-    then a small groupby — the Ray Data expression of a windowed aggregate
+    """Tumbling 1-hour window aggregate over the events stream
     (SURVEY.md §2.9: event-time windows reduce to groupby(key, bucket))."""
     import pyarrow.compute as pc
+
+    from ..ops.events import tumbling_window
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        hours = pc.floor_temporal(batch["ts"], unit="hour")
-        agg: Dict[tuple, list] = {}
-        for et, h, v in zip(
-            batch["event_type"].to_pylist(), hours.to_pylist(), batch["value"].to_pylist()
-        ):
-            cur = agg.setdefault((et, h), [0, 0.0])
-            cur[0] += 1
-            cur[1] += v if v is not None else 0.0
-        keys = list(agg)
-        return pa.Table.from_pydict(
-            {
-                "event_type": [k[0] for k in keys],
-                "window_start": pa.array([k[1] for k in keys], type=pa.timestamp("us")),
-                "n": [agg[k][0] for k in keys],
-                "s": [agg[k][1] for k in keys],
-            }
-        )
-
-    out = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
-    )
+    out = tumbling_window(ev)
 
     def final(batch: pa.Table) -> pa.Table:
         rounded = pc.round(batch["sum_value"], 4)
@@ -298,38 +274,14 @@ def q_events_window(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows over the events stream: per user, a >30-minute gap
-    starts a new session.  Ray Data expression of stateful windowing
-    (ray_guide streaming pattern): partition by key, sort within group by
-    (ts, event_id), walk gaps in a per-group kernel.  The ordering
-    assumption — complete per-user history in one group — is exactly what
-    groupby provides."""
-    import pandas as pd
+    """Session windows over the events stream (per-user 30-minute gap rule)
+    — bucketed vectorized kernel, see ops/events.py."""
+    from ..ops.events import sessionize
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
-
-    GAP = pd.Timedelta(minutes=30)
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > GAP) | g["ts"].diff().isna()
-        g = g.assign(session_id=new_session.cumsum().astype("int64"))
-        out = (
-            g.groupby("session_id")
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("event_id", "count"),
-                start_ts=("ts", "min"),
-                end_ts=("ts", "max"),
-            )
-            .reset_index()
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
-
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize(ev)
 
 
 # --- registry --------------------------------------------------------------
