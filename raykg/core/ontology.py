@@ -174,6 +174,80 @@ class Mention:
     sentence: str  # the ORIGINAL (un-normalized) sentence
 
 
+def process_document(matcher: CompiledMatcher, text) -> List[Mention]:
+    """Sentencize + match one document with a single tokenization pass when
+    normalization is the identity on a sentence (always true for ASCII text
+    in exact-matching mode, where NFD is a no-op): the document is tokenized
+    once, sentence spans are cut from those tokens, and each sentence whose
+    normalized form equals its original reuses its token slice instead of
+    being re-tokenized.  Non-identity sentences fall back to the reference
+    flow (normalize -> tokenize) — results are identical either way; this is
+    purely a hot-path shortcut.
+    """
+    from .normalize import clean_linebreaks
+    from .sentencize import split_tokens_to_sentences_spans
+
+    if text is None or text != text:
+        return []
+    cleaned = clean_linebreaks(str(text))
+    if not cleaned:
+        return []
+    tokens = matcher.tokenizer.tokenize(cleaned)
+    if not tokens:
+        return []
+    spans = split_tokens_to_sentences_spans(tokens, cleaned)
+    out: List[Mention] = []
+    cfg = matcher.config
+    lem = matcher.lemmatizer
+    for sent_idx, (tok_lo, tok_hi, char_lo, char_hi) in enumerate(spans):
+        original = cleaned[char_lo:char_hi]
+        norm = cfg.normalize(original)
+        if norm == original:
+            sent_tokens = [
+                (t[0], t[1] - char_lo, t[2] - char_lo)
+                for t in tokens[tok_lo:tok_hi]
+            ]
+        else:
+            sent_tokens = matcher.tokenizer.tokenize(norm)
+        if not sent_tokens:
+            continue
+        if cfg.lemmatization and lem is not None:
+            probe_seq = lem.lemmas([t[0] for t in sent_tokens])
+        else:
+            probe_seq = [t[0] for t in sent_tokens]
+        matches = matcher.automaton.find(probe_seq)
+        if not matches:
+            continue
+        if matcher.has_category:
+            matches = filter_longest(matches)
+        else:
+            matches.sort(key=lambda m: (m[0], m[1]))
+        for t_start, t_end, pid in matches:
+            start_char = sent_tokens[t_start][1]
+            end_char = sent_tokens[t_end - 1][2]
+            span_text = norm[start_char:end_char]
+            tag, category = matcher.patterns[pid]
+            if not matcher.has_category:
+                key = (
+                    lem.lemmatize_joined([t[0] for t in sent_tokens[t_start:t_end]])
+                    if cfg.lemmatization and lem is not None
+                    else span_text
+                )
+                tag = matcher.keyword_to_tag.get(key, tag)
+            out.append(
+                Mention(
+                    sent_idx=sent_idx,
+                    start_char=start_char,
+                    end_char=end_char,
+                    keyword=span_text,
+                    tag=tag,
+                    category=category,
+                    sentence=original,
+                )
+            )
+    return out
+
+
 def match_sentences(
     matcher: CompiledMatcher, original_sentences: Sequence[str]
 ) -> List[Mention]:

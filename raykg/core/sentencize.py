@@ -55,6 +55,26 @@ def split_tokens_to_sentences(tokens: List[Token], text: str) -> List[str]:
     return sentences
 
 
+def split_tokens_to_sentences_spans(tokens: List[Token], text: str):
+    """Like :func:`split_tokens_to_sentences` but returns
+    (token_lo, token_hi, char_lo, char_hi) spans instead of strings, so the
+    caller can reuse the token slices (single-tokenization hot path)."""
+    if not tokens:
+        return []
+    spans = []
+    sent_start = 0
+    seen_period = False
+    for i, (tok_text, _s, _e) in enumerate(tokens):
+        if seen_period and not _is_punct_token(tok_text) and tok_text not in PUNCT_CHARS:
+            spans.append((sent_start, i, tokens[sent_start][1], tokens[i - 1][2]))
+            sent_start = i
+            seen_period = False
+        elif tok_text in PUNCT_CHARS:
+            seen_period = True
+    spans.append((sent_start, len(tokens), tokens[sent_start][1], tokens[-1][2]))
+    return spans
+
+
 def split_sentences(text, tokenizer: Tokenizer) -> List[str]:
     """Full reference flow: NaN -> "" (cleaning_utils.py:120-124), linebreak
     cleanup, tokenize, sentencize."""

@@ -34,7 +34,7 @@ from ..core.ontology import (
     OntologyRow,
     clean_ontology,
     compile_matcher,
-    match_sentences,
+    process_document,
 )
 from ..core.sentencize import split_sentences
 from ..core.tokenize import Tokenizer, check_language
@@ -198,12 +198,10 @@ class TagActor:
 
     def _doc_mentions(self, text: Optional[str], language: Optional[str]):
         matcher = self._get_matcher(language)
-        sentences = split_sentences(
-            text, self._sent_tokenizers[matcher.language]
-        )
-        if not sentences:
-            return []
-        return match_sentences(matcher, sentences)
+        # single-tokenization fast path (falls back to the reference
+        # sentencize->normalize->tokenize flow per sentence when
+        # normalization is not the identity)
+        return process_document(matcher, text)
 
     def _format_by_match(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.config.text_column].to_pylist()
