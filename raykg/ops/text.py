@@ -9,7 +9,6 @@ import hashlib
 import re
 from typing import Dict, List
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data

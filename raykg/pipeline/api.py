@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data
 
@@ -31,7 +30,7 @@ from ..core.ontology import clean_ontology
 from ..core.tokenize import check_language
 from .config import PipelineConfig
 from .graph import extract_triples
-from .tag import extract_mentions, tag_dataset, _broadcast_ontology  # noqa: F401
+from .tag import extract_mentions, tag_dataset
 
 
 def distinct_languages(ds: "ray.data.Dataset", language_column: str) -> List[str]:

@@ -313,8 +313,6 @@ def conversation_stats(
     phase 2 merges the k partials per conversation.  Output:
     (conv_id, n_mentions, n_turns, n_tags).
     """
-    import zlib
-
     def phase0(batch: pa.Table) -> pa.Table:
         # in-batch partial: (conv, salt) -> mention count + turn/tag sets
         agg: Dict[tuple, list] = {}

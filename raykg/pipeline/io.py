@@ -25,7 +25,7 @@ import hashlib
 import json
 import os
 import zlib
-from typing import Dict, List, Optional, Set
+from typing import Set
 
 import pandas as pd
 import pyarrow as pa

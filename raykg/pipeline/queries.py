@@ -16,7 +16,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from .config import PipelineConfig
 from .graph import build_nodes, concept_scores, extract_triples, triples_to_edges

@@ -36,7 +36,6 @@ from ..core.ontology import (
     compile_matcher,
     process_document,
 )
-from ..core.sentencize import split_sentences
 from ..core.tokenize import Tokenizer, check_language
 from .config import PipelineConfig
 
