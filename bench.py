@@ -43,9 +43,26 @@ def run_bench() -> dict:
     from raykg.pipeline.queries import QUERIES
 
     # warm the page cache and the Ray worker pool (untimed) so we measure
-    # compute + shuffle, not first-use process forking or the first disk read
+    # compute + shuffle, not first-use process forking or the first disk read.
+    # The warm-up pool is deliberately TINY: a full-size warm-up pool tears
+    # down concurrently with the headline pool's startup and was observed to
+    # double the headline wall time at 32 cpus.
+    import time as _time
+
+    from raykg.pipeline.config import PipelineConfig as _PC
+    from raykg.pipeline.graph import extract_triples as _et
+    from raykg.pipeline.queries import ONTOLOGY as _ONTO
+    from raykg.pipeline.transcripts import read_transcripts as _rt
+
+    from raykg.pipeline.transcripts import read_transcripts_scaled as _rts
+
     QUERIES["transcripts"](sf_dir).count()
-    QUERIES["triples"]("/root/testdata/sf0.001").count()
+    # fork the full worker-process pool with cheap tasks so actor creation
+    # during the timed run reuses warm (imports-cached) processes
+    _rts(sf_dir, 64).count()
+    _et(_rt("/root/testdata/sf0.001"), _ONTO,
+        _PC(language="en", category_column="category", concurrency=1)).count()
+    _time.sleep(2)  # let warm-up actors release their CPU reservations
 
     timings: dict[str, float] = {}
 
@@ -80,6 +97,22 @@ def run_bench() -> dict:
     n_triples_scaled = headline_ds.count()
     t_headline = round(time.perf_counter() - t0, 3)
     timings["triples_scaled"] = t_headline
+
+    if os.environ.get("RAYKG_HEADLINE_ONLY"):
+        n_turns = 5000 * 1  # not re-measured in headline-only mode
+        result = {
+            "metric": "kg_triples_build_seconds_sf0.1",
+            "value": t_headline,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "replication": replication,
+            "n_triples": int(n_triples_scaled),
+            "triples_per_sec": round(n_triples_scaled / t_headline, 1),
+        }
+        ray.shutdown()
+        return result
 
     n_triples = timed("triples")
     timed("concept_scores")
@@ -118,6 +151,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             RAYKG_REPLICATION=os.environ.get("RAYKG_REPLICATION", "512"),
+            RAYKG_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -129,17 +163,21 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    pair = os.environ.get("RAYKG_SCALE_CPUS", "8,32")
+    lo, hi = (int(x) for x in pair.split(","))
     r_lo = one(lo)
     r_hi = one(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_triples_8_to_32_cpus",
+        "metric": f"scaling_efficiency_triples_{lo}_to_{hi}_cpus",
+        "cpus": [lo, hi],
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
         "sec_8": t_lo,
         "sec_32": t_hi,
-        "triples_per_sec_8": r_lo["triples_per_sec"],
-        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3),
         "unit": "efficiency",

@@ -105,23 +105,33 @@ def read_transcripts_scaled(sf_dir: str, replication: int = 1) -> "ray.data.Data
     # A union of R read_parquet datasets pays ~0.5 s of driver planning per
     # branch; a single-file read is a single block.  This is also how a real
     # many-fragment input parallelizes.
+    # two-level: `outer` tasks each read the file once and emit `inner`
+    # shifted copies — caps redundant file reads while keeping enough blocks
+    # for every CPU
+    outer = min(replication, 128)
+    inner = (replication + outer - 1) // outer
+
     def expand(batch: pa.Table) -> pa.Table:
         tbl = pq_mod.read_table(path, columns=["doc_id", "text", "lang"])
         parts = []
-        for rid in batch["id"].to_pylist():
-            shifted = tbl.set_column(
-                0, "doc_id", pc.add(tbl["doc_id"], rid * n_docs)
-            )
-            parts.append(documents_to_transcripts_batch(shifted))
+        for oid in batch["id"].to_pylist():
+            for j in range(inner):
+                rid = oid * inner + j
+                if rid >= replication:
+                    break
+                shifted = tbl.set_column(
+                    0, "doc_id", pc.add(tbl["doc_id"], rid * n_docs)
+                )
+                parts.append(documents_to_transcripts_batch(shifted))
         return pa.concat_tables(parts)
 
-    # num_cpus=0.5 (≠ downstream stages' 1.0) deliberately blocks operator
+    # num_cpus=0.99 (≠ downstream stages' 1.0) deliberately blocks operator
     # fusion: fused with an actor stage, the bundler would count the RANGE
     # rows (1 per replica) against the actor's batch_size and pack every
     # replica into a single task — observed as a 32-replica run executing as
     # "1 task, 1 block".  Unfused, each replica is its own expand task.
-    return ray.data.range(replication, override_num_blocks=replication).map_batches(
-        expand, batch_size=1, batch_format="pyarrow", num_cpus=0.5
+    return ray.data.range(outer, override_num_blocks=outer).map_batches(
+        expand, batch_size=1, batch_format="pyarrow", num_cpus=0.99
     )
 
 
