@@ -1,0 +1,112 @@
+"""Join operators.
+
+The reference has no relational join (SURVEY.md §2.4) — its only join is
+the broadcast map-side semi-join of the ontology dictionary.  This module
+makes the pattern an explicit, reusable operator, plus the bucketed hash
+join for two large sides (the guide's portable pattern for when
+``Dataset.join`` isn't suitable).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def broadcast_join(
+    ds: "ray.data.Dataset",
+    small: "pa.Table | pd.DataFrame",
+    on: str,
+    how: str = "left",
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Map-side join against a small broadcast table (``ray.put`` once, a
+    pandas merge per batch inside every task — no shuffle).
+
+    ``how`` is 'left' or 'inner'.  Right-side duplicate column names get
+    ``suffix``.
+    """
+    if isinstance(small, pa.Table):
+        small_df = small.to_pandas()
+    else:
+        small_df = pd.DataFrame(small)
+    ref = ray.put(small_df)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def bucketed_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Two large sides: add ``bucket = crc32(key) % B`` to both, groupby the
+    bucket, and merge matching buckets pairwise inside per-bucket kernels —
+    an explicit partitioned hash join.  Skewed keys should be salted into
+    sub-buckets by the caller (raise ``num_buckets``)."""
+    import zlib
+
+    # align schemas for the union: rename right's clashing columns (except
+    # the key), then pad each side with typed nulls for the other's columns
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    rename_map = {
+        n: (n + "_r" if n in l_names and n != on else n) for n in r_schema.names
+    }
+    l_fields = list(zip(l_schema.names, l_schema.types))
+    r_fields = [
+        (rename_map[n], t) for n, t in zip(r_schema.names, r_schema.types) if rename_map[n] != on
+    ]
+    all_fields = l_fields + [f for f in r_fields if f[0] not in l_names]
+    l_cols = set(l_schema.names)
+    r_cols = {rename_map[n] for n in r_schema.names}
+
+    def prepare(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == "r":
+                batch = batch.rename_columns([rename_map[n] for n in batch.schema.names])
+            have = set(batch.schema.names)
+            arrays, names = [], []
+            for name, typ in all_fields:
+                names.append(name)
+                if name in have:
+                    col = batch[name]
+                    arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=typ))
+            out = pa.Table.from_arrays(arrays, names=names)
+            b = pa.array(
+                [zlib.crc32(str(v).encode()) % num_buckets for v in out[on].to_pylist()],
+                type=pa.int32(),
+            )
+            out = out.append_column("__bucket", b)
+            return out.append_column("__side", pa.array([side] * out.num_rows))
+
+        return fn
+
+    l = left.map_batches(prepare("l"), batch_format="pyarrow")
+    r = right.map_batches(prepare("r"), batch_format="pyarrow")
+    both = l.union(r)
+
+    own_r_cols = sorted((r_cols - {on}))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["__side"] == "l"].drop(columns=["__side", "__bucket", *own_r_cols])
+        rhs = g[g["__side"] == "r"][[on, *own_r_cols]]
+        if lhs.empty or (rhs.empty and how == "inner"):
+            return lhs.iloc[0:0].merge(rhs.iloc[0:0], on=on, how=how)
+        return lhs.merge(rhs, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

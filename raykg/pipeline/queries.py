@@ -284,6 +284,75 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def q_join_broadcast(sf_dir: str):
+    """Broadcast (map-side) join: orders enriched with customer attributes —
+    the small side ships once via ray.put, no shuffle (ops/join.py)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..ops.join import broadcast_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    return broadcast_join(orders, cust, on="o_custkey", how="left")
+
+
+def q_join_bucketed(sf_dir: str):
+    """Partitioned hash join of two large sides (lineitem x orders) followed
+    by an aggregate: revenue stats per order priority."""
+    import pyarrow.compute as pc
+
+    from ..ops.join import bucketed_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = bucketed_hash_join(li, orders, on="o_orderkey", num_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: Dict[str, list] = {}
+        for p, qty in zip(
+            batch["o_orderpriority"].to_pylist(), batch["l_quantity"].to_pylist()
+        ):
+            cur = agg.setdefault(p, [0, 0.0])
+            cur[0] += 1
+            cur[1] += qty
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": list(agg),
+                "n": [v[0] for v in agg.values()],
+                "s": [v[1] for v in agg.values()],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_items"), Sum("s", alias_name="total_qty"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_qty"),
+            pa.field("total_qty", pa.float64()),
+            pc.round(batch["total_qty"], 4),
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -313,6 +382,8 @@ QUERIES: Dict[str, Callable] = {
     "media_features": q_media_features,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "join_broadcast": q_join_broadcast,
+    "join_bucketed": q_join_bucketed,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -495,6 +566,18 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                round(SUM(COALESCE(value, 0)), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "join_broadcast": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
+               c.c_name, c.c_mktsegment
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "join_bucketed": """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               round(SUM(l.l_quantity), 4) AS total_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
     """,
     "sessionize": """
         WITH e AS (SELECT user_id, event_id, ts,

@@ -359,8 +359,14 @@ def _broadcast_ontology(ontology, config: PipelineConfig):
     else:
         rows = list(ontology)
     if rows and isinstance(rows[0], OntologyRow):  # already cleaned
-        return ray.put(rows)
-    cleaned = clean_ontology(rows, has_category=config.has_category)
+        cleaned = rows
+    else:
+        cleaned = clean_ontology(rows, has_category=config.has_category)
+    # small ontologies ride in the actor-constructor args directly (avoids
+    # the Ray actor-restart caveat for object-store constructor args,
+    # ray issue #53727); big ones are broadcast once via the object store
+    if len(cleaned) < 5000:
+        return cleaned
     return ray.put(cleaned)
 
 
