@@ -92,6 +92,10 @@ class CompiledMatcher:
     # equal spans resolve to the earliest ontology row, like the matcher's
     # first-added pattern.
     patterns: List[Tuple[str, Optional[str]]] = field(default_factory=list)
+    # pattern_id -> the matched token sequence (probe attr: TEXT or LEMMA)
+    # and the keyword string a simple-text match reports
+    pattern_tokens: List[tuple] = field(default_factory=list)
+    pattern_keywords: List[str] = field(default_factory=list)
     # normalized keyword string (text or joined lemma) -> tag, LAST duplicate
     # ontology row wins (ontology_tagger.py:221-231)
     keyword_to_tag: Dict[str, str] = field(default_factory=dict)
@@ -125,6 +129,8 @@ def compile_matcher(
     )
     automaton = TokenAutomaton()
     patterns: List[Tuple[str, Optional[str]]] = []
+    pattern_tokens: List[tuple] = []
+    pattern_keywords: List[str] = []
     keyword_to_tag: Dict[str, str] = {}
     for row in ontology:
         norm_kw = config.normalize(row.keyword)
@@ -143,6 +149,8 @@ def compile_matcher(
             key = norm_kw
         pid = len(patterns)
         patterns.append((row.tag, row.category))
+        pattern_tokens.append(tuple(seq))
+        pattern_keywords.append(" ".join(tokens))
         automaton.add(seq, pid)
         keyword_to_tag[key] = row.tag  # last duplicate wins
     if automaton.num_patterns == 0:
@@ -155,6 +163,8 @@ def compile_matcher(
         has_category=has_category,
         automaton=automaton,
         patterns=patterns,
+        pattern_tokens=pattern_tokens,
+        pattern_keywords=pattern_keywords,
         keyword_to_tag=keyword_to_tag,
         tokenizer=tokenizer,
         lemmatizer=lemmatizer,

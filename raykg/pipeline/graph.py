@@ -103,16 +103,16 @@ class TripleActor(MentionActor):
             e_turn.append(t)
             weight.append(w)
 
-        for conv, turn, text, lang, tool in zip(convs, turns, texts, langs, tools):
+        per_row = self._batch_tag_counts(texts, langs)
+        for conv, turn, tool, row in zip(convs, turns, tools, per_row):
             tid = turn_id(conv, turn)
             if self.include_structural:
                 emit(conv, "utters", tid, conv, turn)
                 if tool is not None and tool == tool and tool != "":
                     emit(tid, "used_tool", str(tool), conv, turn)
-            mentions = self._doc_mentions(text, lang)
-            if mentions:
+            if row:
                 for tag, keyword in unique_list(
-                    [(m.tag, m.keyword) for m in mentions]
+                    [(t, k) for t, _c, k, _n in row]
                 ):
                     emit(f"{tid}#{keyword}", "tagged_as", concept_id(tag), conv, turn)
         return pa.Table.from_arrays(

@@ -84,11 +84,11 @@ class _MentionCountActorBody:
         convs = batch[m.conv_column].to_pylist()
         turns = batch[m.turn_column].to_pylist()
         out = {"conv_id": [], "turn_idx": [], "tag": [], "keyword": [], "n_matches": []}
-        for conv, turn, text, lang in zip(convs, turns, texts, langs):
+        per_row = m._batch_tag_counts(texts, langs)
+        for conv, turn, row in zip(convs, turns, per_row):
             counts: Dict[tuple, int] = {}
-            for mention in m._doc_mentions(text, lang):
-                key = (mention.tag, mention.keyword)
-                counts[key] = counts.get(key, 0) + 1
+            for tag, _cat, kw, cnt in row:
+                counts[(tag, kw)] = counts.get((tag, kw), 0) + cnt
             for (tag, kw), n in counts.items():
                 out["conv_id"].append(conv)
                 out["turn_idx"].append(turn)
@@ -115,12 +115,10 @@ class _DocTagsActorBody:
         turns = batch[m.turn_column].to_pylist()
         out = {"conv_id": [], "turn_idx": [], "tags_sorted": [],
                "keywords_sorted": [], "n_tags": []}
-        for conv, turn, text, lang in zip(convs, turns, texts, langs):
-            tags = set()
-            kws = set()
-            for mention in m._doc_mentions(text, lang):
-                tags.add(mention.tag)
-                kws.add(mention.keyword)
+        per_row = m._batch_tag_counts(texts, langs)
+        for conv, turn, row in zip(convs, turns, per_row):
+            tags = {t for t, _c, _k, _n in row}
+            kws = {k for _t, _c, k, _n in row}
             if not tags:
                 continue
             out["conv_id"].append(conv)
@@ -201,6 +199,57 @@ class TagActor:
         # sentencize->normalize->tokenize flow per sentence when
         # normalization is not the identity)
         return process_document(matcher, text)
+
+    def _batch_tag_counts(self, texts, langs):
+        """Per row: list of (tag, category, keyword, occurrence_count).
+
+        Rows that are "simple" (ASCII, alnum+single-space only) and a
+        matching mode that permits it go through the fully vectorized
+        Arrow/numpy kernel (core/vector_match.py) — zero per-token Python
+        strings; everything else takes the general per-row path.  Results
+        are identical up to within-row ordering (general path: appearance
+        order; vectorized: ontology order)."""
+        import numpy as np
+
+        from ..core.vector_match import get_vectorized
+
+        n = len(texts)
+        result = [None] * n
+        vm = None
+        matcher = None
+        if not self.config.multilingual:
+            matcher = self._get_matcher(self.config.language)
+            vm = get_vectorized(matcher)
+        if vm is not None:
+            mask = vm.eligible_rows(texts)
+            idx = np.nonzero(mask)[0]
+            if len(idx):
+                counts = vm.batch_counts([texts[i] for i in idx])
+                pats = matcher.patterns
+                kws = matcher.pattern_keywords
+                k2t = matcher.keyword_to_tag
+                has_cat = self.has_category
+                for pos, i in enumerate(idx):
+                    row = []
+                    for pid, cnt in counts[pos].items():
+                        tag, cat = pats[pid]
+                        kw = kws[pid]
+                        if not has_cat:
+                            tag = k2t.get(kw, tag)
+                        row.append((tag, cat, kw, cnt))
+                    result[int(i)] = row
+        for i in range(n):
+            if result[i] is None:
+                agg = {}
+                order = []
+                for m in self._doc_mentions(texts[i], langs[i]):
+                    key = (m.tag, m.category, m.keyword)
+                    if key not in agg:
+                        agg[key] = 0
+                        order.append(key)
+                    agg[key] += 1
+                result[i] = [(t, c, k, agg[(t, c, k)]) for (t, c, k) in order]
+        return result
 
     def _format_by_match(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.config.text_column].to_pylist()
