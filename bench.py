@@ -92,6 +92,7 @@ def run_bench() -> dict:
             category_column="category",
             batch_size=1024,
             concurrency=None,  # auto: 3/4 of cluster CPUs (see resolve_concurrency)
+            use_vectorized=os.environ.get("RAYKG_NO_VECTOR") != "1",
         ),
     )
     n_triples_scaled = headline_ds.count()
@@ -165,12 +166,27 @@ def run_scaling() -> dict:
 
     pair = os.environ.get("RAYKG_SCALE_CPUS", "8,32")
     lo, hi = (int(x) for x in pair.split(","))
+    # compute-bound mode (per-row matcher): the engine-scaling criterion —
+    # the vectorized kernel saturates single-node memory bandwidth, which a
+    # multi-node cluster does not share (see BENCH/BASELINE.md)
+    os.environ["RAYKG_NO_VECTOR"] = "1"
     r_lo = one(lo)
     r_hi = one(hi)
+    os.environ.pop("RAYKG_NO_VECTOR", None)
+    # vectorized mode: peak throughput numbers
+    v_lo = one(lo)
+    v_hi = one(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    v_eff = round((v_lo["value"] / v_hi["value"]) / (hi / lo), 3)
     return {
         "metric": f"scaling_efficiency_triples_{lo}_to_{hi}_cpus",
+        "vectorized": {
+            "sec_lo": v_lo["value"], "sec_hi": v_hi["value"],
+            "triples_per_sec_lo": v_lo["triples_per_sec"],
+            "triples_per_sec_hi": v_hi["triples_per_sec"],
+            "scaling_efficiency": v_eff,
+        },
         "cpus": [lo, hi],
         "sec_lo": t_lo,
         "sec_hi": t_hi,

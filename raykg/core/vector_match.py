@@ -84,12 +84,37 @@ class VectorizedExactMatcher:
 
     # -- the kernel ---------------------------------------------------------
 
-    def batch_counts(self, texts: List[str]) -> List[Dict[int, int]]:
-        """Per eligible row: {pattern_id: occurrence count}. ``texts`` must
+    def batch_hits(self, texts: List[str]):
+        """Per-batch distinct (row, pattern) hits as parallel numpy arrays
+        ``(rows, pids, counts)`` — the fully-vectorized form downstream
+        stages can consume without per-hit Python objects.  ``texts`` must
         all be eligible rows."""
         n = len(texts)
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
         if n == 0 or not self.pattern_id_seqs:
-            return [dict() for _ in range(n)]
+            return empty
+        rows_out: List[np.ndarray] = []
+        pids_out: List[np.ndarray] = []
+        counts_out: List[np.ndarray] = []
+        for pid, rows, per_row in self._pattern_row_counts(texts):
+            rows_out.append(rows)
+            pids_out.append(np.full(len(rows), pid, dtype=np.int64))
+            counts_out.append(per_row)
+        if not rows_out:
+            return empty
+        return (
+            np.concatenate(rows_out),
+            np.concatenate(pids_out),
+            np.concatenate(counts_out),
+        )
+
+    def _pattern_row_counts(self, texts: List[str]):
+        """Yield (pid, rows_with_hits, counts_per_those_rows)."""
+        n = len(texts)
         arr = pa.array(texts, type=pa.string())
         if self.ignore_case:
             arr = pc.ascii_lower(arr)
@@ -111,7 +136,6 @@ class VectorizedExactMatcher:
         ).to_numpy(zero_copy_only=False)
         ids = lut[indices]  # -1 = token not in any pattern
 
-        counts: List[Dict[int, int]] = [dict() for _ in range(n)]
         for pid, seq in enumerate(self.pattern_id_seqs):
             L = len(seq)
             if len(ids) < L:
@@ -126,8 +150,17 @@ class VectorizedExactMatcher:
                 continue
             rows = row_id[: len(ids) - L + 1][mask]
             per_row = np.bincount(rows, minlength=n)
-            for r in np.nonzero(per_row)[0]:
-                counts[int(r)][pid] = int(per_row[r])
+            hit_rows = np.nonzero(per_row)[0]
+            yield pid, hit_rows.astype(np.int64), per_row[hit_rows].astype(np.int64)
+
+    def batch_counts(self, texts: List[str]) -> List[Dict[int, int]]:
+        """Per eligible row: {pattern_id: occurrence count} (dict form of
+        :meth:`batch_hits`)."""
+        n = len(texts)
+        counts: List[Dict[int, int]] = [dict() for _ in range(n)]
+        rows, pids, cnts = self.batch_hits(texts)
+        for r, p, c in zip(rows.tolist(), pids.tolist(), cnts.tolist()):
+            counts[r][p] = c
         return counts
 
 

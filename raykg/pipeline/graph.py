@@ -79,6 +79,138 @@ class TripleActor(MentionActor):
         self.include_structural = include_structural
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        fast = self._call_vectorized(batch)
+        if fast is not None:
+            return fast
+        return self._call_general(batch)
+
+    def _call_vectorized(self, batch: pa.Table) -> "pa.Table | None":
+        """Arrow-native construction: structural edges via compute kernels,
+        tagged_as from the vectorized matcher's (row, pattern) hit arrays —
+        no per-triple Python strings.  Rows the kernel can't handle go
+        through the general per-row path and are concatenated."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..core.vector_match import get_vectorized
+
+        if self.config.multilingual or not self.config.use_vectorized:
+            return None
+        matcher = self._get_matcher(self.config.language)
+        vm = get_vectorized(matcher)
+        if vm is None:
+            return None
+        n = batch.num_rows
+        conv_col = batch[self.conv_column]
+        if isinstance(conv_col, pa.ChunkedArray):
+            conv_col = conv_col.combine_chunks()
+        turn_col = batch[self.turn_column]
+        if isinstance(turn_col, pa.ChunkedArray):
+            turn_col = turn_col.combine_chunks()
+        tid = pc.binary_join_element_wise(conv_col, pc.cast(turn_col, pa.string()), "#")
+        parts = []
+
+        def triple_table(subj, pred, obj, conv, turn):
+            m = len(subj)
+            return pa.Table.from_arrays(
+                [
+                    subj,
+                    pa.array(np.full(m, pred), type=pa.string()),
+                    obj,
+                    conv,
+                    turn,
+                    pa.array(np.ones(m), type=pa.float64()),
+                ],
+                schema=TRIPLE_SCHEMA,
+            )
+
+        if self.include_structural:
+            parts.append(triple_table(conv_col, "utters", tid, conv_col, turn_col))
+            if self.tool_column in batch.schema.names:
+                tool_col = batch[self.tool_column]
+                if isinstance(tool_col, pa.ChunkedArray):
+                    tool_col = tool_col.combine_chunks()
+                mask = pc.and_kleene(
+                    pc.is_valid(tool_col), pc.not_equal(tool_col, "")
+                )
+                mask = pc.fill_null(mask, False)
+                if pc.any(mask).as_py():
+                    parts.append(
+                        triple_table(
+                            tid.filter(mask),
+                            "used_tool",
+                            tool_col.filter(mask),
+                            conv_col.filter(mask),
+                            turn_col.filter(mask),
+                        )
+                    )
+
+        # pattern metadata, resolved once per matcher
+        meta = getattr(matcher, "_triple_meta", None)
+        if meta is None:
+            kws = matcher.pattern_keywords
+            resolved = []
+            for pid, (tag, _cat) in enumerate(matcher.patterns):
+                if not self.has_category:
+                    tag = matcher.keyword_to_tag.get(kws[pid], tag)
+                resolved.append(concept_id(tag))
+            meta = (pa.array(kws, type=pa.string()), pa.array(resolved, type=pa.string()))
+            matcher._triple_meta = meta
+        kw_arr, concept_arr = meta
+
+        texts = batch[self.config.text_column].to_pylist()
+        elig = vm.eligible_rows(texts)
+        elig_idx = np.nonzero(elig)[0]
+        if len(elig_idx):
+            rows, pids, _counts = vm.batch_hits([texts[i] for i in elig_idx])
+            if len(rows):
+                g = pa.array(elig_idx[rows], type=pa.int64())
+                p = pa.array(pids, type=pa.int64())
+                sub_tid = tid.take(g)
+                subj = pc.binary_join_element_wise(sub_tid, kw_arr.take(p), "#")
+                parts.append(
+                    triple_table(
+                        subj, "tagged_as", concept_arr.take(p),
+                        conv_col.take(g), turn_col.take(g),
+                    )
+                )
+        slow_idx = np.nonzero(~elig)[0]
+        if len(slow_idx):
+            langs = self._row_languages(batch)
+            subj_l, obj_l, conv_l, turn_l = [], [], [], []
+            convs = conv_col.to_pylist()
+            turns = turn_col.to_pylist()
+            for i in slow_idx:
+                i = int(i)
+                mentions = self._doc_mentions(texts[i], langs[i])
+                if not mentions:
+                    continue
+                t_id = turn_id(convs[i], turns[i])
+                for tag, keyword in unique_list(
+                    [(m.tag, m.keyword) for m in mentions]
+                ):
+                    subj_l.append(f"{t_id}#{keyword}")
+                    obj_l.append(concept_id(tag))
+                    conv_l.append(convs[i])
+                    turn_l.append(turns[i])
+            if subj_l:
+                parts.append(
+                    triple_table(
+                        pa.array(subj_l, type=pa.string()),
+                        "tagged_as",
+                        pa.array(obj_l, type=pa.string()),
+                        pa.array(conv_l, type=pa.string()),
+                        pa.array(turn_l, type=pa.int32()),
+                    )
+                )
+        if not parts:
+            return pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in TRIPLE_SCHEMA],
+                schema=TRIPLE_SCHEMA,
+            )
+        return pa.concat_tables(parts)
+
+    def _call_general(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.config.text_column].to_pylist()
         langs = self._row_languages(batch)
         convs = batch[self.conv_column].to_pylist()

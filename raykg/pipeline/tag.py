@@ -217,7 +217,7 @@ class TagActor:
         result = [None] * n
         vm = None
         matcher = None
-        if not self.config.multilingual:
+        if not self.config.multilingual and self.config.use_vectorized:
             matcher = self._get_matcher(self.config.language)
             vm = get_vectorized(matcher)
         if vm is not None:
