@@ -65,10 +65,19 @@ class VectorizedExactMatcher:
 
     # -- row eligibility ----------------------------------------------------
 
-    @staticmethod
-    def eligible_rows(texts: Sequence[Optional[str]]) -> np.ndarray:
-        """True where the row is simple: ASCII, only [alnum + single spaces]
-        (no punctuation -> no sentence boundaries, no affix tokenization)."""
+    _ELIGIBLE_RE = r"^[a-zA-Z0-9]+( [a-zA-Z0-9]+)*$"
+
+    @classmethod
+    def eligible_rows(cls, texts) -> np.ndarray:
+        """True where the row is simple: ASCII alnum words separated by
+        single spaces (no punctuation -> no sentence boundaries, no affix
+        tokenization).  Accepts a pyarrow Array (vectorized RE2 check, no
+        per-row Python strings) or a Python sequence."""
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            m = pc.match_substring_regex(texts, cls._ELIGIBLE_RE)
+            return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
         out = np.zeros(len(texts), dtype=bool)
         for i, t in enumerate(texts):
             if (
@@ -84,7 +93,7 @@ class VectorizedExactMatcher:
 
     # -- the kernel ---------------------------------------------------------
 
-    def batch_hits(self, texts: List[str]):
+    def batch_hits(self, texts):
         """Per-batch distinct (row, pattern) hits as parallel numpy arrays
         ``(rows, pids, counts)`` — the fully-vectorized form downstream
         stages can consume without per-hit Python objects.  ``texts`` must
@@ -112,10 +121,15 @@ class VectorizedExactMatcher:
             np.concatenate(counts_out),
         )
 
-    def _pattern_row_counts(self, texts: List[str]):
+    def _pattern_row_counts(self, texts):
         """Yield (pid, rows_with_hits, counts_per_those_rows)."""
         n = len(texts)
-        arr = pa.array(texts, type=pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            arr = texts.combine_chunks()
+        elif isinstance(texts, pa.Array):
+            arr = texts
+        else:
+            arr = pa.array(texts, type=pa.string())
         if self.ignore_case:
             arr = pc.ascii_lower(arr)
         toks = pc.split_pattern(arr, " ")
@@ -153,7 +167,7 @@ class VectorizedExactMatcher:
             hit_rows = np.nonzero(per_row)[0]
             yield pid, hit_rows.astype(np.int64), per_row[hit_rows].astype(np.int64)
 
-    def batch_counts(self, texts: List[str]) -> List[Dict[int, int]]:
+    def batch_counts(self, texts) -> List[Dict[int, int]]:
         """Per eligible row: {pattern_id: occurrence count} (dict form of
         :meth:`batch_hits`)."""
         n = len(texts)

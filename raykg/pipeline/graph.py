@@ -158,11 +158,15 @@ class TripleActor(MentionActor):
             matcher._triple_meta = meta
         kw_arr, concept_arr = meta
 
-        texts = batch[self.config.text_column].to_pylist()
-        elig = vm.eligible_rows(texts)
+        text_col = batch[self.config.text_column]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        elig = vm.eligible_rows(text_col)
         elig_idx = np.nonzero(elig)[0]
         if len(elig_idx):
-            rows, pids, _counts = vm.batch_hits([texts[i] for i in elig_idx])
+            rows, pids, _counts = vm.batch_hits(
+                text_col.take(pa.array(elig_idx, type=pa.int64()))
+            )
             if len(rows):
                 g = pa.array(elig_idx[rows], type=pa.int64())
                 p = pa.array(pids, type=pa.int64())
@@ -182,7 +186,7 @@ class TripleActor(MentionActor):
             turns = turn_col.to_pylist()
             for i in slow_idx:
                 i = int(i)
-                mentions = self._doc_mentions(texts[i], langs[i])
+                mentions = self._doc_mentions(text_col[i].as_py(), langs[i])
                 if not mentions:
                     continue
                 t_id = turn_id(convs[i], turns[i])
