@@ -35,6 +35,10 @@ class MatchConfig:
     ignore_case: bool = False
     ignore_diacritics: bool = False
     lemmatization: bool = False
+    # True = run the reference-equivalent general path everywhere (disables
+    # the ASCII fast paths and the vectorized kernel); the path real
+    # multilingual text takes regardless
+    strict_reference: bool = False
 
     def normalize(self, text: str) -> str:
         return normalize(
@@ -123,7 +127,7 @@ def compile_matcher(
     the reference building one PhraseMatcher/EntityRuler per language on the
     driver (``ontology_tagger.py:288-302,251-266``).
     """
-    tokenizer = Tokenizer(language)
+    tokenizer = Tokenizer(language, strict=config.strict_reference)
     lemmatizer = (
         Lemmatizer(language, table=lemma_table) if config.lemmatization else None
     )
@@ -199,6 +203,10 @@ def process_document(matcher: CompiledMatcher, text) -> List[Mention]:
 
     if text is None or text != text:
         return []
+    if matcher.config.strict_reference:
+        from .sentencize import split_sentences
+
+        return match_sentences(matcher, split_sentences(text, matcher.tokenizer))
     cleaned = clean_linebreaks(str(text))
     if not cleaned:
         return []

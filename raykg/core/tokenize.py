@@ -83,9 +83,11 @@ class Tokenizer:
     """Per-language tokenizer; one instance per language, held in actor state
     (reference holds per-language spaCy pipelines, ontology_tagger.py:324-330)."""
 
-    def __init__(self, language: str = "en", max_num_characters: int = MAX_NUM_CHARACTERS):
+    def __init__(self, language: str = "en", max_num_characters: int = MAX_NUM_CHARACTERS,
+                 strict: bool = False):
         self.language = language
         self.max_num_characters = max_num_characters
+        self.strict = strict  # True = always take the general regex path
         self._cjk = language in _CJK_LANGS
         self._elision = language in _ELISION_LANGS
         self._en = language == "en"
@@ -102,7 +104,8 @@ class Tokenizer:
         # offsets beats the regex scan ~2x; semantics identical (a single
         # space is a separator in both paths)
         if (
-            text.isascii()  # exotic unicode whitespace must use the regex path
+            not self.strict
+            and text.isascii()  # exotic unicode whitespace must use the regex path
             and "\n" not in text
             and "\t" not in text
             and "\r" not in text
@@ -133,7 +136,7 @@ class Tokenizer:
                 if chunk.endswith(" "):
                     chunk = chunk[:-1]
                 tokens.append((chunk, start, start + len(chunk)))
-            elif chunk.isalnum() and not (self._cjk and _contains_cjk(chunk)):
+            elif not self.strict and chunk.isalnum() and not (self._cjk and _contains_cjk(chunk)):
                 # fast path: a plain word/number chunk can't carry affixes,
                 # infixes, elision or contractions (all need punctuation) —
                 # skips 4 regex probes on the overwhelmingly common case

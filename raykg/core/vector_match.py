@@ -45,7 +45,7 @@ class VectorizedExactMatcher:
         # - category mode filters overlaps; safe to vectorize only if no
         #   token occurs in two patterns and no pattern repeats another's
         #   prefix (disjoint token sets make overlap impossible)
-        self.mode_ok = not cfg.lemmatization
+        self.mode_ok = not cfg.lemmatization and not cfg.strict_reference
         if matcher.has_category and self.mode_ok:
             seen: set = set()
             for toks in matcher.pattern_tokens:

@@ -40,6 +40,10 @@ class PipelineConfig:
     # (useful for single-node scaling studies; multi-node clusters bring
     # their own bandwidth per node)
     use_vectorized: bool = True
+    # reference-equivalent general path only (per-row tokenize/match; what
+    # non-ASCII and multilingual text runs regardless) — used by the
+    # compute-bound scaling benchmark
+    strict_reference: bool = False
 
     def __post_init__(self) -> None:
         if self.output_format not in OUTPUT_FORMATS:
@@ -69,4 +73,5 @@ class PipelineConfig:
             ignore_case=self.ignore_case,
             ignore_diacritics=self.ignore_diacritics,
             lemmatization=self.lemmatization,
+            strict_reference=self.strict_reference,
         )
