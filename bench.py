@@ -77,7 +77,7 @@ def run_bench() -> dict:
     # RAYKG_REPLICATION x the sf input (deterministic amplifier; default 1 for
     # the per-round bench, 24 for --scaling so the actor pool has enough
     # batches to spread over every CPU)
-    replication = int(os.environ.get("RAYKG_REPLICATION", "1"))
+    replication = int(os.environ.get("RAYKG_REPLICATION", "64"))  # 64x sf0.1 = 320k turns: enough to measure throughput past pool spin-up
     from raykg.pipeline.config import PipelineConfig
     from raykg.pipeline.graph import extract_triples
     from raykg.pipeline.queries import ONTOLOGY
