@@ -109,6 +109,8 @@ class Tokenizer:
             and "\n" not in text
             and "\t" not in text
             and "\r" not in text
+            and "\x0b" not in text  # every non-space ASCII whitespace becomes
+            and "\x0c" not in text  # a whitespace token on the strict path
             and "  " not in text
         ):
             tokens: List[Token] = []

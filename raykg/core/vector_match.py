@@ -49,6 +49,13 @@ class VectorizedExactMatcher:
         if matcher.has_category and self.mode_ok:
             seen: set = set()
             for toks in matcher.pattern_tokens:
+                # a pattern with a repeated token can have a nontrivial
+                # border and therefore self-overlap ("bye bye" in
+                # "bye bye bye": shifted-equality counts 2, longest-wins
+                # keeps 1) — such patterns force the general path
+                if len(set(toks)) != len(toks):
+                    self.mode_ok = False
+                    break
                 if any(t in seen for t in toks):
                     self.mode_ok = False
                     break

@@ -105,13 +105,19 @@ def main(argv=None) -> int:
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus or 32,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        if args.num_cpus is not None:
+            # explicit standalone run: force a fresh local instance
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            # honors RAY_ADDRESS — under `ray job submit` this attaches to
+            # the cluster instead of silently starting a 1-node instance
+            ray.init(ignore_reinit_error=True, logging_level="ERROR")
     try:
         import pyarrow.parquet as pq
 

@@ -1,27 +1,46 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
 
-Shuffle design (ray_guide patterns): every variant pre-aggregates or
-pre-hashes inside ``map_batches`` so the groupby exchanges move hashes and
-ids, never document bodies.  Exact dedup is hash-partition + per-group
-first; near-dup is shingle -> signature -> band -> bucket groupby ->
-candidate pairs -> verify.
+Shuffle design: every variant pre-aggregates or pre-hashes inside
+``map_batches`` so the groupby exchanges move hashes and ids, never document
+bodies.  The near-dup family is fully distributed end-to-end:
+
+    shingle/plane -> bucket rows -> shard groupby -> in-shard vectorized
+    pair emission -> distinct-pair groupby -> payload attach (broadcast id
+    filter + bucketed hash join) -> exact verify
+
+Nothing near-dup-sized ever materializes on the driver; the only
+driver-side object is the DISTINCT candidate id array (int64s, near-dup
+volume — megabytes when the corpus is terabytes), which is broadcast once
+via ``ray.put`` to prune the payload pass.  Buckets are sharded
+(``bucket % num_shards``) so the per-group Python call count is O(shards),
+not O(buckets): inside a shard, singleton buckets are dropped by one
+vectorized mask and the remaining per-hot-bucket loop is bounded by true
+candidate volume.  ``max_bucket_members`` caps degenerate buckets (a
+boilerplate cluster at corpus scale) with deterministic min-id truncation.
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
-from typing import List
+import zlib
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 _WORD_RE = re.compile(r"\S+")
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: with a, b, x all < p the universal hash
+# (a*x + b) % p never exceeds 2^62, so uint64 arithmetic is exact — no
+# silent wrap weakening min-wise independence.
+_P31 = np.uint64((1 << 31) - 1)
 
 
 def _text_hash(t: str) -> str:
@@ -35,30 +54,18 @@ def exact_dedup_groups(
 ) -> "ray.data.Dataset":
     """One row per distinct text: (doc_id = min id, n_dups).
 
-    Phase 1 pre-aggregates per batch (hash -> min id, count), phase 2 is the
-    small groupby over partials — the exchange carries one row per distinct
-    hash per block.
+    Phase 1 pre-aggregates per batch (hash -> min id, count) with an Arrow
+    ``group_by`` kernel, phase 2 is the small groupby over partials — the
+    exchange carries one row per distinct hash per block.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        agg = {}
-        for t, i in zip(
-            batch[text_column].to_pylist(), batch[id_column].to_pylist()
-        ):
-            h = _text_hash(t)
-            cur = agg.get(h)
-            if cur is None:
-                agg[h] = [i, 1]
-            else:
-                cur[0] = min(cur[0], i)
-                cur[1] += 1
-        return pa.Table.from_pydict(
-            {
-                "text_hash": list(agg.keys()),
-                "min_id": [v[0] for v in agg.values()],
-                "n": [v[1] for v in agg.values()],
-            }
+        hashes = pa.array(
+            [_text_hash(t) for t in batch[text_column].to_pylist()], type=pa.string()
         )
+        t = pa.table({"text_hash": hashes, "id": batch[id_column]})
+        agg = t.group_by("text_hash").aggregate([("id", "min"), ("id", "count")])
+        return agg.rename_columns(["text_hash", "min_id", "n"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -69,37 +76,216 @@ def exact_dedup_groups(
 
 
 def exact_dedup(
-    ds: "ray.data.Dataset", text_column: str = "text", id_column: str = "doc_id"
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_shards: int = 64,
 ) -> "ray.data.Dataset":
     """Keep the first (min-id) row of every duplicate group, dropping the
-    rest. Hash-partition + per-group first (full rows)."""
+    rest.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = pa.array(
-            [_text_hash(t) for t in batch[text_column].to_pylist()], type=pa.string()
-        )
-        return batch.append_column("__text_hash", hashes)
+    Batch-local pre-dedup (vectorized ``drop_duplicates`` keeping the
+    in-batch min id) cuts the shuffle to one row per distinct text per
+    block; the exchange then groups by a SHARD of the text hash, and one
+    vectorized sort+drop_duplicates per shard finishes the job — O(shards)
+    Python calls instead of one ``map_groups`` call per distinct text
+    (~1.5 ms/group, pathological when almost every row is unique).
+    """
+    helper_cols = ["__text_hash", "__shard"]
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_column).head(1)
+    def prededup(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        hashes: List[str] = []
+        shards: List[int] = []
+        for t in texts:
+            d = hashlib.md5((t or "").encode("utf-8")).digest()
+            hashes.append(d.hex())
+            shards.append(int.from_bytes(d[:4], "big") % num_shards)
+        df = batch.to_pandas()
+        df["__text_hash"] = hashes
+        df["__shard"] = np.asarray(shards, dtype=np.int32)
+        df = df.sort_values(id_column, kind="stable").drop_duplicates("__text_hash")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def shard_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_column, kind="stable").drop_duplicates("__text_hash")
+        return g.drop(columns=helper_cols)
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__text_hash")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["__text_hash"])
+        ds.map_batches(prededup, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(shard_first, batch_format="pandas")
     )
+
+
+# --- shared LSH tail: bucket rows -> distinct candidate pairs --------------
+
+def _empty_pairs_df(payload_cols: Sequence[str], payload_dtypes) -> pd.DataFrame:
+    data = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    for c in payload_cols:
+        dt = payload_dtypes.get(c, "int64")
+        data[c + "_a"] = pd.Series(dtype=dt)
+        data[c + "_b"] = pd.Series(dtype=dt)
+    return pd.DataFrame(data)
+
+
+def _shard_pair_emitter(
+    id_column: str, payload_cols: Sequence[str], max_bucket_members: int
+):
+    """Per-shard kernel: vectorized singleton drop + per-hot-bucket pair
+    emission via ``np.triu_indices``.  The Python loop runs once per HOT
+    bucket only — its trip count is the candidate volume, not the corpus."""
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        payload_dtypes = {c: g[c].dtype for c in payload_cols}
+        g = g.sort_values(["bucket", id_column], kind="stable").drop_duplicates(
+            ["bucket", id_column]
+        )
+        g = g[g.duplicated("bucket", keep=False)]
+        if not len(g):
+            return _empty_pairs_df(payload_cols, payload_dtypes)
+        ids = g[id_column].to_numpy()
+        buckets = g["bucket"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        ia_parts: List[np.ndarray] = []
+        ib_parts: List[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = min(int(e - s), max_bucket_members)  # deterministic min-id cap
+            iu, ju = np.triu_indices(m, k=1)
+            ia_parts.append(s + iu)
+            ib_parts.append(s + ju)
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        out = {"id_a": ids[ia], "id_b": ids[ib]}
+        for c in payload_cols:
+            v = g[c].to_numpy()
+            out[c + "_a"] = v[ia]
+            out[c + "_b"] = v[ib]
+        return pd.DataFrame(out).drop_duplicates(["id_a", "id_b"])
+
+    return pairs_in_shard
+
+
+def _bucket_candidate_pairs(
+    bands: "ray.data.Dataset",
+    id_column: str = "doc_id",
+    payload_cols: Sequence[str] = (),
+    max_bucket_members: int = 512,
+) -> "ray.data.Dataset":
+    """(bucket, shard, id[, payloads]) rows -> DISTINCT (id_a < id_b) pairs.
+
+    One shuffle groups buckets into shards; pair emission happens inside the
+    shard (vectorized); a second groupby dedups pairs that surfaced in more
+    than one bucket/band.  Everything stays a Dataset."""
+    pairs = bands.groupby("shard").map_groups(
+        _shard_pair_emitter(id_column, payload_cols, max_bucket_members),
+        batch_format="pandas",
+    )
+    aggs = [Count(alias_name="__n")] + [
+        a
+        for c in payload_cols
+        for a in (Min(c + "_a", alias_name=c + "_a"), Min(c + "_b", alias_name=c + "_b"))
+    ]
+    distinct = pairs.groupby(["id_a", "id_b"]).aggregate(*aggs)
+    return distinct.drop_columns(["__n"])
+
+
+def _candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
+    """Distinct ids appearing in the candidate pair set.
+
+    The ONLY driver-side materialization in the near-dup family: an int64
+    array of near-dup-volume size (ids, never rows/bodies), broadcast via
+    ``ray.put`` to prune the payload pass."""
+
+    def ids_of(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [batch["id_a"].combine_chunks(), batch["id_b"].combine_chunks()]
+        )
+        return pa.table({"cid": pc.unique(both)})
+
+    ids: set = set()
+    for b in pairs.map_batches(ids_of, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids.update(b["cid"].to_pylist())
+    return np.asarray(sorted(ids), dtype=np.int64)
+
+
+def _attach_pair_payload(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    id_column: str,
+    payload_column: str,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """pairs (id_a, id_b) x payload (id, value) -> (id_a, id_b, value_a,
+    value_b) via two bucketed hash joins — candidate-volume shuffles only."""
+    from .join import bucketed_hash_join
+
+    def rename(ds, mapping):
+        return ds.map_batches(
+            lambda b, m=mapping: b.rename_columns([m.get(n, n) for n in b.schema.names]),
+            batch_format="pyarrow",
+        )
+
+    j1 = bucketed_hash_join(
+        rename(pairs, {"id_a": id_column}), payload, on=id_column, num_buckets=num_buckets
+    )
+    j1 = rename(j1, {id_column: "id_a", payload_column: payload_column + "_a"})
+    j2 = bucketed_hash_join(
+        rename(j1, {"id_b": id_column}), payload, on=id_column, num_buckets=num_buckets
+    )
+    return rename(j2, {id_column: "id_b", payload_column: payload_column + "_b"})
 
 
 # --- MinHash + LSH ---------------------------------------------------------
 
+def _shingle_set(words: List[str], k: int) -> set:
+    """Distinct word k-grams; short docs collapse to the whole text, empty
+    docs to the empty set (mirrored exactly by the DuckDB oracle)."""
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _hash_shingles(shingles: set) -> np.ndarray:
+    """crc32 of each shingle reduced mod 2^31-1 (31-bit values keep the
+    minhash universal-hash multiply exact in uint64)."""
+    if not shingles:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in shingles),
+        dtype=np.uint64,
+        count=len(shingles),
+    ) % _P31
+
+
+def _hash_shingles64(shingles: set) -> np.ndarray:
+    """63-bit md5 shingle hashes for EXACT-Jaccard verification: collision
+    probability ~|s|^2/2^63 per pair, so hashed-set cardinalities equal
+    string-set cardinalities for all practical purposes (the DuckDB oracle
+    computes the same Jaccard over string shingles)."""
+    if not shingles:
+        return np.zeros(0, dtype=np.int64)
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 1
+            for s in shingles
+        ),
+        dtype=np.int64,
+        count=len(shingles),
+    )
+
+
 class MinHashActor:
-    """Per-batch shingling + MinHash signatures + LSH band rows.
+    """Per-batch shingling + MinHash signatures + LSH bucket rows.
 
     Permutation parameters are derived from a fixed seed so every actor (and
-    every run) agrees.  Emits (band, band_hash, doc_id, sig) rows; the
-    band groupby buckets near-duplicate candidates together.
-    """
+    every run) agrees.  Emits (bucket, shard, doc_id) rows; signatures never
+    leave the actor (shipping a 64-int signature per band row would multiply
+    shuffle volume ~50x — candidates are verified with exact Jaccard in a
+    second corpus pass instead)."""
 
     def __init__(
         self,
@@ -109,6 +295,7 @@ class MinHashActor:
         num_bands: int = 16,
         shingle_k: int = 3,
         seed: int = 42,
+        num_shards: int = 64,
     ):
         self.text_column = text_column
         self.id_column = id_column
@@ -116,95 +303,132 @@ class MinHashActor:
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
         self.shingle_k = shingle_k
+        self.num_shards = num_shards
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        p = int(_P31)
+        self.a = rng.randint(1, p, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, p, size=num_perm).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        words = _WORD_RE.findall(text or "")
-        k = self.shingle_k
-        if len(words) < k:
-            shingles = {" ".join(words)} if words else {""}
-        else:
-            shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-        hv = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & ((1 << 61) - 1)
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
-        # (a*x + b) mod p, vectorized over (perm, shingle) in one shot
-        return ((self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE).min(axis=1)
+        hv = _hash_shingles(_shingle_set(_WORD_RE.findall(text or ""), self.shingle_k))
+        if not len(hv):
+            hv = np.zeros(1, dtype=np.uint64)
+        # (a*x + b) mod p, exact in uint64 (all operands < 2^31)
+        return ((self.a[:, None] * hv[None, :] + self.b[:, None]) % _P31).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Emit (band, band_hash, doc_id) rows only — signatures never leave
-        the actor (at 16 bands a shipped 64-int signature would multiply the
-        shuffle volume ~50x; candidates are verified with exact Jaccard in a
-        second corpus pass instead)."""
         ids = batch[self.id_column].to_pylist()
         texts = batch[self.text_column].to_pylist()
-        band_col: List[int] = []
-        bh_col: List[int] = []
-        id_col: List[int] = []
-        r = self.rows_per_band
-        for i, t in zip(ids, texts):
-            sig = self.signature(t)
-            for band in range(self.num_bands):
-                chunk = sig[band * r : (band + 1) * r]
-                bh = int.from_bytes(
-                    hashlib.md5(chunk.tobytes()).digest()[:8], "big"
-                ) >> 1
-                band_col.append(band)
-                bh_col.append(bh)
-                id_col.append(i)
+        n = len(ids)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "shard": pa.array([], type=pa.int32()),
+                    self.id_column: pa.array([], type=pa.int64()),
+                }
+            )
+        sigs = np.stack([self.signature(t) for t in texts])  # (n, num_perm)
+        b, r = self.num_bands, self.rows_per_band
+        chunks = sigs.reshape(n, b, r)
+        # band bucket key: polynomial over the band's minhashes mixed with
+        # the band index, splitmix-finalized — one vectorized pass, no
+        # per-band Python hashing (cross-band collisions only add candidates
+        # that exact verification removes)
+        K = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros((n, b), dtype=np.uint64)
+        for j in range(r):
+            acc = acc * K + chunks[:, :, j]
+        acc ^= np.arange(b, dtype=np.uint64)[None, :] * np.uint64(0xC2B2AE3D27D4EB4F)
+        acc = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        acc = (acc ^ (acc >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        acc ^= acc >> np.uint64(31)
+        bucket = (acc >> np.uint64(1)).astype(np.int64).ravel()
+        doc = np.repeat(np.asarray(ids, dtype=np.int64), b)
+        shard = (bucket % self.num_shards).astype(np.int32)
         return pa.Table.from_pydict(
             {
-                "band": pa.array(band_col, type=pa.int32()),
-                "band_hash": pa.array(bh_col, type=pa.int64()),
-                "doc_id": pa.array(id_col, type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "shard": pa.array(shard, type=pa.int32()),
+                self.id_column: pa.array(doc, type=pa.int64()),
             }
         )
 
 
-def _hot_bucket_pairs(bands: "ray.data.Dataset", bucket_keys: List[str],
-                      value_cols: List[str]) -> pd.DataFrame:
-    """Shared LSH tail: count rows per bucket, keep only buckets with >= 2
-    members (the overwhelming majority of buckets are singletons — calling
-    Python once per singleton group is what makes a naive
-    ``groupby.map_groups`` quadratic-feeling), then emit candidate pairs from
-    the hot buckets on the driver (candidate volume == true near-dup volume,
-    bounded by construction).
+def jaccard_verify(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 3,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard for a candidate pair Dataset — distributed:
+    broadcast the (small) candidate id array, stream the corpus once to
+    build hashed shingle sets for candidate docs only, then two bucketed
+    hash joins attach the sets to the pairs and a per-pair kernel computes
+    the exact score.  Shingles are shipped as 64-bit hashes, not strings
+    (set cardinalities — and therefore Jaccard — are preserved)."""
+    # the pair set is consumed twice (id extraction + join); materialize so
+    # the upstream LSH pipeline runs once — it is candidate-volume sized
+    pairs = pairs.materialize()
+    ids = _candidate_ids(pairs)
+    if not len(ids):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        )
+    ids_ref = ray.put(ids)
 
-    ``bands`` is materialized so the signature stage runs once, not once per
-    consumer."""
-    bands = bands.materialize()
-    counts = bands.groupby(bucket_keys).aggregate(Count(alias_name="__n"))
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        wanted = pa.array(ray.get(ids_ref), type=batch[id_column].type)
+        keep = batch.filter(pc.is_in(batch[id_column], value_set=wanted))
+        out_ids: List[int] = []
+        out_sets: List[List[int]] = []
+        for i, t in zip(keep[id_column].to_pylist(), keep[text_column].to_pylist()):
+            sh = _hash_shingles64(_shingle_set(_WORD_RE.findall(t or ""), shingle_k))
+            out_ids.append(i)
+            out_sets.append(np.unique(sh).tolist())
+        return pa.Table.from_pydict(
+            {
+                id_column: pa.array(out_ids, type=pa.int64()),
+                "sh": pa.array(out_sets, type=pa.list_(pa.int64())),
+            }
+        )
 
-    import pyarrow.compute as pc
+    shingle_ds = ds.map_batches(shingles_of, batch_format="pyarrow")
+    joined = _attach_pair_payload(
+        pairs.select_columns(["id_a", "id_b"]),
+        shingle_ds,
+        id_column,
+        "sh",
+        num_buckets=num_buckets,
+    )
 
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["__n"], 1)), batch_format="pyarrow"
-    ).to_pandas()  # tiny: one row per non-singleton bucket
-    if not len(hot):
-        return []
-    hot_keys = set(map(tuple, hot[bucket_keys].itertuples(index=False, name=None)))
+    def score(batch: pa.Table) -> pa.Table:
+        import math
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        cols = [batch[k].to_pylist() for k in bucket_keys]
-        mask = pa.array([t in hot_keys for t in zip(*cols)])
-        return batch.filter(mask)
+        jac: List[float] = []
+        for a, b in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+            sa, sb = set(a), set(b)
+            u = len(sa | sb)
+            # round half away from zero (DuckDB round()); Python's banker's
+            # rounding diverges on exact .5 boundaries like jaccard=1/128
+            jac.append(math.floor(len(sa & sb) / u * 1e6 + 0.5) / 1e6 if u else 0.0)
+        return pa.Table.from_pydict(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
 
-    members = bands.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
-    rows = []
-    for _, g in members.groupby(bucket_keys):
-        g = g.sort_values(value_cols[0]).drop_duplicates(value_cols[0])
-        vals = list(g[value_cols].itertuples(index=False, name=None))
-        for x in range(len(vals)):
-            for y in range(x + 1, len(vals)):
-                rows.append((vals[x], vals[y]))
-    return rows
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(
@@ -216,12 +440,15 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     shingle_k: int = 3,
     concurrency=2,
+    num_shards: int = 64,
+    max_bucket_members: int = 512,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (id_a, id_b, jaccard >= threshold).
 
-    LSH banding proposes candidates (bucket count prefilter -> only hot
-    buckets generate pairs); candidates are verified with EXACT n-gram
-    Jaccard in a second streaming pass over just those docs."""
+    LSH banding proposes candidates; every candidate is verified with EXACT
+    n-gram Jaccard, so false positives never escape — the operator's output
+    equals brute force minus LSH false negatives (controlled by
+    num_perm/num_bands)."""
     bands = ds.map_batches(
         MinHashActor,
         fn_constructor_kwargs={
@@ -230,48 +457,78 @@ def minhash_lsh_pairs(
             "num_perm": num_perm,
             "num_bands": num_bands,
             "shingle_k": shingle_k,
+            "num_shards": num_shards,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    raw = _hot_bucket_pairs(bands, ["band", "band_hash"], ["doc_id"])
-    if not raw:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-        return ray.data.from_pandas(empty)
-    cand = pd.DataFrame(
-        {"id_a": [a[0] for a, b in raw], "id_b": [b[0] for a, b in raw]}
-    ).drop_duplicates()
-    verified = ngram_jaccard_verify(
+    cand = _bucket_candidate_pairs(
+        bands, id_column=id_column, max_bucket_members=max_bucket_members
+    )
+    verified = jaccard_verify(
         ds, cand, text_column=text_column, id_column=id_column, shingle_k=shingle_k
     )
-    out = verified[verified["jaccard"] >= threshold].reset_index(drop=True)
-    return ray.data.from_pandas(out)
+    return verified.map_batches(
+        lambda b, t=threshold: b.filter(pc.greater_equal(b["jaccard"], t)),
+        batch_format="pyarrow",
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
 
-def _simhash64(words: List[str]) -> int:
-    if not words:
-        return 0
-    v = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in words:
-        h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
-        bits = (h >> shifts) & np.uint64(1)
-        v += np.where(bits == 1, 1, -1)
-    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
 def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    sims = [
-        _simhash64(_WORD_RE.findall(t or "")) for t in batch[text_column].to_pylist()
-    ]
-    # store as int64 via two's complement
-    as_i64 = [s - (1 << 64) if s >= (1 << 63) else s for s in sims]
-    return batch.append_column("simhash", pa.array(as_i64, type=pa.int64()))
+    """Vectorized batch SimHash: md5 only the per-batch word VOCABULARY,
+    expand to a (vocab, 64) ±1 bit matrix, then one ``np.add.reduceat``
+    per batch sums word vectors into per-doc sign vectors."""
+    texts = batch[text_column].to_pylist()
+    doc_words: List[List[str]] = [_WORD_RE.findall(t or "") for t in texts]
+    vocab: dict = {}
+    flat_ids: List[int] = []
+    offsets = [0]
+    for words in doc_words:
+        for w in words:
+            wid = vocab.get(w)
+            if wid is None:
+                wid = len(vocab)
+                vocab[w] = wid
+            flat_ids.append(wid)
+        offsets.append(len(flat_ids))
+    n = len(texts)
+    if vocab:
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        bits = (((hv[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
+        word_vecs = bits[np.asarray(flat_ids, dtype=np.int64)]
+        sums = np.zeros((n, 64), dtype=np.int64)
+        starts = np.asarray(offsets[:-1])
+        nonempty = np.flatnonzero(np.diff(offsets) > 0)
+        if len(nonempty):
+            red = np.add.reduceat(word_vecs, starts[nonempty], axis=0)
+            # reduceat with duplicate consecutive starts needs the nonempty
+            # filter; rows for empty docs stay zero (simhash 0)
+            sums[nonempty] = red
+        sign = (sums > 0).astype(np.uint64)
+        sim_u = (sign << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    else:
+        sim_u = np.zeros(n, dtype=np.uint64)
+    return batch.append_column(
+        "simhash", pa.array(sim_u.astype(np.int64), type=pa.int64())
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 via byte unpacking."""
+    as_bytes = x.astype("<u8").view(np.uint8)
+    return np.unpackbits(as_bytes).reshape(len(x), 64).sum(axis=1)
 
 
 def simhash_near_pairs(
@@ -279,88 +536,67 @@ def simhash_near_pairs(
     text_column: str = "text",
     id_column: str = "doc_id",
     max_hamming: int = 3,
+    num_shards: int = 64,
+    max_bucket_members: int = 512,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash banding: 4 x 16-bit chunks (any pair within
-    hamming distance 3 shares at least one exact chunk), verify distance in
-    the bucket."""
+    hamming distance 3 shares at least one exact chunk), hamming verified
+    vectorized on the (distinct) candidate pairs.  Output:
+    (id_a, id_b, hamming)."""
     hashed = ds.map_batches(
         lambda b: simhash_batch(b, text_column), batch_format="pyarrow"
     ).select_columns([id_column, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].to_pylist()
-        sims = batch["simhash"].to_pylist()
-        out = {"chunk": [], "chunk_val": [], "doc_id": [], "simhash": []}
-        for i, s in zip(ids, sims):
-            u = s & ((1 << 64) - 1)
-            for c in range(4):
-                out["chunk"].append(c)
-                out["chunk_val"].append((u >> (16 * c)) & 0xFFFF)
-                out["doc_id"].append(i)
-                out["simhash"].append(s)
-        return pa.Table.from_pydict(out)
-
-    bands = hashed.map_batches(explode, batch_format="pyarrow")
-    raw = _hot_bucket_pairs(bands, ["chunk", "chunk_val"], ["doc_id", "simhash"])
-    rows = []
-    seen = set()
-    for (ida, sa), (idb, sb) in raw:
-        if (ida, idb) in seen:
-            continue
-        seen.add((ida, idb))
-        d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
-        if d <= max_hamming:
-            rows.append((ida, idb, d))
-    out = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-         "hamming": pd.Series(dtype="int64")}
-    )
-    return ray.data.from_pandas(out)
-
-
-# --- exact n-gram Jaccard verification ------------------------------------
-
-def ngram_jaccard_verify(
-    ds: "ray.data.Dataset",
-    candidate_pairs: pd.DataFrame,
-    text_column: str = "text",
-    id_column: str = "doc_id",
-    shingle_k: int = 3,
-) -> pd.DataFrame:
-    """Exact n-gram Jaccard for a (small) candidate pair set: broadcast the
-    candidate id set, collect only those docs' shingle sets, join on the
-    driver.  The candidate set is LSH output — orders of magnitude smaller
-    than the corpus — so the driver-side join is bounded; at larger candidate
-    volumes this becomes a doc_id hash-join (documented scale path)."""
-    wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
-
-    def shingles_of(batch: pa.Table) -> pa.Table:
-        out_ids, out_sets = [], []
-        for i, t in zip(
-            batch[id_column].to_pylist(), batch[text_column].to_pylist()
-        ):
-            if i in wanted:
-                words = _WORD_RE.findall(t or "")
-                sh = (
-                    {" ".join(words[j : j + shingle_k]) for j in range(len(words) - shingle_k + 1)}
-                    if len(words) >= shingle_k
-                    else ({" ".join(words)} if words else set())
-                )
-                out_ids.append(i)
-                out_sets.append(sorted(sh))
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        sims = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
+        u = sims.view(np.uint64)
+        n = len(ids)
+        chunk_idx = np.arange(4, dtype=np.uint64)
+        # bucket = chunk index (2 bits) | 16-bit chunk value — one int32
+        vals = ((u[:, None] >> (chunk_idx[None, :] * np.uint64(16))) & np.uint64(0xFFFF))
+        bucket = (chunk_idx[None, :] << np.uint64(16)) | vals
+        bucket = bucket.astype(np.int64).ravel()
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(out_ids, type=pa.int64()),
-             "shingles": pa.array(out_sets, type=pa.list_(pa.string()))}
+            {
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "shard": pa.array((bucket % num_shards).astype(np.int32), type=pa.int32()),
+                id_column: pa.array(np.repeat(ids, 4), type=pa.int64()),
+                "simhash": pa.array(np.repeat(sims, 4), type=pa.int64()),
+            }
         )
 
-    collected = ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
-    sets = {r.doc_id: set(r.shingles) for r in collected.itertuples()}
-    rows = []
-    for r in candidate_pairs.itertuples():
-        a, b = sets.get(r.id_a, set()), sets.get(r.id_b, set())
-        denom = len(a | b)
-        rows.append((r.id_a, r.id_b, round(len(a & b) / denom, 6) if denom else 0.0))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    bands = hashed.map_batches(explode, batch_format="pyarrow")
+    cand = _bucket_candidate_pairs(
+        bands,
+        id_column=id_column,
+        payload_cols=["simhash"],
+        max_bucket_members=max_bucket_members,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        sa = np.asarray(batch["simhash_a"].to_pylist(), dtype=np.int64).view(np.uint64)
+        sb = np.asarray(batch["simhash_b"].to_pylist(), dtype=np.int64).view(np.uint64)
+        d = _popcount64(sa ^ sb)
+        keep = d <= max_hamming
+        t = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "hamming": pa.array(d.astype(np.int64), type=pa.int64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # --- embedding near-dup ----------------------------------------------------
@@ -370,52 +606,119 @@ def embedding_near_pairs(
     embedding_column: str = "embedding",
     id_column: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_tables: int = 12,
+    planes_per_table: int = 12,
     seed: int = 42,
+    num_shards: int = 64,
+    max_bucket_members: int = 1024,
 ) -> "ray.data.Dataset":
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    buckets, exact cosine verified inside each bucket."""
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE random-
+    hyperplane LSH: ``num_tables`` independent plane sets each bucket the
+    corpus; a pair is a candidate when it collides in ANY table (miss
+    probability (1-(1-θ/π)^P)^T — tunable to ~0 for the target threshold).
+    Candidates are verified with exact cosine after a bucketed join attaches
+    the two embeddings; per-bucket membership is capped deterministically.
+    Output: (id_a, id_b, cosine >= threshold)."""
 
     def bucketize_factory():
-        state = {}
+        state: dict = {}
 
         def bucketize(batch: pa.Table) -> pa.Table:
             embs = np.array(batch[embedding_column].to_pylist(), dtype=np.float64)
+            n = len(embs)
+            if n == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "bucket": pa.array([], type=pa.int64()),
+                        "shard": pa.array([], type=pa.int32()),
+                        id_column: pa.array([], type=pa.int64()),
+                    }
+                )
             if "planes" not in state:
                 rng = np.random.RandomState(seed)
-                state["planes"] = rng.randn(embs.shape[1], num_planes)
-            bits = (embs @ state["planes"]) > 0
-            codes = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+                state["planes"] = rng.randn(
+                    embs.shape[1], num_tables * planes_per_table
+                )
+            bits = (embs @ state["planes"]) > 0  # (n, T*P)
+            codes = bits.reshape(n, num_tables, planes_per_table)
+            weights = (1 << np.arange(planes_per_table, dtype=np.int64))
+            code_vals = (codes * weights[None, None, :]).sum(axis=2)
+            table_idx = np.arange(num_tables, dtype=np.int64)
+            bucket = (table_idx[None, :] << np.int64(planes_per_table)) | code_vals
+            bucket = bucket.ravel()
+            ids = np.repeat(
+                np.asarray(batch[id_column].to_pylist(), dtype=np.int64), num_tables
+            )
             return pa.Table.from_pydict(
                 {
-                    "bucket": pa.array(codes, type=pa.int64()),
-                    id_column: batch[id_column],
-                    embedding_column: batch[embedding_column],
+                    "bucket": pa.array(bucket, type=pa.int64()),
+                    "shard": pa.array(
+                        (bucket % num_shards).astype(np.int32), type=pa.int32()
+                    ),
+                    id_column: pa.array(ids, type=pa.int64()),
                 }
             )
 
         return bucketize
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
-        g = g.sort_values(id_column)
-        ids = g[id_column].tolist()
-        m = np.array(g[embedding_column].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        m = m / norms
-        sim = m @ m.T
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                c = float(sim[x, y])
-                if c >= threshold:
-                    rows.append((ids[x], ids[y], round(c, 6)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+    bands = ds.map_batches(bucketize_factory(), batch_format="pyarrow")
+    cand = _bucket_candidate_pairs(
+        bands, id_column=id_column, max_bucket_members=max_bucket_members
+    ).materialize()  # consumed twice (id extraction + join); candidate-volume sized
+    ids = _candidate_ids(cand)
+    if not len(ids):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        )
+    ids_ref = ray.put(ids)
 
-    return (
-        ds.map_batches(bucketize_factory(), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = pa.array(ray.get(ids_ref), type=batch[id_column].type)
+        return batch.filter(pc.is_in(batch[id_column], value_set=wanted)).select(
+            [id_column, embedding_column]
+        )
+
+    emb_ds = ds.map_batches(keep_candidates, batch_format="pyarrow")
+    joined = _attach_pair_payload(
+        cand.select_columns(["id_a", "id_b"]),
+        emb_ds,
+        id_column,
+        embedding_column,
+        num_buckets=32,
     )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        a = np.array(batch[embedding_column + "_a"].to_pylist(), dtype=np.float64)
+        b = np.array(batch[embedding_column + "_b"].to_pylist(), dtype=np.float64)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        denom = na * nb
+        denom[denom == 0] = 1.0
+        cos = (a * b).sum(axis=1) / denom
+        keep = cos >= threshold
+        # half-away-from-zero to match DuckDB round()
+        rounded = np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 * np.sign(cos)
+        t = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "cosine": pa.array(rounded, type=pa.float64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -1,10 +1,11 @@
 """Stream-shaped operators over the events table (ordered, keyed log).
 
-Ray Data has no event-time windows; these express the standard shapes the
-ray_guide documents: tumbling windows as groupby(key, bucket) with in-batch
-partial aggregation, session windows as per-key gap-walks inside hash-bucket
-groups.  Ordering assumption (stated per the guide): a key's complete
-history lands in one group; within the group we sort by (ts, event_id).
+Ray Data has no event-time windows; both operators reduce them to shapes
+the streaming executor handles well: tumbling windows become a
+groupby(key, time_bucket) with in-batch partial aggregation, session
+windows become per-key gap-walks inside hash-bucket groups.  Ordering
+assumption: a key's complete history lands in one group; within the group
+we sort by (ts, event_id).
 """
 
 from __future__ import annotations
@@ -72,16 +73,11 @@ def sessionize(
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib
+        from .hashing import bucket_column
 
-        bucket = pa.array(
-            [
-                zlib.crc32(str(v).encode()) % num_buckets
-                for v in batch[key_column].to_pylist()
-            ],
-            type=pa.int32(),
+        return batch.append_column(
+            "__bucket", bucket_column(batch[key_column], num_buckets)
         )
-        return batch.append_column("__bucket", bucket)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_column, ts_column, id_column])

@@ -55,7 +55,7 @@ def bucketed_hash_join(
     bucket, and merge matching buckets pairwise inside per-bucket kernels —
     an explicit partitioned hash join.  Skewed keys should be salted into
     sub-buckets by the caller (raise ``num_buckets``)."""
-    import zlib
+    from .hashing import bucket_column
 
     # align schemas for the union: rename right's clashing columns (except
     # the key), then pad each side with typed nulls for the other's columns
@@ -87,11 +87,7 @@ def bucketed_hash_join(
                 else:
                     arrays.append(pa.nulls(batch.num_rows, type=typ))
             out = pa.Table.from_arrays(arrays, names=names)
-            b = pa.array(
-                [zlib.crc32(str(v).encode()) % num_buckets for v in out[on].to_pylist()],
-                type=pa.int32(),
-            )
-            out = out.append_column("__bucket", b)
+            out = out.append_column("__bucket", bucket_column(out[on], num_buckets))
             return out.append_column("__side", pa.array([side] * out.num_rows))
 
         return fn
@@ -101,12 +97,22 @@ def bucketed_hash_join(
     both = l.union(r)
 
     own_r_cols = sorted((r_cols - {on}))
+    own_r_set = set(own_r_cols)
+    type_of = dict(all_fields)
+    # explicit output schema: pandas merge output dtypes drift on empty /
+    # all-null groups (int64 -> float64/object), which breaks the Arrow
+    # block concat of the downstream sort — emit typed Arrow per group
+    out_fields = [(n, t) for n, t in all_fields if n not in own_r_set] + [
+        (n, type_of[n]) for n in own_r_cols
+    ]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["__side"] == "l"].drop(columns=["__side", "__bucket", *own_r_cols])
         rhs = g[g["__side"] == "r"][[on, *own_r_cols]]
-        if lhs.empty or (rhs.empty and how == "inner"):
-            return lhs.iloc[0:0].merge(rhs.iloc[0:0], on=on, how=how)
-        return lhs.merge(rhs, on=on, how=how)
+        m = lhs.merge(rhs, on=on, how=how)
+        arrays = [
+            pa.array(m[name], type=typ, from_pandas=True) for name, typ in out_fields
+        ]
+        return pa.Table.from_arrays(arrays, names=[n for n, _ in out_fields])
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

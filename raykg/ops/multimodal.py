@@ -189,8 +189,9 @@ def extract_media_features(
     ds: "ray.data.Dataset", fake: bool = True, batch_size: int = 256, concurrency=2
 ) -> "ray.data.Dataset":
     """Media table -> feature table. Small batch_size on purpose: payload
-    bytes x batch x concurrency must fit the worker heap (ray_guide
-    memory-aware rule)."""
+    bytes x batch x concurrency must fit the worker heap — large binary
+    columns need small batches or the actor pool's resident set outgrows
+    its node."""
     return ds.map_batches(
         MediaFeatureActor,
         fn_constructor_kwargs={"fake": fake},

@@ -444,81 +444,84 @@ def conversation_stats(
 
     A conversation with millions of turns would make a bare
     ``groupby(conv_id)`` ship every one of its mention rows to a single
-    reducer.  Phase 1 reduces on ``(conv_id, salt)`` where
-    ``salt = turn_idx % k`` — a hot conversation fans out over k reducers —
-    phase 2 merges the k partials per conversation.  Output:
-    (conv_id, n_mentions, n_turns, n_tags).
+    reducer — and shipping per-turn/per-tag LISTS through the exchange
+    would still move one list element per turn no matter how the rows are
+    salted.  Instead, distinct counting is flattened into a keyed table:
+
+    - phase 0 (in-batch, vectorized pandas): pre-aggregated mention counts
+      per ``(conv, salt=turn%k)`` plus the batch-DISTINCT ``(conv, turn)``
+      and ``(conv, tag)`` pairs, emitted as tall ``(conv_id, kind, key, n)``
+      rows — no lists, and a hot conversation's rows spread over its
+      distinct turn/tag keys plus k salt rows;
+    - phase 1: ``groupby(conv_id, kind, key).sum(n)`` — one surviving row
+      per globally distinct key;
+    - phase 2: in-batch partial reduce to ``(conv, n_mentions, n_turns,
+      n_tags)`` then a tiny ``groupby(conv_id).sum`` — the final exchange
+      carries three ints per conversation per block.
+
+    Output: (conv_id, n_mentions, n_turns, n_tags).
     """
+    import pandas as pd
+
     def phase0(batch: pa.Table) -> pa.Table:
-        # in-batch partial: (conv, salt) -> mention count + turn/tag sets
-        agg: Dict[tuple, list] = {}
-        for conv, turn, tag in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["tag"].to_pylist(),
-        ):
-            key = (conv, turn % salt_buckets)
-            cur = agg.setdefault(key, [0, set(), set()])
-            cur[0] += 1
-            cur[1].add(turn)
-            cur[2].add(tag)
-        keys = list(agg)
+        df = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "tag": batch["tag"],
+            }
+        ).to_pandas()
+        m = (
+            df.assign(key=(df["turn_idx"] % salt_buckets).astype(str))
+            .groupby(["conv_id", "key"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        m["kind"] = "m"
+        t = df[["conv_id", "turn_idx"]].drop_duplicates()
+        t = pd.DataFrame(
+            {"conv_id": t["conv_id"], "key": t["turn_idx"].astype(str),
+             "n": 0, "kind": "t"}
+        )
+        g = df[["conv_id", "tag"]].drop_duplicates()
+        g = pd.DataFrame(
+            {"conv_id": g["conv_id"], "key": g["tag"], "n": 0, "kind": "g"}
+        )
+        out = pd.concat([m, t, g], ignore_index=True)
         return pa.Table.from_pydict(
             {
-                "conv_id": [k[0] for k in keys],
-                "salt": pa.array([k[1] for k in keys], type=pa.int32()),
-                "n_mentions": [agg[k][0] for k in keys],
-                "turns": pa.array(
-                    [sorted(agg[k][1]) for k in keys], type=pa.list_(pa.int32())
-                ),
-                "tags": pa.array(
-                    [sorted(agg[k][2]) for k in keys], type=pa.list_(pa.string())
-                ),
+                "conv_id": pa.array(out["conv_id"], type=pa.string()),
+                "kind": pa.array(out["kind"], type=pa.string()),
+                "key": pa.array(out["key"], type=pa.string()),
+                "n": pa.array(out["n"], type=pa.int64()),
             }
         )
 
-    import pandas as pd
-
-    def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
-        # phase-1 reducer: one (conv, salt) group
-        turns = set()
-        tags = set()
-        for t in g["turns"]:
-            turns.update(t)
-        for t in g["tags"]:
-            tags.update(t)
-        return pd.DataFrame(
-            [
-                {
-                    "conv_id": g["conv_id"].iloc[0],
-                    "n_mentions": int(g["n_mentions"].sum()),
-                    "turns": sorted(turns),
-                    "tags": sorted(tags),
-                }
-            ]
-        )
-
-    def merge_conv(g: pd.DataFrame) -> pd.DataFrame:
-        turns = set()
-        tags = set()
-        for t in g["turns"]:
-            turns.update(t)
-        for t in g["tags"]:
-            tags.update(t)
-        return pd.DataFrame(
-            [
-                {
-                    "conv_id": g["conv_id"].iloc[0],
-                    "n_mentions": int(g["n_mentions"].sum()),
-                    "n_turns": len(turns),
-                    "n_tags": len(tags),
-                }
-            ]
-        )
-
-    salted = (
+    keyed = (
         mentions.map_batches(phase0, batch_format="pyarrow")
-        .groupby(["conv_id", "salt"])
-        .map_groups(merge_salted, batch_format="pandas")
+        .groupby(["conv_id", "kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
     )
-    return salted.groupby("conv_id").map_groups(merge_conv, batch_format="pandas")
+
+    def phase2(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        kinds = df["kind"]
+        per_conv = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "n_mentions": df["n"].where(kinds == "m", 0),
+                "n_turns": (kinds == "t").astype("int64"),
+                "n_tags": (kinds == "g").astype("int64"),
+            }
+        ).groupby("conv_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(per_conv, preserve_index=False)
+
+    return (
+        keyed.map_batches(phase2, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_tags", alias_name="n_tags"),
+        )
+    )

@@ -24,8 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import zlib
-from typing import Set
+from typing import Optional, Set
 
 import pandas as pd
 import pyarrow as pa
@@ -33,20 +32,18 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from ..ops.hashing import bucket_column, partition_of
 
-def partition_of(key: str, num_partitions: int) -> int:
-    """Deterministic, process-stable partition id (zlib.crc32, NOT hash())."""
-    return zlib.crc32(key.encode("utf-8")) % num_partitions
+__all__ = ["partition_of", "add_partition_column", "PartitionedWriter"]
 
 
 def add_partition_column(
     ds: "ray.data.Dataset", key_column: str, num_partitions: int
 ) -> "ray.data.Dataset":
     def add(batch: pa.Table) -> pa.Table:
-        parts = pa.array(
-            [partition_of(k, num_partitions) for k in batch[key_column].to_pylist()],
-            type=pa.int32(),
-        )
+        # vectorized crc32-on-vocab kernel; agrees with partition_of() so
+        # manifests written by older runs stay valid
+        parts = bucket_column(batch[key_column], num_partitions, stable_str=True)
         return batch.append_column("part", parts)
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -66,17 +63,27 @@ class PartitionedWriter:
     def manifest_path(self, part: int) -> str:
         return os.path.join(self._part_dir(part), "manifest.json")
 
-    def done_partitions(self) -> Set[int]:
+    def done_partitions(self, fingerprint: Optional[str] = None) -> Set[int]:
+        """Partitions whose manifest says ``complete`` — and, when a
+        ``fingerprint`` is given, whose manifest was written under the SAME
+        config fingerprint.  A partition completed under a different config
+        is NOT done: skipping it would silently mix outputs of two configs
+        in one directory; the writer recomputes (and overwrites) it instead.
+        """
         done = set()
         for part in range(self.num_partitions):
             p = self.manifest_path(part)
             if os.path.exists(p):
                 try:
                     with open(p) as f:
-                        if json.load(f).get("status") == "complete":
-                            done.add(part)
+                        m = json.load(f)
                 except (json.JSONDecodeError, OSError):
                     continue
+                if m.get("status") != "complete":
+                    continue
+                if fingerprint is not None and m.get("fingerprint") != fingerprint:
+                    continue
+                done.add(part)
         return done
 
     # -- write --------------------------------------------------------------
@@ -97,7 +104,7 @@ class PartitionedWriter:
         """
         num_partitions = self.num_partitions
         with_part = add_partition_column(ds, key_column, num_partitions)
-        done = self.done_partitions() if resume else set()
+        done = self.done_partitions(fingerprint=fingerprint) if resume else set()
         if done:
             done_arr = sorted(done)
 
@@ -112,37 +119,56 @@ class PartitionedWriter:
         out_dir = self.out_dir
         part_dir_fmt = self._part_dir
 
-        def write_group(g: pd.DataFrame) -> pd.DataFrame:
-            part = int(g["part"].iloc[0])
+        manifest_path_fmt = self.manifest_path
+
+        def write_group(g: pa.Table) -> pa.Table:
+            # pyarrow end-to-end: the group stays object-store-backed Arrow
+            # (no whole-partition pandas copy) and is written in bounded
+            # record-batch chunks through one ParquetWriter
+            part = int(g["part"][0].as_py())
             pdir = part_dir_fmt(part)
             os.makedirs(pdir, exist_ok=True)
-            data = g.drop(columns=["part"])
+            data = g.drop_columns(["part"])
             tmp = os.path.join(pdir, ".data.parquet.tmp")
             final = os.path.join(pdir, "data.parquet")
-            table = pa.Table.from_pandas(data, preserve_index=False)
-            pq.write_table(table, tmp)
+            with pq.ParquetWriter(tmp, data.schema) as writer:
+                for rb in data.to_batches(max_chunksize=65536):
+                    writer.write_batch(rb)
+            h = hashlib.md5()
             with open(tmp, "rb") as f:
-                content_hash = hashlib.md5(f.read()).hexdigest()
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            content_hash = h.hexdigest()
             os.replace(tmp, final)
+            import pyarrow.compute as pc
+
             manifest = {
                 "part": part,
                 "status": "complete",
-                "rows": int(len(data)),
-                "n_keys": int(data[key_column].nunique()) if key_column in data else None,
+                "rows": int(data.num_rows),
+                "n_keys": (
+                    int(pc.count_distinct(data[key_column]).as_py())
+                    if key_column in data.schema.names
+                    else None
+                ),
                 "content_md5": content_hash,
-                "columns": list(data.columns),
+                "columns": list(data.schema.names),
                 "fingerprint": fingerprint,
             }
             mtmp = os.path.join(pdir, ".manifest.json.tmp")
             with open(mtmp, "w") as f:
                 json.dump(manifest, f)
-            os.replace(mtmp, self.manifest_path(part))
-            return pd.DataFrame(
-                [{"part": part, "rows": manifest["rows"], "content_md5": content_hash}]
+            os.replace(mtmp, manifest_path_fmt(part))
+            return pa.Table.from_pydict(
+                {
+                    "part": pa.array([part], type=pa.int64()),
+                    "rows": pa.array([manifest["rows"]], type=pa.int64()),
+                    "content_md5": pa.array([content_hash], type=pa.string()),
+                }
             )
 
         summary = with_part.groupby("part").map_groups(
-            write_group, batch_format="pandas"
+            write_group, batch_format="pyarrow"
         )
         result = summary.to_pandas()  # tiny: one row per partition
         if result.empty:  # full resume: every partition already complete

@@ -235,8 +235,36 @@ def q_simhash_pairs(sf_dir: str):
     return dedup_ops.simhash_near_pairs(docs, max_hamming=8)
 
 
+EMB_PLANT_OFFSET = 1_000_000
+EMB_PLANT_EPS = 0.05
+
+
 def q_embedding_near(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    """Embedding near-dup pairs over the embeddings table augmented with
+    DETERMINISTIC planted near-duplicates (e'[i] = e[i] + 0.05*e[(i%d)+1],
+    vec_id + 1e6) so the query is non-vacuous — the raw table is random
+    gaussian with max pairwise cosine ~0.51.  The same derivation is
+    SQL-expressible, so the DuckDB oracle computes brute-force cosine over
+    the identical augmented table; planted pairs sit at cosine ~0.9987,
+    far above the 0.9 threshold, and multi-table LSH recall at that cosine
+    is 1 - 8.5e-10 per pair."""
+
+    def with_planted(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        e = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        pert = e + EMB_PLANT_EPS * np.roll(e, -1, axis=1)
+        out_ids = np.concatenate([ids, ids + EMB_PLANT_OFFSET])
+        out_e = np.concatenate([e, pert])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(out_ids, type=pa.int64()),
+                "embedding": pa.array(out_e.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(with_planted, batch_format="pyarrow")
     return dedup_ops.embedding_near_pairs(emb, threshold=0.9)
 
 
@@ -623,6 +651,68 @@ ORACLE_SQL: Dict[str, str] = {
                CASE WHEN media_type = 'image' THEN CAST(1 + d1 % 64 AS INTEGER) END AS height,
                CASE WHEN media_type IN ('audio','video') THEN round(d2 / 10.0, 1) END AS duration_s
         FROM d
+    """,
+    # brute-force exact word-3-gram Jaccard over all pairs — the engine's
+    # LSH (num_perm=64, 16 bands) has recall ~1-1e-15 at the corpus's
+    # near-dup density (all pairs >= 0.4 sit at jaccard >= 0.97), and every
+    # candidate is verified exactly, so LSH output == brute force here
+    "minhash_pairs": r"""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                              generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                          ELSE [] END AS sh
+              FROM w)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0) >= 0.4
+    """,
+    # full-fidelity mirror of the engine pipeline: the same md5-based
+    # 64-bit SimHash per doc, the same 4x16-bit banding condition (shared
+    # chunk), the same hamming cutoff — so banding recall is irrelevant to
+    # the comparison
+    "simhash_pairs": r"""
+        WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+                   FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv FROM w),
+        bits AS (SELECT doc_id, b.b AS bit,
+                        SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+                 GROUP BY doc_id, b.b),
+        sh AS (SELECT doc_id,
+                      SUM(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS simhash
+               FROM bits GROUP BY doc_id),
+        alldocs AS (SELECT d.doc_id, COALESCE(sh.simhash, 0::UBIGINT) AS simhash
+                    FROM documents d LEFT JOIN sh USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+          AND (((a.simhash >> 0)  & 65535) = ((b.simhash >> 0)  & 65535)
+            OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+            OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+            OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+    """,
+    # brute-force cosine over the same deterministically-augmented table
+    # the Ray query builds (see q_embedding_near); planted pairs at ~0.9987
+    # vs a 0.52 random ceiling make the 0.9 threshold unambiguous
+    "embedding_near": f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        pert AS (SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id,
+                        list_transform(generate_series(1, len(e)),
+                                       i -> e[i] + {EMB_PLANT_EPS} * e[(i % len(e)) + 1]) AS e
+                 FROM base),
+        all_e AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM pert)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.9
     """,
     "ann_topk": f"""
         WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

@@ -11,8 +11,8 @@ from raykg.ops.dedup import (
     embedding_near_pairs,
     exact_dedup,
     exact_dedup_groups,
+    jaccard_verify,
     minhash_lsh_pairs,
-    ngram_jaccard_verify,
     simhash_near_pairs,
 )
 from raykg.ops.multimodal import MediaFeatureActor, documents_to_media, extract_media_features
@@ -55,9 +55,9 @@ class TestDedup:
         assert (0, 3) in pairs or (1, 3) in pairs  # near dup (1 word changed)
         assert not any(4 in p for p in pairs)
 
-    def test_ngram_jaccard_verify(self):
-        cands = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 4]})
-        out = ngram_jaccard_verify(docs_ds(DUP_ROWS), cands)
+    def test_jaccard_verify(self):
+        cands = docs_ds(pd.DataFrame({"id_a": [0, 0], "id_b": [1, 4]}))
+        out = jaccard_verify(docs_ds(DUP_ROWS), cands).to_pandas()
         j = out.set_index(["id_a", "id_b"])["jaccard"]
         assert j[(0, 1)] == 1.0
         assert j[(0, 4)] == 0.0
