@@ -142,6 +142,69 @@ def q_conv_stats(sf_dir: str):
     return conversation_stats(_mentions(sf_dir))
 
 
+# Overlap-hardening ontology: keywords deliberately SHARE tokens (every
+# "big data" occurrence collides with a "data" match, etc.), so these
+# queries exercise longest-wins span filtering (core/automaton.filter_longest)
+# and the general per-row matcher path end-to-end — the main ONTOLOGY is
+# token-disjoint by design and never does.
+OVERLAP_ONTOLOGY = [
+    ("BigData", "big data", "concept"),
+    ("DataWindow", "data window", "concept"),
+    ("WindowMerge", "window merge", "concept"),
+    ("Data", "data", "word"),
+    ("Window", "window", "word"),
+    ("Merge", "merge", "word"),
+]
+
+
+def q_tag_overlap(sf_dir: str):
+    """Mention counts under an overlapping ontology in category mode:
+    longest-match-wins overlap resolution, verified against a recursive-CTE
+    DuckDB oracle that replays the exact greedy filter_spans algorithm."""
+    from .tag import extract_mention_counts
+
+    return extract_mention_counts(
+        read_transcripts(sf_dir), OVERLAP_ONTOLOGY, _cfg(category_column="category")
+    )
+
+
+def q_tag_casefold(sf_dir: str):
+    """ignore_case end-to-end on a NON-lowercase corpus: every third turn is
+    uppercased before tagging, so matches only survive if case folding
+    actually runs (the raw corpus is all-lowercase, which made ignore_case
+    vacuous in the round-1 oracle matrix)."""
+    from .tag import extract_mention_counts
+
+    def upper_some(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        turn = np.asarray(batch["turn_idx"].to_pylist())
+        mask = pa.array(turn % 3 == 1)
+        text2 = pc.if_else(mask, pc.ascii_upper(batch["text"]), batch["text"])
+        return batch.set_column(batch.schema.get_field_index("text"), "text", text2)
+
+    ds = read_transcripts(sf_dir).map_batches(upper_some, batch_format="pyarrow")
+    return extract_mention_counts(ds, ONTOLOGY, _cfg(ignore_case=True))
+
+
+def q_tag_diacritics(sf_dir: str):
+    """ignore_diacritics (+case) end-to-end: every 'a' becomes 'á' before
+    tagging — non-ASCII text forces the general NFD-normalizing path, and
+    matches only survive if accent stripping actually runs."""
+    from .tag import extract_mention_counts
+
+    def accent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text2 = pc.replace_substring(batch["text"], "a", "á")
+        return batch.set_column(batch.schema.get_field_index("text"), "text", text2)
+
+    ds = read_transcripts(sf_dir).map_batches(accent, batch_format="pyarrow")
+    return extract_mention_counts(
+        ds, ONTOLOGY, _cfg(ignore_case=True, ignore_diacritics=True)
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -395,6 +458,9 @@ QUERIES: Dict[str, Callable] = {
     "nodes": q_nodes,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
+    "tag_overlap": q_tag_overlap,
+    "tag_casefold": q_tag_casefold,
+    "tag_diacritics": q_tag_diacritics,
     "distinct_langs": q_distinct_langs,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -413,6 +479,51 @@ QUERIES: Dict[str, Callable] = {
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
 }
+
+def _overlap_oracle_sql() -> str:
+    """Exact SQL replay of ``filter_longest`` (spaCy filter_spans) for the
+    overlap ontology: enumerate every token-level match per turn, rank by
+    (length DESC, start ASC), then a RECURSIVE CTE walks the ranks carrying
+    the kept-interval list and keeps a span iff it overlaps none kept so
+    far — the same greedy the engine runs, including the chain case where a
+    span survives because its dominator was itself dominated.  Spans are
+    encoded as start*1000+end ints (turns are far below 1000 tokens)."""
+    span_cases = []
+    for tag, kw, _cat in OVERLAP_ONTOLOGY:
+        toks = kw.split(" ")
+        length = len(toks)
+        cond = " AND ".join(f"ws[i+{j}]='{t}'" for j, t in enumerate(toks))
+        span_cases.append(
+            f"SELECT conv_id, turn_idx, '{tag}' AS tag, '{kw}' AS keyword, "
+            f"u.i AS s, u.i + {length} AS e "
+            f"FROM w, unnest(list_filter(generate_series(1, len(ws)-{length-1}), "
+            f"i -> {cond})) AS u(i)"
+        )
+    spans_sql = " UNION ALL ".join(span_cases)
+    return f"""
+        WITH RECURSIVE t AS ({TRANSCRIPTS_SQL}),
+        w AS (SELECT conv_id, turn_idx, str_split(text, ' ') AS ws FROM t),
+        spans AS ({spans_sql}),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                ORDER BY (e - s) DESC, s ASC, tag ASC) AS rn
+                   FROM spans),
+        greedy AS (
+          SELECT conv_id, turn_idx, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept,
+                 CAST(NULL AS VARCHAR) AS tag, CAST(NULL AS VARCHAR) AS keyword, FALSE AS is_kept
+          FROM (SELECT DISTINCT conv_id, turn_idx FROM ranked)
+          UNION ALL
+          SELECT r.conv_id, r.turn_idx, r.rn,
+                 CASE WHEN len(list_filter(g.kept, k -> (k // 1000) < r.e AND r.s < (k % 1000))) = 0
+                      THEN list_append(g.kept, r.s * 1000 + r.e) ELSE g.kept END,
+                 r.tag, r.keyword,
+                 len(list_filter(g.kept, k -> (k // 1000) < r.e AND r.s < (k % 1000))) = 0
+          FROM greedy g JOIN ranked r
+            ON r.conv_id = g.conv_id AND r.turn_idx = g.turn_idx AND r.rn = g.rn + 1
+        )
+        SELECT conv_id, turn_idx, tag, keyword, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM greedy WHERE is_kept GROUP BY 1, 2, 3, 4
+    """
+
 
 ORACLE_SQL: Dict[str, str] = {
     "transcripts": TRANSCRIPTS_SQL,
@@ -548,6 +659,29 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS n_turns,
                CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_tags
         FROM occ GROUP BY conv_id
+    """,
+    "tag_overlap": _overlap_oracle_sql(),
+    "tag_casefold": f"""
+        WITH {_T_CTE}, {_ONTO_CTE},
+        t2 AS (SELECT conv_id, turn_idx,
+                      CASE WHEN turn_idx % 3 = 1 THEN upper(text) ELSE text END AS text
+               FROM t),
+        occ AS (SELECT t2.conv_id, t2.turn_idx, onto.tag, onto.keyword,
+                       len(regexp_extract_all(lower(t2.text), '\\b' || onto.keyword || '\\b')) AS n_matches
+                FROM t2, onto
+                WHERE regexp_matches(lower(t2.text), '\\b' || onto.keyword || '\\b'))
+        SELECT conv_id, turn_idx, tag, keyword, n_matches FROM occ
+    """,
+    "tag_diacritics": f"""
+        WITH {_T_CTE}, {_ONTO_CTE},
+        t2 AS (SELECT conv_id, turn_idx,
+                      strip_accents(lower(replace(text, 'a', 'á'))) AS text
+               FROM t),
+        occ AS (SELECT t2.conv_id, t2.turn_idx, onto.tag, onto.keyword,
+                       len(regexp_extract_all(t2.text, '\\b' || onto.keyword || '\\b')) AS n_matches
+                FROM t2, onto
+                WHERE regexp_matches(t2.text, '\\b' || onto.keyword || '\\b'))
+        SELECT conv_id, turn_idx, tag, keyword, n_matches FROM occ
     """,
     "distinct_langs": """
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang

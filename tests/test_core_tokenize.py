@@ -90,3 +90,14 @@ def test_split_sentences_periods():
         "I have my keyword in this sentence.",
         "I have an oTHer keyWord in the second sentence.",
     ]
+
+
+def test_tokenize_exotic_ascii_whitespace_fastpath_parity():
+    # \x0b / \x0c are ASCII whitespace: the single-space fast path must
+    # reject them so both paths agree (strict path emits whitespace tokens)
+    for ch in ("\x0b", "\x0c"):
+        text = f"a{ch}b"
+        fast = Tokenizer("en").tokenize(text)
+        strict = Tokenizer("en", strict=True).tokenize(text)
+        assert fast == strict, repr(text)
+        assert [t[0] for t in fast] == ["a", ch, "b"]

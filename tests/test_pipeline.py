@@ -179,6 +179,25 @@ class TestPartitionedIO:
         assert partition_of("c123", 64) == partition_of("c123", 64)
         assert 0 <= partition_of("anything", 8) < 8
 
+    def test_resume_keyed_by_fingerprint(self, tmp_path):
+        # a partition completed under config A must NOT be skipped when
+        # re-running under config B (would silently mix outputs)
+        cfg = PipelineConfig(language="en", concurrency=1)
+        triples = extract_triples(read_transcripts(SF), ONTO, cfg)
+        out = str(tmp_path / "edges")
+        w = PartitionedWriter(out, num_partitions=4)
+        s1 = w.write(triples, key_column="conv_id", fingerprint="cfgA")
+        assert w.done_partitions(fingerprint="cfgA") == set(s1["part"])
+        assert w.done_partitions(fingerprint="cfgB") == set()
+        # resume under the SAME fingerprint: nothing rewritten
+        s2 = w.write(triples, key_column="conv_id", fingerprint="cfgA")
+        assert len(s2) == 0
+        # resume under a DIFFERENT fingerprint: everything recomputed
+        s3 = w.write(triples, key_column="conv_id", fingerprint="cfgB")
+        assert set(s3["part"]) == set(s1["part"])
+        mf = json.load(open(w.manifest_path(int(s3["part"].iloc[0]))))
+        assert mf["fingerprint"] == "cfgB"
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_job_build_graph_and_resume(tmp_path):

@@ -120,3 +120,43 @@ def test_empty_inputs():
     assert vm.batch_counts([]) == []
     rows, pids, counts = vm.batch_hits([])
     assert len(rows) == 0
+
+
+def test_mode_gating_self_overlap():
+    # a pattern with a repeated token ("bye bye") can self-overlap; in
+    # category (longest-wins) mode the shifted-equality kernel would count
+    # overlapping occurrences the span filter removes -> general path only
+    onto = clean_ontology(
+        [("Bye", "bye bye", "x"), ("Hi", "hello", "y")], has_category=True
+    )
+    m = compile_matcher(onto, "en", MatchConfig(), True)
+    assert get_vectorized(m) is None
+    assert slow_counts(m, "bye bye bye") == {("Bye", "x", "bye bye"): 1}
+    # in all-matches (no-category) mode overlapping self-matches are real
+    # matches and the vectorized kernel agrees with the general path
+    onto2 = clean_ontology([("Bye", "bye bye")], has_category=False)
+    m2 = compile_matcher(onto2, "en", MatchConfig(), False)
+    vm2 = get_vectorized(m2)
+    assert vm2 is not None
+    counts = vm2.batch_counts(["bye bye bye"])
+    expect = slow_counts(m2, "bye bye bye")
+    assert resolved_counts(m2, counts[0]) == expect
+    assert sum(expect.values()) == 2  # both overlapping occurrences
+
+
+def test_fuzz_repeated_word_keywords_no_category():
+    # fuzz the self-overlap shape in the mode where it IS vectorized
+    import random as _random
+
+    onto = clean_ontology([("Bye", "bye bye"), ("Go", "go")], has_category=False)
+    m = compile_matcher(onto, "en", MatchConfig(), False)
+    vm = get_vectorized(m)
+    assert vm is not None
+    rng = _random.Random(7)
+    texts = [
+        " ".join(rng.choice(["bye", "go", "x"]) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    fast = vm.batch_counts(texts)
+    for i, t in enumerate(texts):
+        assert resolved_counts(m, fast[i]) == slow_counts(m, t), t
