@@ -193,3 +193,30 @@ def test_normalize_invariant_order():
     # NFD leaves combining chars when not ignoring diacritics
     out = normalize("é", ignore_case=False, ignore_diacritics=False)
     assert len(out) == 2  # e + combining accent (NFD)
+
+
+@pytest.mark.parametrize(
+    "language,form,lemma",
+    [
+        ("en", "thought", "think"),
+        ("en", "children", "child"),
+        ("en", "stopped", "stop"),
+        ("en", "matrices", "matrix"),
+        ("fr", "étaient", "être"),
+        ("fr", "aurons", "avoir"),
+        ("fr", "travaillons", "travailler"),
+        ("fr", "finissent", "finir"),
+        ("de", "gegangen", "gehen"),
+        ("de", "wusste", "wissen"),
+        ("de", "funktionierte", "funktionieren"),
+        ("es", "tuvieron", "tener"),
+        ("es", "fui", "ser"),
+        ("es", "trabajábamos", "trabajar"),
+        ("es", "escrito", "escribir"),
+    ],
+)
+def test_lemma_table_depth(language, form, lemma):
+    # the deepened paradigm-derived tables (scripts/gen_lemma_tables.py)
+    from raykg.core.lemma import Lemmatizer
+
+    assert Lemmatizer(language).lemma(form) == lemma
