@@ -47,6 +47,15 @@ def _text_hash(t: str) -> str:
     return hashlib.md5((t or "").encode("utf-8")).hexdigest()
 
 
+def _pool_size(cap: int = 8) -> int:
+    """Fixed actor-pool size for stateful dedup stages: 3/4 of the cluster's
+    CPUs, capped.  Fixed because Ray 2.49's autoscaling pool sticks at min
+    size under a busy upstream; fractional because a pool that reserves
+    every CPU starves the read stage into a deadlock."""
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cap, (ncpu * 3) // 4))
+
+
 # --- exact -----------------------------------------------------------------
 
 def exact_dedup_groups(
@@ -172,23 +181,34 @@ def _bucket_candidate_pairs(
     id_column: str = "doc_id",
     payload_cols: Sequence[str] = (),
     max_bucket_members: int = 512,
+    distinct: bool = True,
 ) -> "ray.data.Dataset":
-    """(bucket, shard, id[, payloads]) rows -> DISTINCT (id_a < id_b) pairs.
+    """(bucket, shard, id[, payloads]) rows -> (id_a < id_b) candidate pairs.
 
     One shuffle groups buckets into shards; pair emission happens inside the
-    shard (vectorized); a second groupby dedups pairs that surfaced in more
-    than one bucket/band.  Everything stays a Dataset."""
+    shard (vectorized).  With ``distinct=True`` a second groupby dedups
+    pairs that surfaced in more than one bucket/band; callers whose verify
+    stage is a cheap map can instead pass ``distinct=False`` and dedup
+    AFTER filtering (smaller input, one less big all-to-all).  Everything
+    stays a Dataset."""
     pairs = bands.groupby("shard").map_groups(
         _shard_pair_emitter(id_column, payload_cols, max_bucket_members),
         batch_format="pandas",
     )
+    if not distinct:
+        return pairs
+    return _distinct_pairs(pairs, [c + s for c in payload_cols for s in ("_a", "_b")])
+
+
+def _distinct_pairs(
+    pairs: "ray.data.Dataset", carry_cols: Sequence[str] = ()
+) -> "ray.data.Dataset":
+    """Global (id_a, id_b) dedup; carried columns are identical across
+    duplicates so Min is a pick-any."""
     aggs = [Count(alias_name="__n")] + [
-        a
-        for c in payload_cols
-        for a in (Min(c + "_a", alias_name=c + "_a"), Min(c + "_b", alias_name=c + "_b"))
+        Min(c, alias_name=c) for c in carry_cols
     ]
-    distinct = pairs.groupby(["id_a", "id_b"]).aggregate(*aggs)
-    return distinct.drop_columns(["__n"])
+    return pairs.groupby(["id_a", "id_b"]).aggregate(*aggs).drop_columns(["__n"])
 
 
 def _candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
@@ -212,15 +232,65 @@ def _candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
     return np.asarray(sorted(ids), dtype=np.int64)
 
 
+# above this many candidate docs the payload side stops being broadcastable
+# and the verify joins fall back to bucketed shuffles
+_BROADCAST_MAX_DOCS = 200_000
+
+
 def _attach_pair_payload(
     pairs: "ray.data.Dataset",
     payload: "ray.data.Dataset",
     id_column: str,
     payload_column: str,
     num_buckets: int = 32,
+    broadcast: Optional[bool] = None,
+    n_candidate_docs: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """pairs (id_a, id_b) x payload (id, value) -> (id_a, id_b, value_a,
-    value_b) via two bucketed hash joins — candidate-volume shuffles only."""
+    value_b).
+
+    The payload table holds CANDIDATE docs only, so it is near-dup-volume
+    sized; when small enough it ships once through the object store as
+    Arrow block refs and every task joins map-side (no shuffle, no driver
+    copy).  Above ``_BROADCAST_MAX_DOCS`` candidates, two bucketed hash
+    joins do the same with candidate-volume shuffles."""
+    if broadcast is None:
+        broadcast = (
+            n_candidate_docs is not None and n_candidate_docs <= _BROADCAST_MAX_DOCS
+        )
+    if broadcast:
+        refs = payload.materialize().to_arrow_refs()
+        pc_a = payload_column + "_a"
+        pc_b = payload_column + "_b"
+
+        def join(batch: pa.Table) -> pa.Table:
+            tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+            if tabs:
+                full = pa.concat_tables(tabs)
+                lookup = dict(
+                    zip(full[id_column].to_pylist(), full[payload_column].to_pylist())
+                )
+                ptype = full.schema.field(payload_column).type
+            else:
+                lookup = {}
+                ptype = pa.list_(pa.int64())
+            a_ids = batch["id_a"].to_pylist()
+            b_ids = batch["id_b"].to_pylist()
+            mask = [i in lookup and j in lookup for i, j in zip(a_ids, b_ids)]
+            kept = batch.filter(pa.array(mask))
+            a_ids = kept["id_a"].to_pylist()
+            b_ids = kept["id_b"].to_pylist()
+            return pa.Table.from_pydict(
+                {
+                    "id_a": kept["id_a"],
+                    "id_b": kept["id_b"],
+                    pc_a: pa.array([lookup[i] for i in a_ids], type=ptype),
+                    pc_b: pa.array([lookup[i] for i in b_ids], type=ptype),
+                }
+            )
+
+        return pairs.map_batches(join, batch_format="pyarrow")
+
     from .join import bucketed_hash_join
 
     def rename(ds, mapping):
@@ -408,6 +478,7 @@ def jaccard_verify(
         id_column,
         "sh",
         num_buckets=num_buckets,
+        n_candidate_docs=len(ids),
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -439,7 +510,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     num_bands: int = 16,
     shingle_k: int = 3,
-    concurrency=2,
+    concurrency=None,
     num_shards: int = 64,
     max_bucket_members: int = 512,
 ) -> "ray.data.Dataset":
@@ -460,18 +531,23 @@ def minhash_lsh_pairs(
             "num_shards": num_shards,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else _pool_size(),
     )
+    # duplicates across bands are deduped AFTER the (map-side) verify, on
+    # the much smaller filtered pair set — verify is deterministic, so
+    # scoring a pair once per matching band only costs map work
     cand = _bucket_candidate_pairs(
-        bands, id_column=id_column, max_bucket_members=max_bucket_members
+        bands, id_column=id_column, max_bucket_members=max_bucket_members,
+        distinct=False,
     )
     verified = jaccard_verify(
         ds, cand, text_column=text_column, id_column=id_column, shingle_k=shingle_k
     )
-    return verified.map_batches(
+    kept = verified.map_batches(
         lambda b, t=threshold: b.filter(pc.greater_equal(b["jaccard"], t)),
         batch_format="pyarrow",
     )
+    return _distinct_pairs(kept, ["jaccard"])
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -567,11 +643,14 @@ def simhash_near_pairs(
         )
 
     bands = hashed.map_batches(explode, batch_format="pyarrow")
+    # verify is a pure map, so chunk-duplicates are deduped after the
+    # hamming filter on the much smaller surviving pair set
     cand = _bucket_candidate_pairs(
         bands,
         id_column=id_column,
         payload_cols=["simhash"],
         max_bucket_members=max_bucket_members,
+        distinct=False,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -596,7 +675,7 @@ def simhash_near_pairs(
         )
         return t.filter(pa.array(keep))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return _distinct_pairs(cand.map_batches(verify, batch_format="pyarrow"), ["hamming"])
 
 
 # --- embedding near-dup ----------------------------------------------------
@@ -607,7 +686,7 @@ def embedding_near_pairs(
     id_column: str = "vec_id",
     threshold: float = 0.95,
     num_tables: int = 12,
-    planes_per_table: int = 12,
+    planes_per_table: int = 16,
     seed: int = 42,
     num_shards: int = 64,
     max_bucket_members: int = 1024,
@@ -616,6 +695,9 @@ def embedding_near_pairs(
     hyperplane LSH: ``num_tables`` independent plane sets each bucket the
     corpus; a pair is a candidate when it collides in ANY table (miss
     probability (1-(1-θ/π)^P)^T — tunable to ~0 for the target threshold).
+    ``planes_per_table`` also sets the bucket count (2^P): random-pair
+    candidate volume is ~n²·T/2^(P+1), so P should grow with log2(n) at
+    corpus scale to keep verification linear.
     Candidates are verified with exact cosine after a bucketed join attaches
     the two embeddings; per-bucket membership is capped deterministically.
     Output: (id_a, id_b, cosine >= threshold)."""
@@ -662,9 +744,12 @@ def embedding_near_pairs(
         return bucketize
 
     bands = ds.map_batches(bucketize_factory(), batch_format="pyarrow")
+    # cross-table duplicates are deduped after the (map-side) verify on the
+    # filtered pair set; materialized because it feeds id extraction + join
     cand = _bucket_candidate_pairs(
-        bands, id_column=id_column, max_bucket_members=max_bucket_members
-    ).materialize()  # consumed twice (id extraction + join); candidate-volume sized
+        bands, id_column=id_column, max_bucket_members=max_bucket_members,
+        distinct=False,
+    ).materialize()
     ids = _candidate_ids(cand)
     if not len(ids):
         return ray.data.from_pandas(
@@ -691,6 +776,7 @@ def embedding_near_pairs(
         id_column,
         embedding_column,
         num_buckets=32,
+        n_candidate_docs=len(ids),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -721,4 +807,4 @@ def embedding_near_pairs(
         )
         return t.filter(pa.array(keep))
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return _distinct_pairs(joined.map_batches(verify, batch_format="pyarrow"), ["cosine"])

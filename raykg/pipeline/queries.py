@@ -288,7 +288,10 @@ def q_minhash_pairs(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return dedup_ops.minhash_lsh_pairs(docs, threshold=0.4, concurrency=(1, 4))
+    # concurrency=None: fixed pool sized to 3/4 of cluster CPUs (capped) —
+    # Ray 2.49's autoscaling pool sticks at min size under a busy upstream,
+    # and a pool >= the CPU count deadlocks the read stage
+    return dedup_ops.minhash_lsh_pairs(docs, threshold=0.4)
 
 
 def q_simhash_pairs(sf_dir: str):
