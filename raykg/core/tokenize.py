@@ -14,9 +14,14 @@ tokenization semantics for dictionary matching parity:
 - ``#hashtag`` and URLs are single tokens
 - French/Italian/Catalan elision ("d'automne" -> "d'", "automne")
 - English contractions ("don't" -> "do", "n't")
-- CJK text is segmented per character with Latin/digit runs kept together
-  (greedy dictionary tokenization is the scale path; char-level keeps
-  keyword matching exact because both keyword and text segment identically)
+- CJK/Thai text is segmented by greedy longest-match against a per-language
+  dictionary (``segdict.py`` — sudachi/pythainlp-shaped; full dictionaries
+  plug in via ``RAYKG_SEGDICT_DIR``), falling back to one token per
+  character; Latin/digit runs are kept together.  Keyword matching stays
+  exact because keywords and text segment through the same dictionary.
+  zh ships an empty dictionary: spaCy's default Chinese segmenter is
+  per-character (reference ``test_spacy_tokenizer.py:32-48`` expects 19
+  tokens = 19 chars)
 
 Tokens are ``(text, start, end)`` char-offset triples over the input
 string, so span text can be sliced exactly from the original sentence.
@@ -91,6 +96,12 @@ class Tokenizer:
         self._cjk = language in _CJK_LANGS
         self._elision = language in _ELISION_LANGS
         self._en = language == "en"
+        if self._cjk:
+            from .segdict import load_segdict
+
+            self._segdict = load_segdict(language)
+        else:
+            self._segdict = None
 
     # -- public -------------------------------------------------------------
 
@@ -112,6 +123,7 @@ class Tokenizer:
             and "\x0b" not in text  # every non-space ASCII whitespace becomes
             and "\x0c" not in text  # a whitespace token on the strict path
             and "  " not in text
+            and not text.startswith(" ")  # leading space = whitespace token
         ):
             tokens: List[Token] = []
             pos = 0
@@ -132,10 +144,14 @@ class Tokenizer:
             start = m.start()
             if chunk.isspace():
                 # single space = separator; longer runs become whitespace
-                # tokens (minus one trailing space, per spaCy's documented rule)
-                if chunk == " ":
+                # tokens (minus one trailing space, per spaCy's documented
+                # rule).  A space run at TEXT START has no preceding token to
+                # act as separator for, so it becomes a token too (reference
+                # multilingual fixture: " Les sanglots ..." -> 8 tokens,
+                # test_spacy_tokenizer.py:32-48 — the leading space counts).
+                if chunk == " " and start > 0:
                     continue
-                if chunk.endswith(" "):
+                if chunk.endswith(" ") and len(chunk) > 1:
                     chunk = chunk[:-1]
                 tokens.append((chunk, start, start + len(chunk)))
             elif not self.strict and chunk.isalnum() and not (self._cjk and _contains_cjk(chunk)):
@@ -158,9 +174,16 @@ class Tokenizer:
         out: List[Token] = []
         i = 0
         n = len(chunk)
+        seg = self._segdict
         while i < n:
             ch = chunk[i]
             if _is_cjk_char(ch):
+                # greedy longest dictionary word, else one char
+                L = seg.longest_at(chunk, i) if seg is not None else 0
+                if L >= 2:
+                    out.append((chunk[i : i + L], offset + i, offset + i + L))
+                    i += L
+                    continue
                 out.append((ch, offset + i, offset + i + 1))
                 i += 1
             elif ch.isalnum():

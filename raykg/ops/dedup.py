@@ -262,18 +262,21 @@ def _attach_pair_payload(
         refs = payload.materialize().to_arrow_refs()
         pc_a = payload_column + "_a"
         pc_b = payload_column + "_b"
+        cache: dict = {}  # per-worker-process: lookup built once, not per batch
 
         def join(batch: pa.Table) -> pa.Table:
-            tabs = [t for t in ray.get(list(refs)) if t.num_rows]
-            if tabs:
-                full = pa.concat_tables(tabs)
-                lookup = dict(
-                    zip(full[id_column].to_pylist(), full[payload_column].to_pylist())
-                )
-                ptype = full.schema.field(payload_column).type
-            else:
-                lookup = {}
-                ptype = pa.list_(pa.int64())
+            if "lookup" not in cache:
+                tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+                if tabs:
+                    full = pa.concat_tables(tabs)
+                    cache["lookup"] = dict(
+                        zip(full[id_column].to_pylist(), full[payload_column].to_pylist())
+                    )
+                    cache["ptype"] = full.schema.field(payload_column).type
+                else:
+                    cache["lookup"] = {}
+                    cache["ptype"] = pa.list_(pa.int64())
+            lookup, ptype = cache["lookup"], cache["ptype"]
             a_ids = batch["id_a"].to_pylist()
             b_ids = batch["id_b"].to_pylist()
             mask = [i in lookup and j in lookup for i, j in zip(a_ids, b_ids)]

@@ -46,8 +46,28 @@ def test_tokenize_leading_space_token():
 
 
 def test_tokenize_cjk_chars():
+    # greedy dict: 一会 is a known word, 期 falls back to one char
     out = toks("期一会。", lang="ja")
-    assert out == ["期", "一", "会", "。"]
+    assert out == ["期", "一会", "。"]
+
+
+def test_tokenize_cjk_reference_fixtures():
+    # reference test_spacy_tokenizer.py:23-48 token counts
+    assert len(toks("期一会。 異体同心。 そうです。", lang="ja")) == 9
+    assert len(toks("子曰：“學而不思則罔，思而不學則殆。”", lang="zh")) == 19
+    assert len(toks("I hope nothing. I fear nothing. I am free.")) == 12
+    assert len(toks(" Les sanglots longs des violons d'automne", lang="fr")) == 8
+
+
+def test_tokenize_cjk_unknown_falls_back_to_chars():
+    out = toks("罔殆", lang="ja")  # not in the embedded lexicon
+    assert out == ["罔", "殆"]
+
+
+def test_tokenize_leading_space_is_token():
+    # spaCy: a leading space has no preceding token to separate -> token
+    assert toks(" a") == [" ", "a"]
+    assert toks("a ") == ["a"]
 
 
 def test_tokenize_max_chars():
