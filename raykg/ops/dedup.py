@@ -553,6 +553,79 @@ def minhash_lsh_pairs(
     return _distinct_pairs(kept, ["jaccard"])
 
 
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_shards: int = 64,
+    max_bucket_members: int = 512,
+    max_doc_shingles: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by exact n-gram Jaccard with an INVERTED-INDEX
+    candidate generator: docs sharing at least one shingle are candidates
+    (any pair with Jaccard > 0 shares one, so — unlike MinHash banding —
+    there are NO false negatives at any threshold), then the shared
+    distributed verify computes the exact score.
+
+    Each doc emits one (bucket=shingle_hash, doc_id) row per DISTINCT
+    shingle; a shingle shared by m docs yields ~m^2/2 candidates, so
+    ``max_bucket_members`` caps boilerplate shingles (deterministic min-id
+    truncation) and ``max_doc_shingles`` optionally applies prefix filtering
+    (only each doc's lowest-hash shingles index; exact for thresholds where
+    1 - threshold of the smaller set must overlap).  Defaults are exact.
+    Output: (id_a, id_b, jaccard >= threshold)."""
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        texts = batch[text_column].to_pylist()
+        out_b: List[np.ndarray] = []
+        out_i: List[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            hv = np.unique(
+                _hash_shingles64(_shingle_set(_WORD_RE.findall(t or ""), shingle_k))
+            )
+            if max_doc_shingles is not None and len(hv) > max_doc_shingles:
+                hv = np.sort(hv)[:max_doc_shingles]  # prefix filter: lowest hashes
+            if len(hv):
+                out_b.append(hv)
+                out_i.append(np.full(len(hv), i, dtype=np.int64))
+        if not out_b:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "shard": pa.array([], type=pa.int32()),
+                    id_column: pa.array([], type=pa.int64()),
+                }
+            )
+        bucket = np.concatenate(out_b)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "shard": pa.array(
+                    (bucket % num_shards).astype(np.int32), type=pa.int32()
+                ),
+                id_column: pa.array(np.concatenate(out_i), type=pa.int64()),
+            }
+        )
+
+    bands = ds.map_batches(index_rows, batch_format="pyarrow")
+    # a pair sharing s shingles surfaces s times; dedup BEFORE verify here
+    # (unlike minhash, multiplicity is unbounded — it equals the overlap)
+    cand = _bucket_candidate_pairs(
+        bands, id_column=id_column, max_bucket_members=max_bucket_members,
+        distinct=True,
+    )
+    verified = jaccard_verify(
+        ds, cand, text_column=text_column, id_column=id_column, shingle_k=shingle_k
+    )
+    return verified.map_batches(
+        lambda b, t=threshold: b.filter(pc.greater_equal(b["jaccard"], t)),
+        batch_format="pyarrow",
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)

@@ -294,6 +294,15 @@ def q_minhash_pairs(sf_dir: str):
     return dedup_ops.minhash_lsh_pairs(docs, threshold=0.4)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # inverted-index candidates: exact recall at ANY threshold (0.2 here is
+    # below what MinHash banding at 16 bands would reliably recall)
+    return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
 def q_simhash_pairs(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -474,6 +483,7 @@ QUERIES: Dict[str, Callable] = {
     "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
@@ -809,6 +819,27 @@ ORACLE_SQL: Dict[str, str] = {
         WHERE a.doc_id < b.doc_id
           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
               NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0) >= 0.4
+    """,
+    # same brute-force exact Jaccard, at a LOWER threshold (0.2): the
+    # inverted-index candidate generator shares at least one shingle with
+    # every pair of jaccard > 0, so engine output == brute force exactly,
+    # with no recall caveat
+    "jaccard_pairs": r"""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                              generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                          ELSE [] END AS sh
+              FROM w)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0) >= 0.2
     """,
     # full-fidelity mirror of the engine pipeline: the same md5-based
     # 64-bit SimHash per doc, the same 4x16-bit banding condition (shared

@@ -13,6 +13,7 @@ from raykg.ops.dedup import (
     exact_dedup_groups,
     jaccard_verify,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_near_pairs,
 )
 from raykg.ops.multimodal import MediaFeatureActor, documents_to_media, extract_media_features
@@ -61,6 +62,17 @@ class TestDedup:
         j = out.set_index(["id_a", "id_b"])["jaccard"]
         assert j[(0, 1)] == 1.0
         assert j[(0, 4)] == 0.0
+
+    def test_ngram_jaccard_pairs_exact_recall(self):
+        # inverted index: every pair with jaccard >= t surfaces, none below
+        out = ngram_jaccard_pairs(docs_ds(DUP_ROWS), threshold=0.2).to_pandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs  # exact dup
+        assert (0, 3) in pairs and (1, 3) in pairs  # near dups share shingles
+        assert not any(4 in p for p in pairs)  # disjoint text
+        assert (out["jaccard"] >= 0.2).all()
+        # each pair exactly once (candidates deduped before verify)
+        assert len(out) == len(pairs)
 
     def test_simhash_near_pairs(self):
         out = simhash_near_pairs(docs_ds(DUP_ROWS), max_hamming=3).to_pandas()
