@@ -1,0 +1,154 @@
+"""Connected components over a pair Dataset — duplicate-cluster formation.
+
+The near-dup operators (``ops/dedup.py``) emit PAIRS; a training-data
+pipeline needs CLUSTERS ("these 17 docs are all the same boilerplate; keep
+one").  Pairs form an undirected graph; a cluster is a connected component,
+canonically labeled by its minimum doc id.
+
+Algorithm: iterative min-label propagation (the standard BSP / Pregel
+formulation — label(v) <- min(label(v), min over neighbors' labels) until
+fixpoint), expressed in Ray Data:
+
+- the edge list is symmetrized once (+ self-edges) and materialized —
+  it is candidate-pair-volume sized, NOT corpus sized;
+- one iteration = attach each edge's head label (broadcast lookup for the
+  common case, bucketed hash join above ``_BROADCAST_MAX_LABELS`` nodes)
+  then ``groupby(src).min`` — a candidate-volume shuffle;
+- labels only ever decrease, so ``sum(labels)`` is a strictly decreasing
+  convergence witness; iteration stops when it stops changing.  Rounds
+  needed = graph diameter; near-dup components are dense (LSH emits most
+  of the clique), so 2–3 rounds is typical and the cap is a safety rail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+_BROADCAST_MAX_LABELS = 2_000_000  # ~32 MB of int64 pairs
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """(id_a, id_b) pair Dataset -> (doc_id, cluster_id) with cluster_id =
+    min doc id of the connected component.  Every id appearing in a pair is
+    labeled; singletons (docs in no pair) are absent by construction —
+    their cluster is themselves."""
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[id_a].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch[id_b].to_pylist(), dtype=np.int64)
+        # both directions + self-edges keep every node present and make
+        # min-propagation symmetric
+        src = np.concatenate([a, b, a, b])
+        dst = np.concatenate([b, a, a, b])
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # initial label: min neighbor (self included)
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+
+    def label_sum(lab: "ray.data.Dataset") -> int:
+        row = lab.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        labels = labels.materialize()  # consumed twice: attach + sum
+        n_nodes = labels.count()
+        if n_nodes <= _BROADCAST_MAX_LABELS:
+            refs = labels.to_arrow_refs()
+            cache: dict = {}
+
+            def attach(batch: pa.Table, refs=refs, cache=cache) -> pa.Table:
+                if "lut" not in cache:
+                    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+                    full = pa.concat_tables(tabs)
+                    k = np.asarray(full["src"].to_pylist(), dtype=np.int64)
+                    v = np.asarray(full["label"].to_pylist(), dtype=np.int64)
+                    order = np.argsort(k)
+                    cache["lut"] = (k[order], v[order])
+                k, v = cache["lut"]
+                dst = np.asarray(batch["dst"].to_pylist(), dtype=np.int64)
+                # every dst is a node (self-edges guarantee presence)
+                lab = v[np.searchsorted(k, dst)]
+                return pa.Table.from_pydict(
+                    {
+                        "src": batch["src"],
+                        "dst_label": pa.array(lab, type=pa.int64()),
+                    }
+                )
+
+            relabeled = edges.map_batches(attach, batch_format="pyarrow")
+        else:
+            from .join import bucketed_hash_join
+
+            renamed = labels.map_batches(
+                lambda b: b.rename_columns(["dst", "dst_label"]),
+                batch_format="pyarrow",
+            )
+            relabeled = bucketed_hash_join(
+                edges, renamed, on="dst", num_buckets=num_buckets
+            ).drop_columns(["dst"])
+
+        labels = relabeled.groupby("src").aggregate(Min("dst_label", alias_name="label"))
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_survivors(
+    ds: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Drop every clustered doc except its cluster's canonical (min-id)
+    representative; docs in no cluster pass through.  The cluster table is
+    near-dup-volume sized, so the drop set ships as one broadcast array."""
+    drop = clusters.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "d": pa.compute.filter(
+                    b[id_column].combine_chunks(),
+                    pa.compute.not_equal(b[id_column], b["cluster_id"]),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    drop_ids: set = set()
+    for b in drop.iter_batches(batch_format="pyarrow"):
+        drop_ids.update(b["d"].to_pylist())
+    ref = ray.put(np.asarray(sorted(drop_ids), dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bad = pa.array(ray.get(ref), type=batch[id_column].type)
+        return batch.filter(
+            pc.invert(pc.is_in(batch[id_column], value_set=bad))
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -303,6 +303,18 @@ def q_jaccard_pairs(sf_dir: str):
     return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate clusters: connected components over the exact-Jaccard
+    near-dup pair graph, labeled by min doc id."""
+    from ..ops.components import connected_components
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, threshold=0.2)
+    return connected_components(pairs).select_columns(["doc_id", "cluster_id"])
+
+
 def q_simhash_pairs(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -484,6 +496,7 @@ QUERIES: Dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "dup_clusters": q_dup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
@@ -840,6 +853,32 @@ ORACLE_SQL: Dict[str, str] = {
         WHERE a.doc_id < b.doc_id
           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
               NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0) >= 0.2
+    """,
+    # connected components over the same exact-Jaccard pair graph via a
+    # recursive CTE: reachability labels, min reachable id per node
+    "dup_clusters": r"""
+        WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                              generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                          ELSE [] END AS sh
+              FROM w),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a, s b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0) >= 0.2),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM cc GROUP BY node
     """,
     # full-fidelity mirror of the engine pipeline: the same md5-based
     # 64-bit SimHash per doc, the same 4x16-bit banding condition (shared

@@ -74,6 +74,28 @@ class TestDedup:
         # each pair exactly once (candidates deduped before verify)
         assert len(out) == len(pairs)
 
+    def test_connected_components_chain_and_clique(self):
+        from raykg.ops.components import connected_components, dedup_survivors
+
+        # chain 1-2-3-4 (diameter forces multiple propagation rounds),
+        # clique {10,11,12}, isolated pair {20,21}
+        pairs = docs_ds(
+            pd.DataFrame(
+                {
+                    "id_a": [1, 2, 3, 10, 10, 11, 20],
+                    "id_b": [2, 3, 4, 11, 12, 12, 21],
+                }
+            )
+        )
+        out = connected_components(pairs).to_pandas()
+        lab = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        corpus = docs_ds(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]})
+        )
+        kept = dedup_survivors(corpus, connected_components(pairs)).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 10, 20, 99]
+
     def test_simhash_near_pairs(self):
         out = simhash_near_pairs(docs_ds(DUP_ROWS), max_hamming=3).to_pandas()
         pairs = set(zip(out["id_a"], out["id_b"]))
