@@ -1,0 +1,74 @@
+"""Sharded vectorized aggregation — the scalable form of ``groupby``.
+
+Ray Data's ``groupby(keys).aggregate(...)`` pays ~0.25 ms of Python per
+DISTINCT KEY (measured on this box: 1M distinct int keys over 1M rows
+> 300 s, 64 keys over the same rows ~2 s).  That is fine when the group
+count is bounded (languages, concepts, partitions) and unusable when it
+scales with the data (distinct texts, candidate pairs, conversations,
+windows): at 100 TB a per-distinct-text aggregate is billions of Python
+callbacks.
+
+:func:`sharded_groupby_apply` keeps the same all-to-all exchange but
+shuffles on ``hash(keys) % num_shards`` instead of the raw key, so the
+engine sees O(num_shards) groups and the per-key work happens INSIDE the
+shard as one vectorized pandas ``groupby`` over all of its keys.  Ray's
+map_groups contract still sees every row of one shard in one call — rows
+of the same key always share a shard, so per-key results are exact.
+
+The helper composes with per-batch pre-aggregation (do it in the caller's
+``map_batches`` before calling this) — pre-agg bounds the exchange volume,
+sharding bounds the callback count; both are needed at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .hashing import bucket_of_column
+
+_SHARD_COL = "__agg_shard"
+
+
+def _shard_ids(batch: pa.Table, keys: Sequence[str], num_shards: int) -> np.ndarray:
+    """Combined deterministic shard id over one or more key columns."""
+    acc = bucket_of_column(batch[keys[0]], num_shards).astype(np.int64)
+    for k in keys[1:]:
+        nxt = bucket_of_column(batch[k], num_shards).astype(np.int64)
+        acc = (acc * np.int64(1_000_003) + nxt) % num_shards
+    return acc.astype(np.int32)
+
+
+def sharded_groupby_apply(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    apply: Callable[[pd.DataFrame], pd.DataFrame],
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """``ds.groupby(keys) -> apply(shard_df)`` with O(num_shards) engine
+    groups.
+
+    ``apply`` receives one shard as a pandas DataFrame (all rows of every
+    key hashed to that shard, helper column removed) and must itself group
+    by ``keys`` vectorized — e.g. ``df.groupby(keys).agg(...)``.  All rows
+    of one key are guaranteed to be in the same shard."""
+    keys = list(keys)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _SHARD_COL, pa.array(_shard_ids(batch, keys, num_shards), type=pa.int32())
+        )
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return apply(g.drop(columns=[_SHARD_COL]))
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby(_SHARD_COL)
+        .map_groups(run, batch_format="pandas")
+    )

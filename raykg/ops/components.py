@@ -39,6 +39,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 50,
     num_buckets: int = 32,
+    num_shards: int = 64,
 ) -> "ray.data.Dataset":
     """(id_a, id_b) pair Dataset -> (doc_id, cluster_id) with cluster_id =
     min doc id of the connected component.  Every id appearing in a pair is
@@ -61,8 +62,17 @@ def connected_components(
 
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
+    from .agg import sharded_groupby_apply
+
+    def min_per_src(df: pd.DataFrame) -> pd.DataFrame:
+        # sharded (ops/agg.py): node count scales with candidate volume, so
+        # a key-wise Ray aggregate would pay per-node Python overhead
+        out = df.groupby("src", sort=False)[df.columns[1]].min().reset_index()
+        out.columns = ["src", "label"]
+        return out
+
     # initial label: min neighbor (self included)
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    labels = sharded_groupby_apply(edges, ["src"], min_per_src, num_shards=num_shards)
 
     def label_sum(lab: "ray.data.Dataset") -> int:
         row = lab.aggregate(Sum("label", alias_name="s"))
@@ -107,7 +117,9 @@ def connected_components(
                 edges, renamed, on="dst", num_buckets=num_buckets
             ).drop_columns(["dst"])
 
-        labels = relabeled.groupby("src").aggregate(Min("dst_label", alias_name="label"))
+        labels = sharded_groupby_apply(
+            relabeled, ["src"], min_per_src, num_shards=num_shards
+        )
         cur = label_sum(labels)
         if cur == prev:
             break

@@ -59,14 +59,22 @@ def _pool_size(cap: int = 8) -> int:
 # --- exact -----------------------------------------------------------------
 
 def exact_dedup_groups(
-    ds: "ray.data.Dataset", text_column: str = "text", id_column: str = "doc_id"
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_shards: int = 64,
 ) -> "ray.data.Dataset":
     """One row per distinct text: (doc_id = min id, n_dups).
 
     Phase 1 pre-aggregates per batch (hash -> min id, count) with an Arrow
-    ``group_by`` kernel, phase 2 is the small groupby over partials — the
-    exchange carries one row per distinct hash per block.
-    """
+    ``group_by`` kernel — the exchange carries one row per distinct hash
+    per block.  Phase 2 is a SHARDED combine (``ops/agg.py``): the group
+    count scales with distinct texts, so a key-wise Ray aggregate would pay
+    per-distinct-text Python overhead; hashing keys into ``num_shards``
+    groups keeps the callback count O(shards) with one vectorized pandas
+    reduce per shard.  Size num_shards so a shard's distinct hashes fit a
+    worker's heap (~distinct/shard rows)."""
+    from .agg import sharded_groupby_apply
 
     def partial(batch: pa.Table) -> pa.Table:
         hashes = pa.array(
@@ -76,12 +84,20 @@ def exact_dedup_groups(
         agg = t.group_by("text_hash").aggregate([("id", "min"), ("id", "count")])
         return agg.rename_columns(["text_hash", "min_id", "n"])
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("min_id", alias_name="doc_id"), Sum("n", alias_name="n_dups"))
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("text_hash", sort=False)
+            .agg(doc_id=("min_id", "min"), n_dups=("n", "sum"))
+            .reset_index(drop=True)
+        )
+        return out[["doc_id", "n_dups"]]
+
+    return sharded_groupby_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["text_hash"],
+        combine,
+        num_shards=num_shards,
     )
-    return out.select_columns(["doc_id", "n_dups"])
 
 
 def exact_dedup(
@@ -201,14 +217,20 @@ def _bucket_candidate_pairs(
 
 
 def _distinct_pairs(
-    pairs: "ray.data.Dataset", carry_cols: Sequence[str] = ()
+    pairs: "ray.data.Dataset", carry_cols: Sequence[str] = (), num_shards: int = 64
 ) -> "ray.data.Dataset":
-    """Global (id_a, id_b) dedup; carried columns are identical across
-    duplicates so Min is a pick-any."""
-    aggs = [Count(alias_name="__n")] + [
-        Min(c, alias_name=c) for c in carry_cols
-    ]
-    return pairs.groupby(["id_a", "id_b"]).aggregate(*aggs).drop_columns(["__n"])
+    """Global (id_a, id_b) dedup — sharded (``ops/agg.py``): the group count
+    is the near-dup pair volume, so a key-wise aggregate would pay
+    per-pair Python overhead.  Carried columns are identical across
+    duplicates, so first-per-pair is a pick-any."""
+    from .agg import sharded_groupby_apply
+
+    cols = ["id_a", "id_b", *carry_cols]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])[cols]
+
+    return sharded_groupby_apply(pairs, ["id_a", "id_b"], combine, num_shards=num_shards)
 
 
 def _candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:

@@ -47,10 +47,21 @@ def tumbling_window(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_column, "window_start"])
-        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    from .agg import sharded_groupby_apply
+
+    def combine(df):
+        # sharded (ops/agg.py): (key, window) count grows with the stream's
+        # time extent, so a key-wise aggregate is per-group Python
+        return (
+            df.groupby([key_column, "window_start"], sort=False)
+            .agg(n_events=("n", "sum"), sum_value=("s", "sum"))
+            .reset_index()
+        )
+
+    return sharded_groupby_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_column, "window_start"],
+        combine,
     )
 
 

@@ -346,17 +346,36 @@ def build_nodes(
     at most (distinct convs x blocks) rows.  Concept nodes come straight from
     the broadcast ontology (driver-side, tiny).
     """
-    from ray.data.aggregate import Min
+    from ..ops.agg import sharded_groupby_apply
 
     nodes = triples.map_batches(_batch_nodes, batch_format="pyarrow")
-    # duplicate node rows are identical, so "first" == Min per column; a
-    # vectorized aggregate avoids one Python call per group (map_groups is
-    # ~1.5 ms per group — pathological with millions of node ids)
-    deduped = nodes.groupby("node_id").aggregate(
-        Min("node_type", alias_name="node_type"),
-        Min("label", alias_name="label"),
-        Min("category", alias_name="category", ignore_nulls=True),
-    )
+
+    # duplicate node rows are identical, so "first non-null" per column is a
+    # pick-any.  Sharded combine (ops/agg.py): node count scales with the
+    # corpus, and BOTH a per-group map_groups (~1.5 ms/group) and a key-wise
+    # Ray aggregate (~0.25 ms/group) pay per-node Python overhead — hashing
+    # into shards keeps the callback count O(shards) with one vectorized
+    # pandas first() per shard.
+    def first_per_node(df):
+        return (
+            df.groupby("node_id", sort=False)
+            .first()
+            .reset_index()[["node_id", "node_type", "label", "category"]]
+        )
+
+    deduped = sharded_groupby_apply(nodes, ["node_id"], first_per_node)
+
+    def to_schema(batch: pa.Table) -> pa.Table:
+        # a shard whose category column is all-null comes back as Arrow
+        # null type; cast pins every block to NODE_SCHEMA
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.cast(batch[f.name], f.type) for f in NODE_SCHEMA],
+            schema=NODE_SCHEMA,
+        )
+
+    deduped = deduped.map_batches(to_schema, batch_format="pyarrow")
     if ontology_rows:
         concept_rows = pa.Table.from_pydict(
             {
@@ -411,10 +430,20 @@ def concept_scores(
             }
         )
 
-    per_conv = (
-        mentions.map_batches(partial, batch_format="pyarrow")
-        .groupby(["tag", "conv_id"])
-        .aggregate(Sum("n", alias_name="n_mentions_conv"))
+    from ..ops.agg import sharded_groupby_apply
+
+    def combine_conv(df):
+        # sharded: (tag, conv) count scales with conversations
+        return (
+            df.groupby(["tag", "conv_id"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n_mentions_conv")
+        )
+
+    per_conv = sharded_groupby_apply(
+        mentions.map_batches(partial, batch_format="pyarrow"),
+        ["tag", "conv_id"],
+        combine_conv,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -497,10 +526,21 @@ def conversation_stats(
             }
         )
 
-    keyed = (
-        mentions.map_batches(phase0, batch_format="pyarrow")
-        .groupby(["conv_id", "kind", "key"])
-        .aggregate(Sum("n", alias_name="n"))
+    from ..ops.agg import sharded_groupby_apply
+
+    def combine_keyed(df):
+        # sharded: the key table has one row per distinct turn/tag per conv
+        # — corpus-scaled, so a key-wise aggregate is per-row Python
+        return (
+            df.groupby(["conv_id", "kind", "key"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n")
+        )
+
+    keyed = sharded_groupby_apply(
+        mentions.map_batches(phase0, batch_format="pyarrow"),
+        ["conv_id", "kind", "key"],
+        combine_keyed,
     )
 
     def phase2(batch: pa.Table) -> pa.Table:
@@ -516,12 +556,16 @@ def conversation_stats(
         ).groupby("conv_id", sort=False).sum().reset_index()
         return pa.Table.from_pandas(per_conv, preserve_index=False)
 
-    return (
-        keyed.map_batches(phase2, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(
-            Sum("n_mentions", alias_name="n_mentions"),
-            Sum("n_turns", alias_name="n_turns"),
-            Sum("n_tags", alias_name="n_tags"),
+    def combine_final(df):
+        # sharded: one group per conversation — corpus-scaled
+        return (
+            df.groupby("conv_id", sort=False)[["n_mentions", "n_turns", "n_tags"]]
+            .sum()
+            .reset_index()
         )
+
+    return sharded_groupby_apply(
+        keyed.map_batches(phase2, batch_format="pyarrow"),
+        ["conv_id"],
+        combine_final,
     )
