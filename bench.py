@@ -125,6 +125,9 @@ def run_bench() -> dict:
     # training-data ops
     timed("dedup_exact")
     timed("minhash_pairs")
+    timed("jaccard_pairs")
+    timed("dup_clusters")
+    timed("prep_corpus")
     timed("token_counts")
     timed("quality")
     timed("ann_topk")

@@ -315,6 +315,42 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs).select_columns(["doc_id", "cluster_id"])
 
 
+PREP_MIN_QUALITY = 40
+
+
+def q_prep_corpus(sf_dir: str):
+    """End-to-end training-data prep: language filter -> quality filter ->
+    exact-Jaccard near-dup clustering -> keep each cluster's canonical
+    (min-id) doc -> token counts.  Every stage is the library operator a
+    100 TB run would use; the whole chain is one streaming Dataset plan
+    plus the two candidate-volume shuffles inside the near-dup step."""
+    import pyarrow.compute as _pc
+
+    from ..ops.components import connected_components, dedup_survivors
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = text_ops.add_quality(
+        text_ops.add_lang_id(docs, concurrency=(1, 4))
+    )
+    kept = scored.map_batches(
+        lambda b: b.filter(
+            _pc.and_(
+                _pc.equal(b["pred_lang"], "en"),
+                _pc.greater_equal(b["quality_score"], PREP_MIN_QUALITY),
+            )
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    pairs = dedup_ops.ngram_jaccard_pairs(kept, threshold=0.2)
+    clusters = connected_components(pairs)
+    canonical = dedup_survivors(kept, clusters)
+    return text_ops.add_token_counts(canonical).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -497,6 +533,7 @@ QUERIES: Dict[str, Callable] = {
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "dup_clusters": q_dup_clusters,
+    "prep_corpus": q_prep_corpus,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
@@ -879,6 +916,55 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT node AS doc_id, MIN(label) AS cluster_id
         FROM cc GROUP BY node
+    """,
+    # full prep chain in SQL: the lang_id + quality mirrors, the
+    # brute-force Jaccard pair graph RESTRICTED to filter survivors, the
+    # recursive-CTE components, then non-canonical members dropped
+    "prep_corpus": r"""
+        WITH RECURSIVE lw AS (SELECT doc_id, text, str_split(lower(text), ' ') AS lws,
+                                     regexp_extract_all(text, '\S+') AS words
+                              FROM documents),
+        profiles(lang, prio, stops) AS (VALUES
+          ('en', 0, ['the','a','of','and','to','in','is','that','it','for']),
+          ('fr', 1, ['le','la','les','de','des','et','un','une','est','que']),
+          ('de', 2, ['der','die','das','und','ist','ein','eine','zu','den','nicht']),
+          ('es', 3, ['el','la','los','de','y','un','una','es','que','en']),
+          ('it', 4, ['il','la','di','e','un','una','che','per','con','del']),
+          ('pt', 5, ['o','a','os','de','e','um','uma','que','em','para'])),
+        ls AS (SELECT lw.doc_id, p.lang, p.prio,
+                      len(list_filter(lw.lws, x -> list_contains(p.stops, x))) AS score
+               FROM lw, profiles p),
+        pred AS (SELECT doc_id, lang AS pred_lang FROM ls
+                 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, prio) = 1),
+        kept AS (SELECT lw.doc_id, lw.text, lw.words FROM lw
+                 JOIN pred USING (doc_id)
+                 WHERE pred.pred_lang = 'en'
+                   AND (CASE WHEN len(lw.words) = 0 THEN 0
+                        ELSE (100 * len(list_distinct(lw.words))) // len(lw.words) END) >= 40),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN list_distinct(list_transform(
+                              generate_series(1, len(words) - 2),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                          WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                          ELSE [] END AS sh
+              FROM kept),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a, s b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0) >= 0.2),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node
+        ),
+        dropped AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label))
+        SELECT k.doc_id,
+               CAST(len(regexp_extract_all(k.text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+        FROM kept k
+        WHERE k.doc_id NOT IN (SELECT node FROM dropped)
     """,
     # full-fidelity mirror of the engine pipeline: the same md5-based
     # 64-bit SimHash per doc, the same 4x16-bit banding condition (shared
