@@ -315,6 +315,46 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs).select_columns(["doc_id", "cluster_id"])
 
 
+def q_conv_top_tags(sf_dir: str):
+    """Top-2 tags per conversation by mention count (ties: tag asc) — the
+    per-group top-k operator over a corpus-scaled key set."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.topk import group_topk
+    from .tag import extract_mention_counts
+
+    mc = extract_mention_counts(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+
+    def per_conv(df):
+        return (
+            df.groupby(["conv_id", "tag"], sort=False)["n_matches"]
+            .sum()
+            .reset_index(name="n_mentions")
+        )
+
+    conv_tag = sharded_groupby_apply(mc, ["conv_id", "tag"], per_conv)
+    return group_topk(
+        conv_tag, ["conv_id"], "n_mentions", k=2, tiebreak=["tag"]
+    ).select_columns(["conv_id", "tag", "n_mentions", "rank"])
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN with nprobe = nlist (full probe): the partition/probe
+    machinery runs end-to-end and the result is EXACT, so the brute-force
+    oracle applies verbatim."""
+    from ..ops.similarity import IVFIndex
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qtab = qtab[qtab["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
+    q = np.array(qtab["embedding"].tolist(), dtype=np.float64)
+    ivf = IVFIndex(nlist=16, nprobe=16).fit(emb)
+    assigned = ivf.assign(emb)
+    out = ivf.search(assigned, q, qtab["vec_id"].tolist(), k=ANN_K)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 PREP_MIN_QUALITY = 40
 
 
@@ -534,6 +574,8 @@ QUERIES: Dict[str, Callable] = {
     "jaccard_pairs": q_jaccard_pairs,
     "dup_clusters": q_dup_clusters,
     "prep_corpus": q_prep_corpus,
+    "conv_top_tags": q_conv_top_tags,
+    "ann_ivf": q_ann_ivf,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
@@ -1021,3 +1063,22 @@ ORACLE_SQL: Dict[str, str] = {
         FROM r WHERE rank <= {ANN_K}
     """,
 }
+
+
+# ann_ivf probes every list (nprobe = nlist), so IVF output is exactly the
+# brute-force top-k — same oracle
+ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+# top-2 tags per conversation: the mention_counts oracle as a derived
+# table, then SQL's own windowed top-k
+ORACLE_SQL["conv_top_tags"] = f"""
+    WITH mc AS ({ORACLE_SQL["mention_counts"]}),
+    ct AS (SELECT conv_id, tag, CAST(SUM(n_matches) AS BIGINT) AS n_mentions
+           FROM mc GROUP BY 1, 2),
+    r AS (SELECT conv_id, tag, n_mentions,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY n_mentions DESC, tag) AS rank
+          FROM ct)
+    SELECT conv_id, tag, n_mentions, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 2
+"""

@@ -74,6 +74,28 @@ class TestDedup:
         # each pair exactly once (candidates deduped before verify)
         assert len(out) == len(pairs)
 
+    def test_group_topk(self):
+        from raykg.ops.topk import group_topk
+
+        rows = pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b", "b"],
+                "v": [3, 1, 3, 2, 5],
+                "t": ["z", "x", "y", "x", "y"],
+            }
+        )
+        out = (
+            group_topk(docs_ds(rows), ["k"], "v", k=2, tiebreak=["t"])
+            .to_pandas()
+            .sort_values(["k", "rank"])
+            .reset_index(drop=True)
+        )
+        # a: ties at v=3 broken by t asc -> (3,'y') rank1, (3,'z') rank2
+        assert list(out["k"]) == ["a", "a", "b", "b"]
+        assert list(out["v"]) == [3, 3, 5, 2]
+        assert list(out["t"]) == ["y", "z", "y", "x"]
+        assert list(out["rank"]) == [1, 2, 1, 2]
+
     def test_connected_components_chain_and_clique(self):
         from raykg.ops.components import connected_components, dedup_survivors
 
