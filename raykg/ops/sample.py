@@ -1,0 +1,72 @@
+"""Deterministic (hash-based) sampling — reproducible corpus subsets.
+
+``ds.random_sample`` is nondeterministic across runs and cluster layouts;
+training-data pipelines need samples that are STABLE (the same doc is in
+the sample on every run, every resume, every cluster size) and
+AUDITABLE (a SQL engine can reproduce the exact subset).  Both operators
+therefore key on ``md5(str(key)) % 100`` — cross-engine reproducible
+(DuckDB: ``('0x' || substr(md5(key::VARCHAR), 1, 8))::UBIGINT % 100``)
+and uniform.  The md5 is one short-string hash per ROW KEY, in a plain
+filter stage that is read-bound in practice; a pure-numpy splitmix kernel
+(``ops/hashing.py``) is the alternative when cross-engine auditability is
+not required.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _pct_of(keys) -> np.ndarray:
+    """md5-derived uniform percentile (0-99) per key; first 8 hex chars as
+    an integer, mod 100 — matches the documented DuckDB expression."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(str(k).encode("utf-8")).hexdigest()[:8], 16) % 100
+            for k in keys
+        ),
+        dtype=np.int64,
+        count=len(keys),
+    )
+
+
+def deterministic_sample(
+    ds: "ray.data.Dataset", key_column: str, pct: int
+) -> "ray.data.Dataset":
+    """Keep rows whose key hashes into the first ``pct`` percentiles —
+    a stable, reproducible ~pct% sample."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = _pct_of(batch[key_column].to_pylist())
+        return batch.filter(pa.array(p < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    stratum_column: str,
+    rates: Dict[str, int],
+    default_pct: int = 100,
+) -> "ray.data.Dataset":
+    """Per-stratum sampling rates (percent), e.g. downsample boilerplate
+    languages while keeping rare ones whole: ``rates={'en': 30}``."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = _pct_of(batch[key_column].to_pylist())
+        strata = batch[stratum_column].to_pylist()
+        cut = np.fromiter(
+            (rates.get(s, default_pct) for s in strata),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        return batch.filter(pa.array(p < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

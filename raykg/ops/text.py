@@ -115,6 +115,51 @@ _LANG_PROFILES: Dict[str, set] = {
 }
 
 
+def ngram_counts(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    n: int = 3,
+    top: int = 50,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Top-``top`` corpus word n-grams by total occurrence count
+    (ties: ngram asc).
+
+    Three bounded stages: per-batch Counter partials (exchange carries one
+    row per distinct ngram per block), a sharded exact total per ngram
+    (ngram count scales with the corpus — ``ops/agg.py``) that also emits
+    only its shard's local top-``top`` (a superset of that shard's global
+    winners, so exact), then one tiny sort+limit over shards x top rows."""
+    from collections import Counter
+
+    from .agg import sharded_groupby_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_column].to_pylist():
+            ws = WORD_RE.findall(t or "")
+            for i in range(len(ws) - n + 1):
+                c[" ".join(ws[i : i + n])] += 1
+        return pa.Table.from_pydict(
+            {
+                "ngram": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    def shard_total_topk(df):
+        tot = df.groupby("ngram", sort=False)["cnt"].sum().reset_index(name="n")
+        return tot.sort_values(["n", "ngram"], ascending=[False, True]).head(top)
+
+    totals = sharded_groupby_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ngram"],
+        shard_total_topk,
+        num_shards=num_shards,
+    )
+    return totals.sort(["n", "ngram"], descending=[True, False]).limit(top)
+
+
 class LangIdActor:
     """Heuristic n-gram/stopword language identifier (actor pool: profiles
     compiled once per actor)."""

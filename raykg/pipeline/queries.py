@@ -355,6 +355,31 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_sample_det(sf_dir: str):
+    """Deterministic 20% sample — md5-percentile keyed, reproducible in SQL."""
+    from ..ops.sample import deterministic_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return deterministic_sample(docs, "doc_id", pct=20)
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-language rates: downsample 'en' to 25%, keep the rest whole."""
+    from ..ops.sample import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, "doc_id", "lang", rates={"en": 25})
+
+
+def q_ngram_top(sf_dir: str):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return text_ops.ngram_counts(docs, n=3, top=50)
+
+
 PREP_MIN_QUALITY = 40
 
 
@@ -576,6 +601,9 @@ QUERIES: Dict[str, Callable] = {
     "prep_corpus": q_prep_corpus,
     "conv_top_tags": q_conv_top_tags,
     "ann_ivf": q_ann_ivf,
+    "sample_det": q_sample_det,
+    "sample_stratified": q_sample_stratified,
+    "ngram_top": q_ngram_top,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "media_features": q_media_features,
@@ -1068,6 +1096,28 @@ ORACLE_SQL: Dict[str, str] = {
 # ann_ivf probes every list (nprobe = nlist), so IVF output is exactly the
 # brute-force top-k — same oracle
 ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+# the md5-percentile keying is the documented cross-engine contract of
+# ops/sample.py — the SQL below reproduces the EXACT subset
+_MD5_PCT = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100)"
+ORACLE_SQL["sample_det"] = f"""
+    SELECT doc_id, lang FROM documents WHERE {_MD5_PCT} < 20
+"""
+ORACLE_SQL["sample_stratified"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_MD5_PCT} < CASE WHEN lang = 'en' THEN 25 ELSE 100 END
+"""
+
+ORACLE_SQL["ngram_top"] = r"""
+    WITH w AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+    g AS (SELECT unnest(CASE WHEN len(ws) >= 3 THEN list_transform(
+                     generate_series(1, len(ws) - 2),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 ELSE [] END) AS ngram
+          FROM w)
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY 1 ORDER BY n DESC, ngram LIMIT 50
+"""
 
 # top-2 tags per conversation: the mention_counts oracle as a derived
 # table, then SQL's own windowed top-k
