@@ -74,6 +74,48 @@ class TestDedup:
         # each pair exactly once (candidates deduped before verify)
         assert len(out) == len(pairs)
 
+    def test_sharded_agg_parity(self):
+        # sharded_groupby_apply == a plain pandas groupby, for random data
+        # across int and string keys (exactness does not depend on sharding)
+        import numpy as np
+
+        from raykg.ops.agg import sharded_groupby_apply
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "k1": rng.randint(0, 200, size=2000),
+                "k2": rng.choice(list("abcdefg"), size=2000),
+                "v": rng.randint(-50, 50, size=2000),
+            }
+        )
+        want = (
+            df.groupby(["k1", "k2"], sort=False)["v"]
+            .agg(["sum", "min", "count"])
+            .reset_index()
+            .rename(columns={"sum": "s", "min": "m", "count": "c"})
+        )
+        want["c"] = want["c"].astype("int64")
+
+        def combine(g):
+            out = (
+                g.groupby(["k1", "k2"], sort=False)["v"]
+                .agg(["sum", "min", "count"])
+                .reset_index()
+                .rename(columns={"sum": "s", "min": "m", "count": "c"})
+            )
+            out["c"] = out["c"].astype("int64")
+            return out
+
+        got = sharded_groupby_apply(docs_ds(df), ["k1", "k2"], combine, num_shards=7)
+        got = got.to_pandas()
+        key = ["k1", "k2"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+
     def test_group_topk(self):
         from raykg.ops.topk import group_topk
 
