@@ -3,9 +3,12 @@
 The reference lemmatizes through spaCy lookup/rule tables downloaded from
 spacy-lookups-data (``spacy_tokenizer.py:235-266``); offline, this engine
 ships small embedded lemma tables for the conformance-fixture languages and
-accepts user-supplied JSON tables for the rest (path pluggable).  Model-based
-lemmatization (pl/ru, ``spacy_tokenizer.py:208-215``) is out of scope
-offline and documented as such (SURVEY.md §7.5.3).
+accepts user-supplied JSON tables for the rest (path pluggable).  The
+reference's MODEL-based lemmatization (pl/ru, ``spacy_tokenizer.py:208-215``)
+cannot run offline; pl/ru ship paradigm-derived LOOKUP tables instead
+(``scripts/gen_lemma_tables.py``) — exact on the reference fixture matrix
+and the regular high-frequency paradigms, identity elsewhere, full tables
+pluggable via ``RAYKG_LEMMA_DIR``.
 
 Semantics: per-token exact-text lookup with identity fallback, matching the
 spaCy lookup-mode lemmatizer's documented behavior; multi-token lemmas are
@@ -29,6 +32,9 @@ LOOKUP_LEMMA_LANGUAGES = {
     "bn", "ca", "cs", "da", "de", "el", "en", "es", "fa", "fr", "hr", "hu",
     "id", "it", "lb", "lt", "mk", "nb", "nl", "pt", "ro", "sr", "sv", "tl",
     "tr", "ur",
+    # model-mode in the reference; served here by paradigm-derived lookup
+    # tables (see module docstring)
+    "pl", "ru",
 }
 
 

@@ -678,9 +678,105 @@ def build_es() -> dict:
 
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Polish / Russian — LOOKUP APPROXIMATION of the reference's model mode
+# --------------------------------------------------------------------------
+# The reference lemmatizes pl/ru with spaCy statistical models
+# (spacy_tokenizer.py:208-215); no model can ship offline, so these tables
+# approximate the dominant regular paradigms (past tense + the clean
+# present-tense classes) for a curated high-frequency verb list, exactly
+# like the other generators: conservative, identity on anything unlisted.
+
+# Polish past stem = infinitive minus 'ć'; -eć verbs shift e->a in the
+# singular/non-virile forms but keep e in the virile plural (widzieć ->
+# widział / widzieli).
+PL_REGULAR_VERBS = [
+    # -ać (and prefixed forms); present -am class added for bare -ać stems
+    "działać", "zadziałać", "czytać", "mieszkać", "pytać", "zapytać",
+    "słuchać", "oglądać", "otwierać", "zamykać", "zaczynać", "kochać",
+    "szukać", "pamiętać", "opowiadać", "pomagać", "sprzątać", "spotykać",
+    "czekać", "grać", "zagrać", "przepraszać", "odwiedzać", "zwiedzać",
+    # -ić / -yć
+    "robić", "zrobić", "mówić", "lubić", "uczyć", "nauczyć", "kończyć",
+    "skończyć", "tańczyć", "liczyć", "palić", "dzwonić", "zadzwonić",
+    "prosić", "poprosić", "płacić", "zapłacić",
+    # -eć (e->a shift handled)
+    "widzieć", "słyszeć", "myśleć", "siedzieć", "leżeć", "woleć",
+]
+
+
+def build_pl() -> dict:
+    t: dict = {}
+    for inf in PL_REGULAR_VERBS:
+        stem = inf[:-1]  # minus ć
+        if inf.endswith("eć"):
+            a_stem = stem[:-1] + "a"  # widzie- -> widzia-
+            e_stem = stem  # virile plural keeps e
+        else:
+            a_stem = stem
+            e_stem = stem
+        # past tense (l-participle + person endings)
+        for suf in ("ł", "ła", "ło", "ły", "łem", "łam", "łeś", "łaś"):
+            add(t, a_stem + suf, inf)
+        for suf in ("li", "liśmy", "liście"):
+            add(t, e_stem + suf, inf)
+        for suf in ("łyśmy", "łyście"):
+            add(t, a_stem + suf, inf)
+        # present tense, only for the unambiguous -ać/-am class
+        if inf.endswith("ać"):
+            pres = inf[:-1]  # picka 'działa'
+            for suf in ("m", "sz", "", "my", "cie", "ją"):
+                add(t, pres + suf, inf)
+    return t
+
+
+# Russian: past = infinitive minus 'ть' + л/ла/ло/ли (reliable for -ать/
+# -ять/-еть/-ить); present only for the clean first-conjugation -ать/-ять
+# class (stem + ю/ешь/ет/ем/ете/ют).
+RU_PAST_VERBS = [
+    "работать", "делать", "сделать", "думать", "знать", "читать",
+    "прочитать", "играть", "слушать", "спрашивать", "отвечать",
+    "понимать", "начинать", "покупать", "открывать", "закрывать",
+    "рассказывать", "показывать", "помогать", "гулять", "терять",
+    "менять", "мечтать", "решать", "решить", "говорить", "смотреть",
+    "видеть", "слышать", "держать", "лежать", "сидеть", "звонить",
+    "позвонить", "строить", "готовить", "ставить", "учить", "выучить",
+]
+RU_PRESENT_ACLASS = [
+    "работать", "делать", "думать", "знать", "читать", "играть",
+    "слушать", "спрашивать", "отвечать", "понимать", "начинать",
+    "покупать", "открывать", "закрывать", "рассказывать", "показывать",
+    "помогать", "гулять", "терять", "менять", "мечтать", "решать",
+]
+RU_IRREGULARS = [
+    ("быть", "был", "была", "было", "были", "есть", "будет", "будут"),
+    ("идти", "шёл", "шла", "шло", "шли", "идёт", "идут"),
+    ("мочь", "мог", "могла", "могло", "могли", "может", "могут"),
+    ("хотеть", "хотел", "хотела", "хотело", "хотели", "хочет", "хотят"),
+    ("жить", "жил", "жила", "жило", "жили", "живёт", "живут"),
+]
+
+
+def build_ru() -> dict:
+    t: dict = {}
+    for row in RU_IRREGULARS:  # irregulars first (collision policy)
+        inf, *forms = row
+        for f in forms:
+            add(t, f, inf)
+    for inf in RU_PAST_VERBS:
+        stem = inf[:-2]  # minus ть
+        for suf in ("л", "ла", "ло", "ли"):
+            add(t, stem + suf, inf)
+    for inf in RU_PRESENT_ACLASS:
+        stem = inf[:-2]
+        for suf in ("ю", "ешь", "ет", "ем", "ете", "ют"):
+            add(t, stem + suf, inf)
+    return t
+
+
 def main() -> None:
     built = {"en": build_en(), "fr": build_fr(), "de": build_de(),
-             "es": build_es()}
+             "es": build_es(), "pl": build_pl(), "ru": build_ru()}
     # the remaining lookup languages keep their (fixture-backed) tables;
     # the 6 with no file yet get an explicit empty table — identity
     # behavior, matching the reference fixtures for those languages, and a

@@ -152,6 +152,10 @@ def test_no_category_all_overlaps_emitted():
         ("радио", "sr", "радити"),
         ("çalıştı", "tr", "çalış"),
         ("arbetade", "sv", "arbeta"),
+        # model-mode languages in the reference, served by paradigm-derived
+        # lookup tables here — completes the reference matrix 28/28
+        ("zadziałało", "pl", "zadziałać"),
+        ("работал", "ru", "работать"),
         # identity-lemma languages (reference lookup tables return the word
         # itself for these forms) — test_lemmatization.py:10-56
         ("jobbet", "nb", "jobbet"),
