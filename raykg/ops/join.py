@@ -116,3 +116,103 @@ def bucketed_hash_join(
         return pa.Table.from_arrays(arrays, names=[n for n, _ in out_fields])
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    num_buckets: int = 64,
+    suffix: str = "_r",
+    tolerance=None,
+) -> "ray.data.Dataset":
+    """Backward as-of LEFT join: each left row picks the latest right row of
+    the same ``key`` with ``right.ts <= left.ts`` (DuckDB ``ASOF LEFT JOIN``
+    semantics; unmatched left rows keep typed nulls).
+
+    Distribution: both sides bucket on ``hash(key) % B`` — ONE shuffle,
+    identical to :func:`bucketed_hash_join` — and every bucket resolves with
+    a single vectorized ``pandas.merge_asof`` (sorted merge over all of the
+    bucket's keys at once; no per-key Python).  Time-skew is irrelevant to
+    the partitioning (keys, not time ranges, are hashed), so a hot KEY is
+    the only skew concern — salt by raising ``num_buckets``.  ``tolerance``
+    (a ``pandas.Timedelta``) optionally bounds the lookback window.
+    """
+    from .hashing import bucket_column
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    rename_map = {
+        n: (n + suffix if n in l_names and n != key else n) for n in r_schema.names
+    }
+    l_fields = list(zip(l_schema.names, l_schema.types))
+    r_fields = [
+        (rename_map[n], t)
+        for n, t in zip(r_schema.names, r_schema.types)
+        if rename_map[n] != key
+    ]
+    all_fields = l_fields + [f for f in r_fields if f[0] not in l_names]
+    own_r_cols = sorted(n for n, _ in r_fields)
+    own_r_set = set(own_r_cols)
+    ts_r = ts + suffix  # right's timestamp after rename (ts clashes by construction)
+
+    def prepare(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == "r":
+                batch = batch.rename_columns(
+                    [rename_map[n] for n in batch.schema.names]
+                )
+            have = set(batch.schema.names)
+            arrays, names = [], []
+            for name, typ in all_fields:
+                names.append(name)
+                if name in have:
+                    col = batch[name]
+                    arrays.append(
+                        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    )
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=typ))
+            out = pa.Table.from_arrays(arrays, names=names)
+            out = out.append_column("__bucket", bucket_column(out[key], num_buckets))
+            return out.append_column("__side", pa.array([side] * out.num_rows))
+
+        return fn
+
+    both = left.map_batches(prepare("l"), batch_format="pyarrow").union(
+        right.map_batches(prepare("r"), batch_format="pyarrow")
+    )
+
+    type_of = dict(all_fields)
+    out_fields = [(n, t) for n, t in all_fields if n not in own_r_set] + [
+        (n, type_of[n]) for n in own_r_cols
+    ]
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        lhs = (
+            g[g["__side"] == "l"]
+            .drop(columns=["__side", "__bucket", *own_r_cols])
+            .sort_values(ts, kind="stable")
+        )
+        rhs = (
+            g[g["__side"] == "r"][[key, *own_r_cols]]
+            .rename(columns={ts_r: "__rts"})
+            .sort_values("__rts", kind="stable")
+        )
+        m = pd.merge_asof(
+            lhs,
+            rhs,
+            left_on=ts,
+            right_on="__rts",
+            by=key,
+            direction="backward",
+            tolerance=tolerance,
+        ).rename(columns={"__rts": ts_r})
+        arrays = [
+            pa.array(m[name], type=typ, from_pandas=True) for name, typ in out_fields
+        ]
+        return pa.Table.from_arrays(arrays, names=[n for n, _ in out_fields])
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -355,6 +355,33 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_asof_clicks(sf_dir: str):
+    """Each click joined to the user's most recent prior-or-same-time view
+    (backward as-of join) — bucket-by-user, one merge_asof per bucket."""
+    from ..ops.join import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    import pyarrow.compute as _pc
+
+    clicks = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(clicks, views, key="user_id", ts="ts").select_columns(
+        ["event_id", "user_id", "ts", "event_id_r", "ts_r"]
+    )
+
+
 def q_sample_det(sf_dir: str):
     """Deterministic 20% sample — md5-percentile keyed, reproducible in SQL."""
     from ..ops.sample import deterministic_sample
@@ -601,6 +628,7 @@ QUERIES: Dict[str, Callable] = {
     "prep_corpus": q_prep_corpus,
     "conv_top_tags": q_conv_top_tags,
     "ann_ivf": q_ann_ivf,
+    "asof_clicks": q_asof_clicks,
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
     "ngram_top": q_ngram_top,
@@ -1096,6 +1124,16 @@ ORACLE_SQL: Dict[str, str] = {
 # ann_ivf probes every list (nprobe = nlist), so IVF output is exactly the
 # brute-force top-k — same oracle
 ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+# native DuckDB ASOF LEFT JOIN — identical backward semantics
+ORACLE_SQL["asof_clicks"] = """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS event_id_r, r.ts AS ts_r
+    FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
 
 # the md5-percentile keying is the documented cross-engine contract of
 # ops/sample.py — the SQL below reproduces the EXACT subset

@@ -74,6 +74,39 @@ class TestDedup:
         # each pair exactly once (candidates deduped before verify)
         assert len(out) == len(pairs)
 
+    def test_asof_join_backward(self):
+        from raykg.ops.join import asof_join
+
+        left = docs_ds(
+            pd.DataFrame(
+                {
+                    "id": [1, 2, 3, 4],
+                    "k": [7, 7, 7, 9],
+                    "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                                          "2024-01-01 09:00", "2024-01-01 10:30"]),
+                }
+            )
+        )
+        right = docs_ds(
+            pd.DataFrame(
+                {
+                    "id": [100, 101, 102],
+                    "k": [7, 7, 9],
+                    "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 10:45",
+                                          "2024-01-01 11:00"]),
+                }
+            )
+        )
+        out = (
+            asof_join(left, right, key="k", ts="ts")
+            .to_pandas()
+            .set_index("id")
+        )
+        assert out.loc[1, "id_r"] == 100  # 10:00 -> 09:30
+        assert out.loc[2, "id_r"] == 101  # 11:00 -> 10:45
+        assert pd.isna(out.loc[3, "id_r"])  # 09:00 -> nothing prior
+        assert pd.isna(out.loc[4, "id_r"])  # key 9: right at 11:00 is later
+
     def test_sharded_agg_parity(self):
         # sharded_groupby_apply == a plain pandas groupby, for random data
         # across int and string keys (exactness does not depend on sharding)
