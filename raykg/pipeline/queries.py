@@ -382,6 +382,23 @@ def q_asof_clicks(sf_dir: str):
     )
 
 
+def q_event_sessions(sf_dir: str):
+    """Range join: every event matched into its session interval (sessions
+    from the 30-minute-gap sessionizer) — the disjoint-interval merge_asof
+    path, one bucket-by-user shuffle per side."""
+    from ..ops.events import sessionize
+    from ..ops.join import range_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    sessions = sessionize(ev)
+    return range_join(
+        ev, sessions, key="user_id", ts="ts", start="start_ts", end="end_ts",
+        disjoint=True,
+    ).select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
 def q_sample_det(sf_dir: str):
     """Deterministic 20% sample — md5-percentile keyed, reproducible in SQL."""
     from ..ops.sample import deterministic_sample
@@ -629,6 +646,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_top_tags": q_conv_top_tags,
     "ann_ivf": q_ann_ivf,
     "asof_clicks": q_asof_clicks,
+    "event_sessions": q_event_sessions,
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
     "ngram_top": q_ngram_top,
@@ -1133,6 +1151,15 @@ ORACLE_SQL["asof_clicks"] = """
     ASOF LEFT JOIN
          (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') r
     ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+# range join replay: the sessionize oracle as a CTE, then an interval join
+ORACLE_SQL["event_sessions"] = f"""
+    WITH sess AS ({ORACLE_SQL["sessionize"]})
+    SELECT e.event_id, e.user_id, e.ts, sess.session_id
+    FROM events e JOIN sess
+      ON e.user_id = sess.user_id
+     AND e.ts BETWEEN sess.start_ts AND sess.end_ts
 """
 
 # the md5-percentile keying is the documented cross-engine contract of

@@ -107,6 +107,36 @@ class TestDedup:
         assert pd.isna(out.loc[3, "id_r"])  # 09:00 -> nothing prior
         assert pd.isna(out.loc[4, "id_r"])  # key 9: right at 11:00 is later
 
+    def test_range_join_general_and_disjoint(self):
+        from raykg.ops.join import range_join
+
+        left = docs_ds(
+            pd.DataFrame(
+                {
+                    "id": [1, 2, 3],
+                    "k": [7, 7, 7],
+                    "ts": pd.to_datetime(["2024-01-01 10:15", "2024-01-01 11:30",
+                                          "2024-01-01 12:30"]),
+                }
+            )
+        )
+        right = docs_ds(
+            pd.DataFrame(
+                {
+                    "k": [7, 7],
+                    "win": [10, 11],
+                    "start_ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00"]),
+                    "end_ts": pd.to_datetime(["2024-01-01 10:59", "2024-01-01 11:59"]),
+                }
+            )
+        )
+        for disjoint in (False, True):
+            out = range_join(
+                left, right, key="k", ts="ts", start="start_ts", end="end_ts",
+                disjoint=disjoint,
+            ).to_pandas()
+            assert dict(zip(out["id"], out["win"])) == {1: 10, 2: 11}  # 3 unmatched
+
     def test_sharded_agg_parity(self):
         # sharded_groupby_apply == a plain pandas groupby, for random data
         # across int and string keys (exactness does not depend on sharding)
