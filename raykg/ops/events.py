@@ -65,6 +65,52 @@ def tumbling_window(
     )
 
 
+def key_quantiles(
+    ds: "ray.data.Dataset",
+    key_column: str = "event_type",
+    value_column: str = "value",
+    quantiles=(0.5, 0.9, 0.99),
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT lower-interpolation quantiles per key (p50/p90/p99 columns).
+
+    Rides the sharded-aggregation exchange: every value of one key lands in
+    one shard, so a vectorized per-key sort inside the shard yields exact
+    quantiles — no sketch needed.  This is the bounded-cardinality shape
+    (metrics keyed by type/tenant/model); keys whose VALUE VOLUME exceeds a
+    worker's heap need a t-digest style sketch instead, which composes as a
+    per-batch partial + merge in the same two phases."""
+    from .agg import sharded_groupby_apply
+
+    qs = list(quantiles)
+    names = [f"p{int(q * 100)}" for q in qs]
+
+    def shard_q(df: pd.DataFrame) -> pd.DataFrame:
+        # discrete quantile, SQL quantile_disc semantics: the element at
+        # 1-indexed position ceil(q*n) of the sorted values (pandas'
+        # interpolation="lower" uses floor(q*(n-1)) — off by one at high q)
+        import numpy as np
+
+        rows = []
+        for k, v in df.groupby(key_column, sort=False)[value_column]:
+            s = np.sort(v.to_numpy())
+            n = len(s)
+            row = {key_column: k}
+            for q, name in zip(qs, names):
+                row[name] = float(s[min(n - 1, int(np.ceil(q * n)) - 1)])
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[key_column, *names])
+
+    return sharded_groupby_apply(
+        ds.select_columns([key_column, value_column])
+        if hasattr(ds, "select_columns")
+        else ds,
+        [key_column],
+        shard_q,
+        num_shards=num_shards,
+    )
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key_column: str = "user_id",

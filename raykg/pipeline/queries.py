@@ -399,6 +399,16 @@ def q_event_sessions(sf_dir: str):
     ).select_columns(["event_id", "user_id", "ts", "session_id"])
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of event value per event_type."""
+    from ..ops.events import key_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return key_quantiles(ev)
+
+
 def q_sample_det(sf_dir: str):
     """Deterministic 20% sample — md5-percentile keyed, reproducible in SQL."""
     from ..ops.sample import deterministic_sample
@@ -647,6 +657,7 @@ QUERIES: Dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "asof_clicks": q_asof_clicks,
     "event_sessions": q_event_sessions,
+    "value_quantiles": q_value_quantiles,
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
     "ngram_top": q_ngram_top,
@@ -1160,6 +1171,15 @@ ORACLE_SQL["event_sessions"] = f"""
     FROM events e JOIN sess
       ON e.user_id = sess.user_id
      AND e.ts BETWEEN sess.start_ts AND sess.end_ts
+"""
+
+# exact discrete quantiles (lower interpolation == quantile_disc)
+ORACLE_SQL["value_quantiles"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.5)  AS p50,
+           quantile_disc(value, 0.9)  AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY 1
 """
 
 # the md5-percentile keying is the documented cross-engine contract of
