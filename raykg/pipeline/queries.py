@@ -399,6 +399,27 @@ def q_event_sessions(sf_dir: str):
     ).select_columns(["event_id", "user_id", "ts", "session_id"])
 
 
+def q_sliding_window(sf_dir: str):
+    """60-minute windows sliding every 15 — each event in 4 windows."""
+    from ..ops.events import sliding_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = sliding_window(ev, window_minutes=60, slide_minutes=15)
+
+    def round4(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            _pc.round(batch["sum_value"], ndigits=4),
+        )
+
+    return out.map_batches(round4, batch_format="pyarrow")
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of event value per event_type."""
     from ..ops.events import key_quantiles
@@ -658,6 +679,7 @@ QUERIES: Dict[str, Callable] = {
     "asof_clicks": q_asof_clicks,
     "event_sessions": q_event_sessions,
     "value_quantiles": q_value_quantiles,
+    "sliding_window": q_sliding_window,
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
     "ngram_top": q_ngram_top,
@@ -1171,6 +1193,20 @@ ORACLE_SQL["event_sessions"] = f"""
     FROM events e JOIN sess
       ON e.user_id = sess.user_id
      AND e.ts BETWEEN sess.start_ts AND sess.end_ts
+"""
+
+# each event in its 4 covering 60-min/15-min-slide windows
+ORACLE_SQL["sliding_window"] = """
+    WITH off AS (SELECT unnest(generate_series(0, 3)) AS j),
+    w AS (SELECT e.event_type,
+                 make_timestamp(((epoch_us(e.ts) // 900000000) - off.j) * 900000000)
+                     AS window_start,
+                 COALESCE(e.value, 0) AS v
+          FROM events e, off)
+    SELECT event_type, window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(v), 4) AS sum_value
+    FROM w GROUP BY 1, 2
 """
 
 # exact discrete quantiles (lower interpolation == quantile_disc)
