@@ -22,7 +22,7 @@ sharding bounds the callback count; both are needed at scale.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd

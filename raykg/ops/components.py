@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 _BROADCAST_MAX_LABELS = 2_000_000  # ~32 MB of int64 pairs
 

@@ -34,7 +34,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
 
 _WORD_RE = re.compile(r"\S+")
 # Mersenne prime 2^31-1: with a, b, x all < p the universal hash

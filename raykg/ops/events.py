@@ -15,7 +15,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def tumbling_window(

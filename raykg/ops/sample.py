@@ -15,7 +15,7 @@ not required.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import pyarrow as pa

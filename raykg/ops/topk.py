@@ -8,7 +8,7 @@ of one key are co-located by the shard hash, so per-key ranks are exact.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import pandas as pd
 

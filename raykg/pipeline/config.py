@@ -4,7 +4,7 @@ parameters (``recipe.json:37-408``, loaded/validated by
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple, Union
 
 from ..core.format import OUTPUT_FORMATS
