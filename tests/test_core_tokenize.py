@@ -64,6 +64,20 @@ def test_tokenize_cjk_unknown_falls_back_to_chars():
     assert out == ["罔", "殆"]
 
 
+def test_segdict_external_dir(tmp_path, monkeypatch):
+    # RAYKG_SEGDICT_DIR plug-point: a full dictionary replaces the embedded one
+    from raykg.core import segdict
+
+    (tmp_path / "ja.txt").write_text("期一会\n", encoding="utf-8")
+    monkeypatch.setenv("RAYKG_SEGDICT_DIR", str(tmp_path))
+    segdict._CACHE.clear()
+    try:
+        out = toks("期一会。", lang="ja")
+        assert out == ["期一会", "。"]  # whole idiom from the external dict
+    finally:
+        segdict._CACHE.clear()  # do not leak the override into other tests
+
+
 def test_tokenize_leading_space_is_token():
     # spaCy: a leading space has no preceding token to separate -> token
     assert toks(" a") == [" ", "a"]
