@@ -61,6 +61,11 @@ _INFIX_RE = re.compile(
 )
 
 _WS_CHUNK_RE = re.compile(r"\S+|\s+")
+# anything that disqualifies the single-space fast path, in ONE C-level
+# scan: every ASCII whitespace char other than ' ' (\x1c-\x1f are
+# str.isspace() too and become whitespace tokens on the strict path),
+# a double space, or a leading space
+_FASTPATH_REJECT_RE = re.compile(r"[\t\n\r\x0b\x0c\x1c-\x1f]|  |^ ")
 
 
 def _is_cjk_char(ch: str) -> bool:
@@ -117,13 +122,7 @@ class Tokenizer:
         if (
             not self.strict
             and text.isascii()  # exotic unicode whitespace must use the regex path
-            and "\n" not in text
-            and "\t" not in text
-            and "\r" not in text
-            and "\x0b" not in text  # every non-space ASCII whitespace becomes
-            and "\x0c" not in text  # a whitespace token on the strict path
-            and "  " not in text
-            and not text.startswith(" ")  # leading space = whitespace token
+            and _FASTPATH_REJECT_RE.search(text) is None
         ):
             tokens: List[Token] = []
             pos = 0

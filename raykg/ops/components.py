@@ -74,11 +74,22 @@ def connected_components(
     # initial label: min neighbor (self included)
     labels = sharded_groupby_apply(edges, ["src"], min_per_src, num_shards=num_shards)
 
-    def label_sum(lab: "ray.data.Dataset") -> int:
+    def label_sum(lab: "ray.data.Dataset"):
         row = lab.aggregate(Sum("label", alias_name="s"))
-        return int(row["s"])
+        s = row["s"] if row else None
+        return None if s is None else int(s)
 
     prev = label_sum(labels)
+    if prev is None:  # no pairs at all -> no clustered docs (empty table)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    converged = False
     for _ in range(max_iters):
         labels = labels.materialize()  # consumed twice: attach + sum
         n_nodes = labels.count()
@@ -90,12 +101,14 @@ def connected_components(
                 if "lut" not in cache:
                     tabs = [t for t in ray.get(list(refs)) if t.num_rows]
                     full = pa.concat_tables(tabs)
-                    k = np.asarray(full["src"].to_pylist(), dtype=np.int64)
-                    v = np.asarray(full["label"].to_pylist(), dtype=np.int64)
+                    k = full["src"].combine_chunks().to_numpy(zero_copy_only=False)
+                    v = full["label"].combine_chunks().to_numpy(zero_copy_only=False)
                     order = np.argsort(k)
                     cache["lut"] = (k[order], v[order])
                 k, v = cache["lut"]
-                dst = np.asarray(batch["dst"].to_pylist(), dtype=np.int64)
+                dst = (
+                    batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+                )
                 # every dst is a node (self-edges guarantee presence)
                 lab = v[np.searchsorted(k, dst)]
                 return pa.Table.from_pydict(
@@ -122,8 +135,18 @@ def connected_components(
         )
         cur = label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+
+    if not converged:
+        # silent non-convergence would make dedup_survivors keep/drop the
+        # wrong docs — fail loudly; diameter > max_iters means a chain
+        # component longer than the rail, raise the cap for such graphs
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); raise max_iters"
+        )
 
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "cluster_id"]),

@@ -283,33 +283,49 @@ def _attach_pair_payload(
         refs = payload.materialize().to_arrow_refs()
         pc_a = payload_column + "_a"
         pc_b = payload_column + "_b"
-        cache: dict = {}  # per-worker-process: lookup built once, not per batch
+        cache: dict = {}  # per-task memo; the build itself is vectorized
 
         def join(batch: pa.Table) -> pa.Table:
-            if "lookup" not in cache:
+            if "lut" not in cache:
+                # vectorized build: sorted key array + the payload TABLE
+                # (gathered with pc.take, never expanded to Python objects)
+                # — a task that re-deserializes the closure pays one
+                # argsort over the candidate ids, not a dict build
                 tabs = [t for t in ray.get(list(refs)) if t.num_rows]
                 if tabs:
-                    full = pa.concat_tables(tabs)
-                    cache["lookup"] = dict(
-                        zip(full[id_column].to_pylist(), full[payload_column].to_pylist())
+                    full = pa.concat_tables(tabs).combine_chunks()
+                    keys = full[id_column].to_numpy(zero_copy_only=False)
+                    order = np.argsort(keys)
+                    cache["lut"] = (
+                        keys[order],
+                        full[payload_column].take(pa.array(order)),
                     )
-                    cache["ptype"] = full.schema.field(payload_column).type
                 else:
-                    cache["lookup"] = {}
-                    cache["ptype"] = pa.list_(pa.int64())
-            lookup, ptype = cache["lookup"], cache["ptype"]
-            a_ids = batch["id_a"].to_pylist()
-            b_ids = batch["id_b"].to_pylist()
-            mask = [i in lookup and j in lookup for i, j in zip(a_ids, b_ids)]
+                    cache["lut"] = (
+                        np.zeros(0, dtype=np.int64),
+                        pa.chunked_array([], type=pa.list_(pa.int64())),
+                    )
+            keys, vals = cache["lut"]
+
+            def gather(ids_arr):
+                ids = ids_arr.combine_chunks().to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, ids)
+                pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+                found = (
+                    (keys[pos_c] == ids) if len(keys) else np.zeros(len(ids), bool)
+                )
+                return pos_c, found
+
+            pos_a, ok_a = gather(batch["id_a"])
+            pos_b, ok_b = gather(batch["id_b"])
+            mask = ok_a & ok_b
             kept = batch.filter(pa.array(mask))
-            a_ids = kept["id_a"].to_pylist()
-            b_ids = kept["id_b"].to_pylist()
             return pa.Table.from_pydict(
                 {
                     "id_a": kept["id_a"],
                     "id_b": kept["id_b"],
-                    pc_a: pa.array([lookup[i] for i in a_ids], type=ptype),
-                    pc_b: pa.array([lookup[i] for i in b_ids], type=ptype),
+                    pc_a: vals.take(pa.array(pos_a[mask])),
+                    pc_b: vals.take(pa.array(pos_b[mask])),
                 }
             )
 
@@ -456,6 +472,7 @@ def jaccard_verify(
     id_column: str = "doc_id",
     shingle_k: int = 3,
     num_buckets: int = 32,
+    threshold: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard for a candidate pair Dataset — distributed:
     broadcast the (small) candidate id array, stream the corpus once to
@@ -509,19 +526,26 @@ def jaccard_verify(
         import math
 
         jac: List[float] = []
+        keep: List[bool] = []
         for a, b in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
             sa, sb = set(a), set(b)
             u = len(sa | sb)
+            raw = len(sa & sb) / u if u else 0.0
+            # threshold on the RAW value (what the brute-force oracle and
+            # ngram_jaccard_pairs filter on); rounding the OUTPUT can only
+            # happen after — a pair at threshold - 5e-7 must not round in
+            keep.append(threshold is None or raw >= threshold)
             # round half away from zero (DuckDB round()); Python's banker's
             # rounding diverges on exact .5 boundaries like jaccard=1/128
-            jac.append(math.floor(len(sa & sb) / u * 1e6 + 0.5) / 1e6 if u else 0.0)
-        return pa.Table.from_pydict(
+            jac.append(math.floor(raw * 1e6 + 0.5) / 1e6)
+        t = pa.table(
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
                 "jaccard": pa.array(jac, type=pa.float64()),
             }
         )
+        return t.filter(pa.array(keep)) if threshold is not None else t
 
     return joined.map_batches(score, batch_format="pyarrow")
 
@@ -564,12 +588,9 @@ def minhash_lsh_pairs(
         bands, id_column=id_column, max_bucket_members=max_bucket_members,
         distinct=False,
     )
-    verified = jaccard_verify(
-        ds, cand, text_column=text_column, id_column=id_column, shingle_k=shingle_k
-    )
-    kept = verified.map_batches(
-        lambda b, t=threshold: b.filter(pc.greater_equal(b["jaccard"], t)),
-        batch_format="pyarrow",
+    kept = jaccard_verify(
+        ds, cand, text_column=text_column, id_column=id_column,
+        shingle_k=shingle_k, threshold=threshold,
     )
     return _distinct_pairs(kept, ["jaccard"])
 
@@ -654,6 +675,9 @@ def ngram_jaccard_pairs(
                     "size_a": pd.Series(dtype="int64"),
                     "size_b": pd.Series(dtype="int64"),
                     "c": pd.Series(dtype="int64"),
+                    # keep the schema identical to non-empty shards — the
+                    # downstream groupby("pshard") must see it in every block
+                    "pshard": pd.Series(dtype="int64"),
                 }
             )
         ids = g[id_column].to_numpy()

@@ -88,10 +88,11 @@ def sliding_window(
 
     def partial(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        key_type = batch.schema.field(key_column).type  # keys keep their type
         if n == 0:
             return pa.Table.from_pydict(
                 {
-                    key_column: pa.array([], type=pa.string()),
+                    key_column: pa.array([], type=key_type),
                     "window_start": pa.array([], type=pa.timestamp("us")),
                     "n": pa.array([], type=pa.int64()),
                     "s": pa.array([], type=pa.float64()),
@@ -117,7 +118,7 @@ def sliding_window(
         agg = df.groupby(["k", "w"], sort=False)["v"].agg(["count", "sum"]).reset_index()
         return pa.Table.from_pydict(
             {
-                key_column: pa.array(agg["k"], type=pa.string()),
+                key_column: pa.array(agg["k"], type=key_type, from_pandas=True),
                 "window_start": pa.array(
                     agg["w"].to_numpy(dtype=np.int64), type=pa.timestamp("us")
                 ),
@@ -161,7 +162,7 @@ def key_quantiles(
     from .agg import sharded_groupby_apply
 
     qs = list(quantiles)
-    names = [f"p{int(q * 100)}" for q in qs]
+    names = [f"p{round(q * 100):d}" for q in qs]  # round, not truncate (0.29 -> p29)
 
     def shard_q(df: pd.DataFrame) -> pd.DataFrame:
         # discrete quantile, SQL quantile_disc semantics: the element at
@@ -175,7 +176,9 @@ def key_quantiles(
             n = len(s)
             row = {key_column: k}
             for q, name in zip(qs, names):
-                row[name] = float(s[min(n - 1, int(np.ceil(q * n)) - 1)])
+                # clamp BOTH ends: q=0 gives ceil(0*n)-1 = -1, which would
+                # wrap to the MAX via negative indexing (quantile_disc(0)=min)
+                row[name] = float(s[min(n - 1, max(0, int(np.ceil(q * n)) - 1))])
             rows.append(row)
         return pd.DataFrame(rows, columns=[key_column, *names])
 

@@ -44,6 +44,67 @@ def broadcast_join(
     return ds.map_batches(join, batch_format="pandas")
 
 
+def _align_and_bucket(left, right, on, num_buckets, suffix="_r"):
+    """Shared two-large-sides scaffolding for the partitioned joins: rename
+    the right side's clashing columns (except the key), pad each side with
+    typed nulls for the other's columns, bucket on ``hash(key) % B``, tag
+    the side, and union into ONE shuffle input.
+
+    Returns ``(both, own_r_cols, out_fields)``: the unioned Dataset, the
+    right side's renamed own columns, and the typed output schema the
+    per-bucket kernels must emit (pandas merge dtypes drift on empty /
+    all-null groups, so kernels emit typed Arrow)."""
+    from .hashing import bucket_column
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    rename_map = {
+        n: (n + suffix if n in l_names and n != on else n) for n in r_schema.names
+    }
+    l_fields = list(zip(l_schema.names, l_schema.types))
+    r_fields = [
+        (rename_map[n], t)
+        for n, t in zip(r_schema.names, r_schema.types)
+        if rename_map[n] != on
+    ]
+    all_fields = l_fields + [f for f in r_fields if f[0] not in l_names]
+    own_r_cols = sorted(n for n, _ in r_fields)
+    own_r_set = set(own_r_cols)
+
+    def prepare(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == "r":
+                batch = batch.rename_columns(
+                    [rename_map[n] for n in batch.schema.names]
+                )
+            have = set(batch.schema.names)
+            arrays, names = [], []
+            for name, typ in all_fields:
+                names.append(name)
+                if name in have:
+                    col = batch[name]
+                    arrays.append(
+                        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    )
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=typ))
+            out = pa.Table.from_arrays(arrays, names=names)
+            out = out.append_column("__bucket", bucket_column(out[on], num_buckets))
+            return out.append_column("__side", pa.array([side] * out.num_rows))
+
+        return fn
+
+    both = left.map_batches(prepare("l"), batch_format="pyarrow").union(
+        right.map_batches(prepare("r"), batch_format="pyarrow")
+    )
+    type_of = dict(all_fields)
+    out_fields = [(n, t) for n, t in all_fields if n not in own_r_set] + [
+        (n, type_of[n]) for n in own_r_cols
+    ]
+    return both, own_r_cols, out_fields
+
+
 def bucketed_hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -55,56 +116,7 @@ def bucketed_hash_join(
     bucket, and merge matching buckets pairwise inside per-bucket kernels —
     an explicit partitioned hash join.  Skewed keys should be salted into
     sub-buckets by the caller (raise ``num_buckets``)."""
-    from .hashing import bucket_column
-
-    # align schemas for the union: rename right's clashing columns (except
-    # the key), then pad each side with typed nulls for the other's columns
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_names = list(l_schema.names)
-    rename_map = {
-        n: (n + "_r" if n in l_names and n != on else n) for n in r_schema.names
-    }
-    l_fields = list(zip(l_schema.names, l_schema.types))
-    r_fields = [
-        (rename_map[n], t) for n, t in zip(r_schema.names, r_schema.types) if rename_map[n] != on
-    ]
-    all_fields = l_fields + [f for f in r_fields if f[0] not in l_names]
-    l_cols = set(l_schema.names)
-    r_cols = {rename_map[n] for n in r_schema.names}
-
-    def prepare(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            if side == "r":
-                batch = batch.rename_columns([rename_map[n] for n in batch.schema.names])
-            have = set(batch.schema.names)
-            arrays, names = [], []
-            for name, typ in all_fields:
-                names.append(name)
-                if name in have:
-                    col = batch[name]
-                    arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-                else:
-                    arrays.append(pa.nulls(batch.num_rows, type=typ))
-            out = pa.Table.from_arrays(arrays, names=names)
-            out = out.append_column("__bucket", bucket_column(out[on], num_buckets))
-            return out.append_column("__side", pa.array([side] * out.num_rows))
-
-        return fn
-
-    l = left.map_batches(prepare("l"), batch_format="pyarrow")
-    r = right.map_batches(prepare("r"), batch_format="pyarrow")
-    both = l.union(r)
-
-    own_r_cols = sorted((r_cols - {on}))
-    own_r_set = set(own_r_cols)
-    type_of = dict(all_fields)
-    # explicit output schema: pandas merge output dtypes drift on empty /
-    # all-null groups (int64 -> float64/object), which breaks the Arrow
-    # block concat of the downstream sort — emit typed Arrow per group
-    out_fields = [(n, t) for n, t in all_fields if n not in own_r_set] + [
-        (n, type_of[n]) for n in own_r_cols
-    ]
+    both, own_r_cols, out_fields = _align_and_bucket(left, right, on, num_buckets)
 
     def merge(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["__side"] == "l"].drop(columns=["__side", "__bucket", *own_r_cols])
@@ -139,56 +151,10 @@ def asof_join(
     the only skew concern — salt by raising ``num_buckets``.  ``tolerance``
     (a ``pandas.Timedelta``) optionally bounds the lookback window.
     """
-    from .hashing import bucket_column
-
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_names = list(l_schema.names)
-    rename_map = {
-        n: (n + suffix if n in l_names and n != key else n) for n in r_schema.names
-    }
-    l_fields = list(zip(l_schema.names, l_schema.types))
-    r_fields = [
-        (rename_map[n], t)
-        for n, t in zip(r_schema.names, r_schema.types)
-        if rename_map[n] != key
-    ]
-    all_fields = l_fields + [f for f in r_fields if f[0] not in l_names]
-    own_r_cols = sorted(n for n, _ in r_fields)
-    own_r_set = set(own_r_cols)
-    ts_r = ts + suffix  # right's timestamp after rename (ts clashes by construction)
-
-    def prepare(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            if side == "r":
-                batch = batch.rename_columns(
-                    [rename_map[n] for n in batch.schema.names]
-                )
-            have = set(batch.schema.names)
-            arrays, names = [], []
-            for name, typ in all_fields:
-                names.append(name)
-                if name in have:
-                    col = batch[name]
-                    arrays.append(
-                        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                    )
-                else:
-                    arrays.append(pa.nulls(batch.num_rows, type=typ))
-            out = pa.Table.from_arrays(arrays, names=names)
-            out = out.append_column("__bucket", bucket_column(out[key], num_buckets))
-            return out.append_column("__side", pa.array([side] * out.num_rows))
-
-        return fn
-
-    both = left.map_batches(prepare("l"), batch_format="pyarrow").union(
-        right.map_batches(prepare("r"), batch_format="pyarrow")
+    both, own_r_cols, out_fields = _align_and_bucket(
+        left, right, key, num_buckets, suffix=suffix
     )
-
-    type_of = dict(all_fields)
-    out_fields = [(n, t) for n, t in all_fields if n not in own_r_set] + [
-        (n, type_of[n]) for n in own_r_cols
-    ]
+    ts_r = ts + suffix  # right's timestamp after rename (ts clashes by construction)
 
     def merge(g: pd.DataFrame) -> pa.Table:
         lhs = (
@@ -241,57 +207,10 @@ def range_join(
       is events x intervals PER KEY; acceptable when keys hold few
       intervals, salt/raise ``num_buckets`` for hot keys.
     """
-    from .hashing import bucket_column
-
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_names = list(l_schema.names)
-    rename_map = {
-        n: (n + "_r" if n in l_names and n != key else n) for n in r_schema.names
-    }
-    l_fields = list(zip(l_schema.names, l_schema.types))
-    r_fields = [
-        (rename_map[n], t)
-        for n, t in zip(r_schema.names, r_schema.types)
-        if rename_map[n] != key
-    ]
-    all_fields = l_fields + [f for f in r_fields if f[0] not in l_names]
-    own_r_cols = sorted(n for n, _ in r_fields)
-    own_r_set = set(own_r_cols)
-    start_c = rename_map.get(start, start)
-    end_c = rename_map.get(end, end)
-
-    def prepare(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            if side == "r":
-                batch = batch.rename_columns(
-                    [rename_map[n] for n in batch.schema.names]
-                )
-            have = set(batch.schema.names)
-            arrays, names = [], []
-            for name, typ in all_fields:
-                names.append(name)
-                if name in have:
-                    col = batch[name]
-                    arrays.append(
-                        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                    )
-                else:
-                    arrays.append(pa.nulls(batch.num_rows, type=typ))
-            out = pa.Table.from_arrays(arrays, names=names)
-            out = out.append_column("__bucket", bucket_column(out[key], num_buckets))
-            return out.append_column("__side", pa.array([side] * out.num_rows))
-
-        return fn
-
-    both = left.map_batches(prepare("l"), batch_format="pyarrow").union(
-        right.map_batches(prepare("r"), batch_format="pyarrow")
-    )
-
-    type_of = dict(all_fields)
-    out_fields = [(n, t) for n, t in all_fields if n not in own_r_set] + [
-        (n, type_of[n]) for n in own_r_cols
-    ]
+    both, own_r_cols, out_fields = _align_and_bucket(left, right, key, num_buckets)
+    # right-side column names after the helper's rename
+    start_c = start + "_r" if start in left.schema().names and start != key else start
+    end_c = end + "_r" if end in left.schema().names and end != key else end
 
     def merge(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["__side"] == "l"].drop(columns=["__side", "__bucket", *own_r_cols])

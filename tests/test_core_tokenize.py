@@ -129,9 +129,18 @@ def test_split_sentences_periods():
 def test_tokenize_exotic_ascii_whitespace_fastpath_parity():
     # \x0b / \x0c are ASCII whitespace: the single-space fast path must
     # reject them so both paths agree (strict path emits whitespace tokens)
-    for ch in ("\x0b", "\x0c"):
+    for ch in ("\x0b", "\x0c", "\x1c", "\x1d", "\x1e", "\x1f"):
         text = f"a{ch}b"
         fast = Tokenizer("en").tokenize(text)
         strict = Tokenizer("en", strict=True).tokenize(text)
         assert fast == strict, repr(text)
         assert [t[0] for t in fast] == ["a", ch, "b"]
+    # exhaustive: EVERY ascii char that Python calls whitespace either is
+    # ' ' or rejects the fast path — the two paths can never diverge again
+    for o in range(128):
+        ch = chr(o)
+        if ch.isspace():
+            text = f"a{ch}b"
+            assert Tokenizer("en").tokenize(text) == Tokenizer(
+                "en", strict=True
+            ).tokenize(text), repr(text)
