@@ -44,6 +44,59 @@ def broadcast_join(
     return ds.map_batches(join, batch_format="pandas")
 
 
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    anti: bool = False,
+) -> "ray.data.Dataset":
+    """Broadcast semi-join (``anti=True``: anti-join): keep left rows whose
+    key does (not) appear in the right side's key set.  The right side is
+    the SMALL side by contract — only its distinct key array crosses the
+    wire (deduped per block in flight, once more on the driver, ``ray.put``
+    once); each task does one vectorized ``searchsorted`` per batch.  No
+    shuffle, and unlike a broadcast inner join the left rows stream through
+    unchanged (no widening, no duplication on duplicate right keys)."""
+    import numpy as np
+
+    rk = right_on or on
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        col = batch[rk]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table({"k": col.unique()})
+
+    refs = (
+        right.map_batches(key_partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+    if tabs:
+        keys = np.unique(
+            pa.concat_tables(tabs)["k"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+    keys_ref = ray.put(keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        if len(ks) == 0:
+            return batch if anti else batch.slice(0, 0)
+        col = batch[on]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = col.to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, vals), len(ks) - 1)
+        member = ks[pos] == vals
+        return batch.filter(pa.array(~member if anti else member))
+
+    return left.map_batches(filt, batch_format="pyarrow")
+
+
 def _align_and_bucket(left, right, on, num_buckets, suffix="_r"):
     """Shared two-large-sides scaffolding for the partitioned joins: rename
     the right side's clashing columns (except the key), pad each side with

@@ -62,29 +62,41 @@ _FP_WINDOW = 8
 _FP_K = 0x100000001B3  # FNV-ish odd multiplier for the window polynomial
 
 
-def _window_fingerprint(words: List[str]) -> int:
-    """Winnowed fingerprint: min over 8-word windows of a polynomial hash
-    of per-word crc32s, computed with one vectorized numpy pass — a single
-    per-word crc32 instead of one md5 per WINDOW (~50x cheaper at the same
-    determinism; the fingerprint is an opaque 63-bit id either way)."""
+def window_hashes(words: List[str], w: int) -> "np.ndarray":
+    """Polynomial hash of every ``w``-word window (uint64 wrap arithmetic)
+    over per-word crc32s, one vectorized numpy pass:
+    ``h_i = sum_j crc32(words[i+j]) * K^(w-1-j)``.  Deterministic across
+    processes/platforms — the shared gram-hash primitive for winnowed
+    fingerprints and n-gram decontamination."""
     import numpy as np
     import zlib
 
-    wh = np.fromiter(
-        (zlib.crc32(w.encode("utf-8")) for w in words),
-        dtype=np.uint64,
-        count=len(words),
-    )
     n = len(words)
+    if n < w or w <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    wh = np.fromiter(
+        (zlib.crc32(x.encode("utf-8")) for x in words),
+        dtype=np.uint64,
+        count=n,
+    )
     k = np.uint64(_FP_K)
-    if n == 0:
-        return 0
-    w = min(n, _FP_WINDOW)
-    # polynomial over each window via a strided cumulative trick:
-    # h_i = sum_j wh[i+j] * K^(w-1-j)  (uint64 wrap arithmetic)
     acc = np.zeros(n - w + 1, dtype=np.uint64)
     for j in range(w):
         acc = acc * np.uint64(1) + wh[j : j + n - w + 1] * (k ** np.uint64(w - 1 - j))
+    return acc
+
+
+def _window_fingerprint(words: List[str]) -> int:
+    """Winnowed fingerprint: min over 8-word windows of the polynomial
+    window hash — a single per-word crc32 instead of one md5 per WINDOW
+    (~50x cheaper at the same determinism; the fingerprint is an opaque
+    63-bit id either way)."""
+    import numpy as np
+
+    n = len(words)
+    if n == 0:
+        return 0
+    acc = window_hashes(words, min(n, _FP_WINDOW))
     return int(acc.min() >> np.uint64(1))
 
 
@@ -181,6 +193,42 @@ class LangIdActor:
                     best, best_score = lang, s
             preds.append(best)
         return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
+
+
+# RE2 patterns only (no lookaround/backrefs): the same strings run
+# unchanged through pyarrow.compute (RE2) and DuckDB regexp_replace (RE2),
+# so a SQL oracle can mirror the redaction verbatim.
+DEFAULT_REDACT_RULES = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    (r"\b\d+\b", "<NUM>"),
+]
+
+
+def redact(
+    ds: "ray.data.Dataset",
+    rules=None,
+    text_column: str = "text",
+    out_column: str | None = None,
+) -> "ray.data.Dataset":
+    """PII redaction: sequential global regex replacements applied as ONE
+    Arrow compute kernel per rule (``pc.replace_substring_regex`` — RE2,
+    vectorized, zero-copy in).  Rule order matters (an email is consumed
+    before its digits can match the number rule) and is preserved."""
+    import pyarrow.compute as pc
+
+    rules = DEFAULT_REDACT_RULES if rules is None else list(rules)
+    out = out_column or text_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        for pat, rep in rules:
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=rep)
+        if out in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index(out), out, col)
+        return batch.append_column(out, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def add_token_counts(ds: "ray.data.Dataset", text_column: str = "text"):

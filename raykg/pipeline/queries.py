@@ -644,6 +644,98 @@ def q_join_bucketed(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+DECONTAM_N = 4  # word-gram size: 13 in production pipelines; 4 keeps the
+DECONTAM_MOD = 13  # tiny-vocabulary sf corpora non-vacuous (test set = docs
+#                    with doc_id % 13 == 0, held out of the corpus side)
+
+
+def q_decontam(sf_dir: str):
+    """Test-set decontamination: corpus docs surviving n-gram overlap
+    removal against the held-out eval slice."""
+    from ..ops.decontam import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _slice(held_out: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            m = ids % DECONTAM_MOD == 0
+            return batch.filter(pa.array(m if held_out else ~m))
+
+        return fn
+
+    corpus = docs.map_batches(_slice(False), batch_format="pyarrow")
+    testset = docs.map_batches(_slice(True), batch_format="pyarrow")
+    return decontaminate(corpus, testset, n=DECONTAM_N).select_columns(["doc_id"])
+
+
+def q_redact(sf_dir: str):
+    """PII redaction over a deterministically PII-injected corpus (the sf
+    documents carry no emails/phones, so the query plants them from doc_id
+    identically on both engines, then redacts)."""
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks() if isinstance(
+            batch["doc_id"], pa.ChunkedArray
+        ) else batch["doc_id"]
+        idstr = pc.cast(ids, pa.string())
+        pad = pc.utf8_lpad(
+            pc.cast(
+                pa.array(ids.to_numpy(zero_copy_only=False) % 10000), pa.string()
+            ),
+            4,
+            "0",
+        )
+        n = batch.num_rows
+        pii = pc.binary_join_element_wise(
+            pa.array(["doc "] * n), idstr, pa.array([": "] * n),
+            batch["text"],
+            pa.array([" contact user"] * n), idstr,
+            pa.array(["@example.com or call 415-555-"] * n), pad,
+            pa.array([""] * n),  # separator
+        )
+        return pa.table({"doc_id": ids, "text": pii})
+
+    return text_ops.redact(
+        docs.map_batches(inject, batch_format="pyarrow")
+    ).select_columns(["doc_id", "text"])
+
+
+def q_orders_semi(sf_dir: str):
+    """Broadcast semi-join: orders of customers with acctbal > 5000."""
+    from ..ops.join import semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    rich = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).filter(expr="c_acctbal > 5000")
+    return semi_join(orders, rich, on="o_custkey", right_on="c_custkey")
+
+
+def q_orders_anti(sf_dir: str):
+    """Broadcast anti-join: orders of customers with acctbal <= 5000."""
+    from ..ops.join import semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    rich = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).filter(expr="c_acctbal > 5000")
+    return semi_join(orders, rich, on="o_custkey", right_on="c_custkey", anti=True)
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -690,6 +782,10 @@ QUERIES: Dict[str, Callable] = {
     "sessionize": q_sessionize,
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
+    "decontam": q_decontam,
+    "redact": q_redact,
+    "orders_semi": q_orders_semi,
+    "orders_anti": q_orders_anti,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1252,4 +1348,50 @@ ORACLE_SQL["conv_top_tags"] = f"""
           FROM ct)
     SELECT conv_id, tag, n_mentions, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 2
+"""
+
+# decontamination: word n-grams in SQL via list slicing (same '\S+'-split
+# as Python .split()); a corpus doc is contaminated iff it shares a gram
+# with the held-out doc_id % MOD == 0 slice
+ORACLE_SQL["decontam"] = rf"""
+    WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 array_to_string(ws[i:i+{DECONTAM_N - 1}], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, len(ws) - {DECONTAM_N - 1})) t(i)
+          WHERE len(ws) >= {DECONTAM_N}),
+    test_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD} = 0),
+    dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN test_g USING (gram)
+              WHERE g.doc_id % {DECONTAM_MOD} <> 0)
+    SELECT doc_id FROM documents
+    WHERE doc_id % {DECONTAM_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+# redaction: identical PII injection, then the SAME RE2 rules in the same
+# order (both engines are RE2, so the patterns are shared verbatim)
+ORACLE_SQL["redact"] = r"""
+    WITH pii AS (SELECT doc_id,
+                        'doc ' || CAST(doc_id AS VARCHAR) || ': ' || text ||
+                        ' contact user' || CAST(doc_id AS VARCHAR) ||
+                        '@example.com or call 415-555-' ||
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+                 FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+             '\b\d+\b', '<NUM>', 'g') AS text
+    FROM pii
+"""
+
+ORACLE_SQL["orders_semi"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+ORACLE_SQL["orders_anti"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 """
