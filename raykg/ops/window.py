@@ -1,0 +1,77 @@
+"""Per-key ordered window functions — SQL's ``... OVER (PARTITION BY key
+ORDER BY ts)`` family (lag / lead / row_number / running aggregates).
+
+Scale shape: rides :func:`raykg.ops.agg.sharded_groupby_apply`, so the
+only exchange is ONE shuffle on ``hash(key) % num_shards`` (O(shards)
+engine groups, never a Python call per key); inside a shard every window
+column is computed in a single vectorized pandas pass (``groupby.shift``
+/ ``cumsum`` / ``cumcount`` are Cython kernels).  Rows of one key are
+co-located by the shard hash, so per-key windows are exact regardless of
+how the input was blocked.  Determinism contract: ``order_by`` must be a
+total order within each key (include a unique tiebreak column such as a
+row id) — the same contract SQL window functions need for reproducible
+LAG/running sums.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import pandas as pd
+
+import ray.data
+
+from .agg import sharded_groupby_apply
+
+# (kind, src_column_or_None, out_column, param)
+WindowSpec = Tuple[str, Optional[str], str, object]
+
+_KINDS = {"lag", "lead", "row_number", "cumsum", "cummax", "cummin", "delta"}
+
+
+def window_over(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    specs: Sequence[WindowSpec],
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Append window columns per ``specs`` over ``PARTITION BY keys ORDER
+    BY order_by``.
+
+    Spec kinds (param meaning):
+
+    - ``("lag", src, out, (offset, fill))`` — value ``offset`` rows back
+      within the key, ``fill`` where no such row exists (use a sentinel
+      rather than None when the result feeds an engine-comparison path —
+      Arrow null vs NaN round-trips differ between engines).
+    - ``("lead", src, out, (offset, fill))`` — symmetric, rows ahead.
+    - ``("row_number", None, out, None)`` — 1-based position in the key.
+    - ``("cumsum" | "cummax" | "cummin", src, out, None)`` — running
+      aggregate including the current row.
+    - ``("delta", src, out, fill)`` — ``src - lag(src, 1)``; ``fill`` for
+      each key's first row.
+    """
+    keys, order_by = list(keys), list(order_by)
+    for kind, _src, _out, _p in specs:
+        if kind not in _KINDS:
+            raise ValueError(f"unknown window kind: {kind!r}")
+
+    def shard_windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)
+        g = df.groupby(keys, sort=False)
+        for kind, src, out, param in specs:
+            if kind == "row_number":
+                df[out] = g.cumcount() + 1
+            elif kind in ("lag", "lead"):
+                offset, fill = param if isinstance(param, tuple) else (param or 1, None)
+                shifted = g[src].shift(offset if kind == "lag" else -offset)
+                df[out] = shifted if fill is None else shifted.fillna(fill)
+            elif kind == "delta":
+                d = df[src] - g[src].shift(1)
+                df[out] = d if param is None else d.fillna(param)
+            else:  # cumsum / cummax / cummin
+                df[out] = getattr(g[src], kind)()
+        return df
+
+    return sharded_groupby_apply(ds, keys, shard_windows, num_shards=num_shards)

@@ -736,6 +736,43 @@ def q_orders_anti(sf_dir: str):
     return semi_join(orders, rich, on="o_custkey", right_on="c_custkey", anti=True)
 
 
+def q_order_windows(sf_dir: str):
+    """Per-customer ordered window functions over orders: row_number,
+    lagged price, and a running total — SQL's OVER (PARTITION BY custkey
+    ORDER BY orderdate, orderkey) family on one sharded shuffle.  The
+    running total is in integer cents: float summation order is engine-
+    defined, int summation is exact everywhere."""
+    from ..ops.window import window_over
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return batch.append_column("cents", cents)
+
+    out = window_over(
+        orders.map_batches(add_cents, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[
+            ("row_number", None, "rn", None),
+            ("lag", "o_totalprice", "prev_price", (1, -1.0)),
+            ("cumsum", "cents", "run_total_cents", None),
+        ],
+    )
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "rn", "prev_price", "run_total_cents"]
+    )
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -786,6 +823,7 @@ QUERIES: Dict[str, Callable] = {
     "redact": q_redact,
     "orders_semi": q_orders_semi,
     "orders_anti": q_orders_anti,
+    "order_windows": q_order_windows,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1394,4 +1432,18 @@ ORACLE_SQL["orders_semi"] = """
 ORACLE_SQL["orders_anti"] = """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+# window functions: the running total is integer cents (float window-sum
+# order is engine-defined; int sums are exact), lag is sentinel-filled
+# (engines disagree on null vs NaN round-trips)
+ORACLE_SQL["order_windows"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           COALESCE(LAG(o_totalprice) OVER w, -1.0) AS prev_price,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
