@@ -58,6 +58,72 @@ def quality_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch
 
 
+def repetition_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Repetition-based quality metrics (the Gopher-rule family): share of
+    the document consumed by its most frequent word / bigram and the
+    duplicate-word share — the standard signals for dropping boilerplate
+    and degenerate (looping) generations from training corpora.  Integer
+    percentages (floor division) so an exact SQL oracle can compare:
+
+    - ``top_word_pct``   = 100 * max word count // n_words
+    - ``top_bigram_pct`` = 100 * max bigram count // (n_words - 1)
+    - ``dup_word_pct``   = 100 * (n_words - n_distinct_words) // n_words
+
+    all 0 when the document is too short to have the denominator."""
+    from collections import Counter
+
+    texts = batch[text_column].to_pylist()
+    top_w: List[int] = []
+    top_b: List[int] = []
+    dup_w: List[int] = []
+    for t in texts:
+        words = WORD_RE.findall(t or "")
+        nw = len(words)
+        if nw == 0:
+            top_w.append(0), top_b.append(0), dup_w.append(0)
+            continue
+        wc = Counter(words)
+        top_w.append(100 * max(wc.values()) // nw)
+        dup_w.append(100 * (nw - len(wc)) // nw)
+        if nw >= 2:
+            bc = Counter(zip(words, words[1:]))
+            top_b.append(100 * max(bc.values()) // (nw - 1))
+        else:
+            top_b.append(0)
+    for name, vals in [
+        ("top_word_pct", top_w),
+        ("top_bigram_pct", top_b),
+        ("dup_word_pct", dup_w),
+    ]:
+        batch = batch.append_column(name, pa.array(vals, type=pa.int64()))
+    return batch
+
+
+def filter_repetitive(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    max_top_word_pct: int = 20,
+    max_top_bigram_pct: int = 20,
+    max_dup_word_pct: int = 60,
+) -> "ray.data.Dataset":
+    """Drop documents whose repetition metrics exceed the thresholds —
+    a streaming map_batches filter, no shuffle."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = repetition_batch(batch, text_column)
+        ok = pc.and_(
+            pc.and_(
+                pc.less_equal(m["top_word_pct"], max_top_word_pct),
+                pc.less_equal(m["top_bigram_pct"], max_top_bigram_pct),
+            ),
+            pc.less_equal(m["dup_word_pct"], max_dup_word_pct),
+        )
+        return batch.filter(ok)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 _FP_WINDOW = 8
 _FP_K = 0x100000001B3  # FNV-ish odd multiplier for the window polynomial
 

@@ -736,6 +736,16 @@ def q_orders_anti(sf_dir: str):
     return semi_join(orders, rich, on="o_custkey", right_on="c_custkey", anti=True)
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition metrics per document."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        lambda b: text_ops.repetition_batch(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "top_word_pct", "top_bigram_pct", "dup_word_pct"])
+
+
 def q_order_windows(sf_dir: str):
     """Per-customer ordered window functions over orders: row_number,
     lagged price, and a running total — SQL's OVER (PARTITION BY custkey
@@ -824,6 +834,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_semi": q_orders_semi,
     "orders_anti": q_orders_anti,
     "order_windows": q_order_windows,
+    "repetition": q_repetition,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1446,4 +1457,30 @@ ORACLE_SQL["order_windows"] = """
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total_cents
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# Gopher-rule repetition metrics: same '\S+' word split as the Python op,
+# integer floor-division percentages so values compare exactly
+ORACLE_SQL["repetition"] = r"""
+    WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+               FROM documents),
+    g1 AS (SELECT doc_id, ws[i] AS word
+           FROM w, UNNEST(generate_series(1, len(ws))) t(i)),
+    wc AS (SELECT doc_id, MAX(n) AS mw, CAST(SUM(n) AS BIGINT) AS nw,
+                  COUNT(*) AS nd
+           FROM (SELECT doc_id, word, COUNT(*) AS n FROM g1 GROUP BY 1, 2)
+           GROUP BY 1),
+    g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
+           FROM w, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+           WHERE len(ws) >= 2),
+    bc AS (SELECT doc_id, MAX(n) AS mb
+           FROM (SELECT doc_id, bigram, COUNT(*) AS n FROM g2 GROUP BY 1, 2)
+           GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE((100 * wc.mw) // wc.nw, 0) AS BIGINT) AS top_word_pct,
+           CAST(COALESCE((100 * bc.mb) // (wc.nw - 1), 0) AS BIGINT) AS top_bigram_pct,
+           CAST(COALESCE((100 * (wc.nw - wc.nd)) // wc.nw, 0) AS BIGINT) AS dup_word_pct
+    FROM documents d
+    LEFT JOIN wc ON d.doc_id = wc.doc_id
+    LEFT JOIN bc ON d.doc_id = bc.doc_id
 """

@@ -7,9 +7,17 @@ import pytest
 import ray
 import ray.data
 
+import pyarrow as pa
+
 from raykg.ops.decontam import decontaminate
 from raykg.ops.join import semi_join
-from raykg.ops.text import _window_fingerprint, redact, window_hashes
+from raykg.ops.text import (
+    _window_fingerprint,
+    filter_repetitive,
+    redact,
+    repetition_batch,
+    window_hashes,
+)
 
 
 def test_window_hashes_basic():
@@ -83,6 +91,44 @@ class TestRedact:
             ds, rules=[(r"\d+", "#")], text_column="t", out_column="clean"
         ).to_pandas()
         assert out["t"][0] == "abc 99" and out["clean"][0] == "abc #"
+
+
+class TestRepetition:
+    def _metrics(self, text):
+        t = repetition_batch(pa.table({"text": [text]}))
+        return {c: t[c][0].as_py() for c in ("top_word_pct", "top_bigram_pct", "dup_word_pct")}
+
+    def test_degenerate_loop_is_flagged(self):
+        m = self._metrics("spam spam spam spam")
+        assert m == {"top_word_pct": 100, "top_bigram_pct": 100, "dup_word_pct": 75}
+
+    def test_clean_text_scores_low(self):
+        m = self._metrics("every word here is completely different")
+        assert m == {"top_word_pct": 100 // 6, "top_bigram_pct": 20, "dup_word_pct": 0}
+
+    def test_empty_and_single_word(self):
+        assert self._metrics("") == {
+            "top_word_pct": 0, "top_bigram_pct": 0, "dup_word_pct": 0,
+        }
+        assert self._metrics("solo") == {
+            "top_word_pct": 100, "top_bigram_pct": 0, "dup_word_pct": 0,
+        }
+
+    def test_null_text(self):
+        t = repetition_batch(pa.table({"text": pa.array([None], type=pa.string())}))
+        assert t["top_word_pct"][0].as_py() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_repetitive_drops_loops():
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "buy now " * 50},
+            {"doc_id": 2, "text": "a reasonably varied sentence with many distinct words in it"},
+        ]
+    )
+    out = filter_repetitive(ds).to_pandas()
+    assert out["doc_id"].tolist() == [2]
 
 
 @pytest.mark.usefixtures("ray_session")
