@@ -746,6 +746,17 @@ def q_repetition(sf_dir: str):
     ).select_columns(["doc_id", "top_word_pct", "top_bigram_pct", "dup_word_pct"])
 
 
+def q_tfidf_top(sf_dir: str):
+    """Top-3 characteristic terms per document by tf/df (exact-rank
+    TF-IDF variant; see ops/tfidf.py for why the ratio, not log-idf)."""
+    from ..ops.tfidf import tfidf_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_topk(docs, k=3)
+
+
 def q_order_windows(sf_dir: str):
     """Per-customer ordered window functions over orders: row_number,
     lagged price, and a running total — SQL's OVER (PARTITION BY custkey
@@ -835,6 +846,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_anti": q_orders_anti,
     "order_windows": q_order_windows,
     "repetition": q_repetition,
+    "tfidf_top": q_tfidf_top,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1483,4 +1495,24 @@ ORACLE_SQL["repetition"] = r"""
     FROM documents d
     LEFT JOIN wc ON d.doc_id = wc.doc_id
     LEFT JOIN bc ON d.doc_id = bc.doc_id
+"""
+
+# tf/df-ranked keyword extraction (integer-exact: the score is a ratio of
+# small ints, identically ordered in IEEE doubles on both engines)
+ORACLE_SQL["tfidf_top"] = r"""
+    WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, ws[i] AS term
+          FROM w, UNNEST(generate_series(1, len(ws))) t(i)),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM g GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+                 ) AS rank
+          FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
 """
