@@ -757,6 +757,17 @@ def q_tfidf_top(sf_dir: str):
     return tfidf_topk(docs, k=3)
 
 
+def q_approx_distinct(sf_dir: str):
+    """KMV sketch estimate of the distinct customers placing orders —
+    deterministic and exactly mirrored by the SQL oracle."""
+    from ..ops.sketch import kmv_distinct
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    return kmv_distinct(orders, "o_custkey", k=256)
+
+
 def q_order_windows(sf_dir: str):
     """Per-customer ordered window functions over orders: row_number,
     lagged price, and a running total — SQL's OVER (PARTITION BY custkey
@@ -847,6 +858,7 @@ QUERIES: Dict[str, Callable] = {
     "order_windows": q_order_windows,
     "repetition": q_repetition,
     "tfidf_top": q_tfidf_top,
+    "approx_distinct": q_approx_distinct,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1516,3 +1528,8 @@ ORACLE_SQL["tfidf_top"] = r"""
     SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 3
 """
+
+# KMV sketch mirror: identical md5-60bit hash, identical integer estimate
+from ..ops.sketch import kmv_oracle_sql as _kmv_sql  # noqa: E402
+
+ORACLE_SQL["approx_distinct"] = _kmv_sql("orders", "o_custkey", k=256)

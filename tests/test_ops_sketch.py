@@ -1,0 +1,40 @@
+"""KMV distinct-count sketch: exactness below k, accuracy above, and the
+DuckDB mirror computing the identical estimate."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from raykg.ops.sketch import kmv_distinct, kmv_oracle_sql
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmv:
+    def test_exact_when_below_k(self):
+        ds = ray.data.from_items([{"v": i % 37} for i in range(500)])
+        out = kmv_distinct(ds, "v", k=256)
+        assert out["n_distinct_est"][0] == 37
+
+    def test_estimate_within_10pct(self):
+        n = 10_000
+        ds = ray.data.from_items([{"v": i} for i in range(n)]).repartition(8)
+        est = kmv_distinct(ds, "v", k=256)["n_distinct_est"][0]
+        assert abs(est - n) / n < 0.10, est
+
+    def test_nulls_ignored(self):
+        ds = ray.data.from_arrow(
+            __import__("pyarrow").table({"v": [1, None, 2, None, 1]})
+        )
+        assert kmv_distinct(ds, "v", k=16)["n_distinct_est"][0] == 2
+
+    def test_sql_mirror_identical(self):
+        df = pd.DataFrame({"v": [i % 997 for i in range(5000)]})
+        ds = ray.data.from_pandas(df).repartition(4)
+        mine = kmv_distinct(ds, "v", k=128)["n_distinct_est"][0]
+        con = duckdb.connect()
+        con.register("t", df)
+        theirs = con.execute(kmv_oracle_sql("t", "v", k=128)).fetchone()[0]
+        assert mine == theirs
