@@ -142,6 +142,12 @@ def run_bench() -> dict:
     timed("token_counts")
     timed("quality")
     timed("ann_topk")
+    timed("decontam")
+    timed("redact")
+    timed("repetition")
+    timed("tfidf_top")
+    timed("order_windows")
+    timed("approx_distinct", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

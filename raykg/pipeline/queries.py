@@ -768,6 +768,38 @@ def q_approx_distinct(sf_dir: str):
     return kmv_distinct(orders, "o_custkey", k=256)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(sf_dir: str):
+    """Per-user event-type counts as a wide table (pivot with a pinned
+    category schema)."""
+    from ..ops.reshape import pivot
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot(events, index="user_id", columns_from="event_type",
+                 categories=EVENT_TYPES)
+
+
+def q_lineitem_melt(sf_dir: str):
+    """Wide -> long explode of the lineitem charge columns."""
+    from ..ops.reshape import melt
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return melt(
+        li,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="amount",
+    )
+
+
 def q_order_windows(sf_dir: str):
     """Per-customer ordered window functions over orders: row_number,
     lagged price, and a running total — SQL's OVER (PARTITION BY custkey
@@ -859,6 +891,8 @@ QUERIES: Dict[str, Callable] = {
     "repetition": q_repetition,
     "tfidf_top": q_tfidf_top,
     "approx_distinct": q_approx_distinct,
+    "event_pivot": q_event_pivot,
+    "lineitem_melt": q_lineitem_melt,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1533,3 +1567,22 @@ ORACLE_SQL["tfidf_top"] = r"""
 from ..ops.sketch import kmv_oracle_sql as _kmv_sql  # noqa: E402
 
 ORACLE_SQL["approx_distinct"] = _kmv_sql("orders", "o_custkey", k=256)
+
+ORACLE_SQL["event_pivot"] = """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["lineitem_melt"] = """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+           l_extendedprice AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""

@@ -41,9 +41,13 @@ def value_hash(df: pd.DataFrame) -> str:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            # round BEFORE sorting: float-addition-order jitter (~1e-14)
+            # must not permute tied rows between the two engines
+            df[c] = df[c].round(6)
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return hashlib.sha256(
-        df.to_csv(index=False, float_format="%.6g").encode()
+        df.to_csv(index=False, float_format="%.6f").encode()
     ).hexdigest()[:16]
 
 
