@@ -67,7 +67,7 @@ def pivot(
         )
         if val is None or agg == "count":
             wide = wide.astype("int64")
-        return wide.reset_index()
+        return wide.rename_axis(None, axis=1).reset_index()
 
     long = ds.map_batches(partial, batch_format="pandas")
     return sharded_groupby_apply(long, [index], widen, num_shards=num_shards)

@@ -26,7 +26,10 @@ from .agg import sharded_groupby_apply
 # (kind, src_column_or_None, out_column, param)
 WindowSpec = Tuple[str, Optional[str], str, object]
 
-_KINDS = {"lag", "lead", "row_number", "cumsum", "cummax", "cummin", "delta"}
+_KINDS = {
+    "lag", "lead", "row_number", "cumsum", "cummax", "cummin", "delta",
+    "rolling_sum",
+}
 
 
 def window_over(
@@ -51,6 +54,9 @@ def window_over(
       aggregate including the current row.
     - ``("delta", src, out, fill)`` — ``src - lag(src, 1)``; ``fill`` for
       each key's first row.
+    - ``("rolling_sum", src, out, w)`` — sum of the trailing ``w``-row
+      window including the current row (SQL ``ROWS BETWEEN w-1 PRECEDING
+      AND CURRENT ROW``); shorter at each key's start, like SQL.
     """
     keys, order_by = list(keys), list(order_by)
     for kind, _src, _out, _p in specs:
@@ -70,6 +76,13 @@ def window_over(
             elif kind == "delta":
                 d = df[src] - g[src].shift(1)
                 df[out] = d if param is None else d.fillna(param)
+            elif kind == "rolling_sum":
+                df[out] = (
+                    g[src]
+                    .rolling(int(param), min_periods=1)
+                    .sum()
+                    .reset_index(drop=True)
+                )
             else:  # cumsum / cummax / cummin
                 df[out] = getattr(g[src], kind)()
         return df

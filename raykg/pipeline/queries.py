@@ -800,6 +800,35 @@ def q_lineitem_melt(sf_dir: str):
     )
 
 
+def q_custs_no_orders(sf_dir: str):
+    """SQL EXCEPT: customers who never placed an urgent order."""
+    from ..ops.setops import except_rows
+
+    custs = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    urgent = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+    )
+    return except_rows(custs, urgent, cols=["c_custkey"])
+
+
+def q_click_buyers(sf_dir: str):
+    """SQL INTERSECT: users who both clicked and purchased."""
+    from ..ops.setops import intersect_rows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clickers = ev.filter(expr="event_type == 'click'").select_columns(["user_id"])
+    buyers = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    return intersect_rows(clickers, buyers, cols=["user_id"])
+
+
 def q_order_windows(sf_dir: str):
     """Per-customer ordered window functions over orders: row_number,
     lagged price, and a running total — SQL's OVER (PARTITION BY custkey
@@ -830,10 +859,20 @@ def q_order_windows(sf_dir: str):
             ("row_number", None, "rn", None),
             ("lag", "o_totalprice", "prev_price", (1, -1.0)),
             ("cumsum", "cents", "run_total_cents", None),
+            ("rolling_sum", "cents", "roll3", 3),
         ],
     )
-    return out.select_columns(
-        ["o_orderkey", "o_custkey", "rn", "prev_price", "run_total_cents"]
+
+    def cast_roll(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("roll3")
+        return batch.set_column(
+            i, "roll3", pc.cast(batch["roll3"], pa.int64())
+        )
+
+    return out.map_batches(cast_roll, batch_format="pyarrow").select_columns(
+        ["o_orderkey", "o_custkey", "rn", "prev_price", "run_total_cents", "roll3"]
     )
 
 
@@ -893,6 +932,8 @@ QUERIES: Dict[str, Callable] = {
     "approx_distinct": q_approx_distinct,
     "event_pivot": q_event_pivot,
     "lineitem_melt": q_lineitem_melt,
+    "custs_no_orders": q_custs_no_orders,
+    "click_buyers": q_click_buyers,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1512,7 +1553,11 @@ ORACLE_SQL["order_windows"] = """
            COALESCE(LAG(o_totalprice) OVER w, -1.0) AS prev_price,
            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total_cents
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll3
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -1585,4 +1630,16 @@ ORACLE_SQL["lineitem_melt"] = """
     SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+ORACLE_SQL["custs_no_orders"] = """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+ORACLE_SQL["click_buyers"] = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
 """

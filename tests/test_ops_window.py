@@ -56,6 +56,10 @@ class TestWindowOver:
         assert out["mx"].tolist() == [10, 20, 30, 5, 7]
         assert out["d"].tolist() == [0, 10, 10, 0, 2]
 
+    def test_rolling_sum_trailing_window(self):
+        out = self._run([("rolling_sum", "v", "r2", 2)])
+        assert out["r2"].tolist() == [10, 30, 50, 5, 12]
+
     def test_unknown_kind_raises(self):
         with pytest.raises(ValueError, match="unknown window kind"):
             window_over(self._ds(), ["k"], ["t"], [("ntile", "v", "x", None)])
