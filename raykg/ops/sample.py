@@ -49,6 +49,47 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def group_sample(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    key_column: str,
+    k: int,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Deterministic ``k`` rows per group: rank rows inside each group by
+    ``md5(str(key))`` (60-bit, cross-engine reproducible — DuckDB:
+    ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT``) and
+    keep the ``k`` smallest.  A reservoir sample whose outcome is
+    independent of run, resume, and cluster layout; rides the sharded
+    per-group top-k (no Python call per group)."""
+    import hashlib
+
+    from .topk import group_topk
+
+    def add_rank_key(batch: pa.Array) -> pa.Array:
+        keys = batch[key_column].to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16)
+                for v in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return batch.append_column("__h", pa.array(h, type=pa.int64()))
+
+    ranked = group_topk(
+        ds.map_batches(add_rank_key, batch_format="pyarrow"),
+        keys=[group_column],
+        value_column="__h",
+        k=k,
+        ascending=True,
+        tiebreak=[key_column],
+        num_shards=num_shards,
+    )
+    return ranked.drop_columns(["__h"])
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     key_column: str,

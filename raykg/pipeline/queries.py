@@ -829,6 +829,16 @@ def q_click_buyers(sf_dir: str):
     return intersect_rows(clickers, buyers, cols=["user_id"])
 
 
+def q_lang_sample(sf_dir: str):
+    """Deterministic 5-doc sample per language (md5-ranked reservoir)."""
+    from ..ops.sample import group_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return group_sample(docs, group_column="lang", key_column="doc_id", k=5)
+
+
 def q_order_windows(sf_dir: str):
     """Per-customer ordered window functions over orders: row_number,
     lagged price, and a running total — SQL's OVER (PARTITION BY custkey
@@ -934,6 +944,7 @@ QUERIES: Dict[str, Callable] = {
     "lineitem_melt": q_lineitem_melt,
     "custs_no_orders": q_custs_no_orders,
     "click_buyers": q_click_buyers,
+    "lang_sample": q_lang_sample,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1642,4 +1653,17 @@ ORACLE_SQL["click_buyers"] = """
     SELECT user_id FROM events WHERE event_type = 'click'
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+# deterministic per-group reservoir: identical md5-60bit rank key
+ORACLE_SQL["lang_sample"] = """
+    WITH h AS (SELECT doc_id, lang,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                      AS BIGINT) AS rank
+          FROM h)
+    SELECT doc_id, lang, rank FROM r WHERE rank <= 5
 """

@@ -132,6 +132,20 @@ def test_filter_repetitive_drops_loops():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_group_sample_partition_invariant():
+    from raykg.ops.sample import group_sample
+
+    rows = [{"g": "a" if i % 2 else "b", "id": i} for i in range(40)]
+    one = group_sample(ray.data.from_items(rows), "g", "id", k=3).to_pandas()
+    many = group_sample(
+        ray.data.from_items(rows).repartition(7), "g", "id", k=3
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["g", "id", "rank"]].to_numpy()))
+    assert key(one) == key(many)
+    assert len(one) == 6 and set(one["rank"]) == {1, 2, 3}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSemiAntiJoin:
     def _sides(self):
         left = ray.data.from_items(
