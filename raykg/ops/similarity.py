@@ -130,6 +130,22 @@ class IVFIndex:
         self.centroids = c
         return self
 
+    def fit_distributed(
+        self, ds: "ray.data.Dataset", embedding_column: str = "embedding",
+        iters: int = 8, sample_rows: int = 4096,
+    ) -> "IVFIndex":
+        """Centroids from full-data distributed Lloyd passes
+        (:func:`raykg.ops.kmeans.kmeans_fit`) instead of a driver-side
+        sample — the 100 TB path: per-pass state is one (nlist, d)
+        matrix, every vector participates, no driver materialization."""
+        from .kmeans import kmeans_fit
+
+        self.centroids = kmeans_fit(
+            ds, embedding_column=embedding_column, k=self.nlist,
+            iters=iters, seed=self.seed, sample_rows=sample_rows,
+        )
+        return self
+
     def assign(self, ds: "ray.data.Dataset", embedding_column: str = "embedding"):
         cref = ray.put(self.centroids)
 

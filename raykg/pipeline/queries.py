@@ -349,7 +349,7 @@ def q_ann_ivf(sf_dir: str):
     ).to_pandas()
     qtab = qtab[qtab["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
     q = np.array(qtab["embedding"].tolist(), dtype=np.float64)
-    ivf = IVFIndex(nlist=16, nprobe=16).fit(emb)
+    ivf = IVFIndex(nlist=16, nprobe=16).fit_distributed(emb, iters=4)
     assigned = ivf.assign(emb)
     out = ivf.search(assigned, q, qtab["vec_id"].tolist(), k=ANN_K)
     return out.select_columns(["query_id", "vec_id", "rank"])
