@@ -886,6 +886,33 @@ def q_order_windows(sf_dir: str):
     )
 
 
+SUBSTR_K = 8  # window width in words: 50 tokens in Lee et al.'s production
+#               setting; 8 keeps the tiny-vocabulary sf corpora non-vacuous
+
+
+def q_dup_spans(sf_dir: str):
+    """Within-corpus exact-substring dedup profile (Lee et al. 2021):
+    per-doc count/spans/coverage of word 8-grams duplicated across >= 2
+    distinct documents."""
+    from ..ops.substring import duplicate_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return duplicate_span_stats(docs, k=SUBSTR_K)
+
+
+def q_dedup_substring(sf_dir: str):
+    """Corpus rebuilt with every duplicated 8-gram span removed (all
+    occurrences; whitespace canonicalized)."""
+    from ..ops.substring import drop_duplicate_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return drop_duplicate_spans(docs, k=SUBSTR_K)
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -945,6 +972,8 @@ QUERIES: Dict[str, Callable] = {
     "custs_no_orders": q_custs_no_orders,
     "click_buyers": q_click_buyers,
     "lang_sample": q_lang_sample,
+    "dup_spans": q_dup_spans,
+    "dedup_substring": q_dedup_substring,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1666,4 +1695,52 @@ ORACLE_SQL["lang_sample"] = """
                       AS BIGINT) AS rank
           FROM h)
     SELECT doc_id, lang, rank FROM r WHERE rank <= 5
+"""
+
+# exact-substring dedup: the gram/dup/hit chain is shared by both oracles.
+# SQL groups by gram TEXT where the engine groups by 64-bit window hash —
+# identical outcomes modulo ~n^2/2^64 collisions (the documented
+# inverted-index trade, same stance as the decontam oracle).
+_SUBSTR_HIT_CTES = rf"""
+    w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          FROM documents),
+    g AS (SELECT doc_id, i,
+                 array_to_string(ws[i:i+{SUBSTR_K - 1}], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, len(ws) - {SUBSTR_K - 1})) t(i)
+          WHERE len(ws) >= {SUBSTR_K}),
+    dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram))
+"""
+
+ORACLE_SQL["dup_spans"] = f"""
+    WITH {_SUBSTR_HIT_CTES},
+    lagd AS (SELECT doc_id, i,
+                    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+             FROM hit)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN pi IS NULL OR i - pi > {SUBSTR_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN pi IS NULL THEN {SUBSTR_K}
+                         ELSE LEAST(i - pi, {SUBSTR_K}) END) AS BIGINT)
+             AS dup_tokens
+    FROM lagd GROUP BY doc_id
+"""
+
+ORACLE_SQL["dedup_substring"] = f"""
+    WITH {_SUBSTR_HIT_CTES},
+    cov AS (SELECT DISTINCT doc_id, i + o AS j
+            FROM hit, UNNEST(generate_series(0, {SUBSTR_K - 1})) t2(o)),
+    tok AS (SELECT doc_id, j, ws[j] AS tokn
+            FROM w, UNNEST(generate_series(1, len(ws))) t3(j)),
+    kept AS (SELECT t.doc_id, t.j, t.tokn
+             FROM tok t LEFT JOIN cov c
+               ON t.doc_id = c.doc_id AND t.j = c.j
+             WHERE c.doc_id IS NULL)
+    SELECT d.doc_id,
+           COALESCE(k.txt, '') AS clean_text
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(tokn, ' ' ORDER BY j) AS txt
+               FROM kept GROUP BY doc_id) k USING (doc_id)
 """
