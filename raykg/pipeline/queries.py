@@ -913,6 +913,33 @@ def q_dedup_substring(sf_dir: str):
     return drop_duplicate_spans(docs, k=SUBSTR_K)
 
 
+PACK_CAPACITY = 256  # tokens per packed sequence; docs are <= ~100 tokens
+PACK_SHARDS = 8
+MIX_WEIGHTS = {"en": 0.5, "fr": 2.0, "de": 1.25, "es": 0.0, "zh": 1.0}
+
+
+def q_pack_docs(sf_dir: str):
+    """Sequence packing: greedy token-budget bin assignment per md5
+    shard (deterministic, cluster-layout-invariant)."""
+    from ..ops.pack import pack_bins
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_bins(docs, capacity=PACK_CAPACITY, num_shards=PACK_SHARDS)
+
+
+def q_mix_langs(sf_dir: str):
+    """Deterministic mixture resampling: replicate/downsample per-language
+    slices to a target weight (es dropped, fr doubled, en halved, ...)."""
+    from ..ops.pack import mix_weighted
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mix_weighted(docs, MIX_WEIGHTS)
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -974,6 +1001,8 @@ QUERIES: Dict[str, Callable] = {
     "lang_sample": q_lang_sample,
     "dup_spans": q_dup_spans,
     "dedup_substring": q_dedup_substring,
+    "pack_docs": q_pack_docs,
+    "mix_langs": q_mix_langs,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -1743,4 +1772,46 @@ ORACLE_SQL["dedup_substring"] = f"""
     FROM documents d
     LEFT JOIN (SELECT doc_id, string_agg(tokn, ' ' ORDER BY j) AS txt
                FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+# sequence packing: the greedy within-shard walk is a RECURSIVE CTE
+# advancing every shard one doc per iteration (depth = max docs/shard)
+ORACLE_SQL["pack_docs"] = rf"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % {PACK_SHARDS} AS shard
+          FROM documents),
+    d AS (SELECT doc_id, shard, n_tok,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM w),
+    walk AS (
+      SELECT doc_id, shard, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.shard, d.n_tok, d.rn,
+             CASE WHEN w2.fill + d.n_tok > {PACK_CAPACITY}
+                  THEN w2.bin + 1 ELSE w2.bin END,
+             CASE WHEN w2.fill + d.n_tok > {PACK_CAPACITY}
+                  THEN d.n_tok ELSE w2.fill + d.n_tok END
+      FROM d JOIN walk w2 ON d.shard = w2.shard AND d.rn = w2.rn + 1)
+    SELECT doc_id, shard, bin, n_tok FROM walk
+"""
+
+_MIX_VALUES = ", ".join(
+    f"('{lang}', {int(w)}, {int(round((w - int(w)) * 100))})"
+    for lang, w in MIX_WEIGHTS.items()
+)
+ORACLE_SQL["mix_langs"] = f"""
+    WITH wts(lang, whole, fpct) AS (VALUES {_MIX_VALUES}),
+    b AS (SELECT doc_id, d.lang, whole, fpct,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS p
+          FROM documents d JOIN wts USING (lang)),
+    c AS (SELECT doc_id, lang,
+                 whole + CASE WHEN p < fpct THEN 1 ELSE 0 END AS n
+          FROM b)
+    SELECT doc_id, lang, CAST(t.c AS BIGINT) AS copy
+    FROM c, UNNEST(generate_series(1, n)) t(c)
 """
