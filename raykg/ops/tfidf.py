@@ -1,13 +1,15 @@
 """TF-IDF keyword extraction — the distributed composition pattern.
 
 Pipeline: explode documents into distinct ``(doc, term, tf)`` rows in one
-streaming pass; reduce document frequencies with a sharded aggregate
-(the vocabulary scales with the corpus, so DF is a DATASET, not a
-broadcast dict — at 100 TB the vocabulary alone is too large to ship to
-every task); marry tf to df with the partitioned hash join (both sides
-bucketed on the term, so only same-bucket groups co-locate); rank with
-the sharded per-group top-k.  Every stage is an existing scale-audited
-operator — this module only composes them.
+streaming pass; ONE term-sharded exchange both reduces document
+frequencies and attaches them (all rows of a term co-locate in its
+shard, so df is the term's in-shard row count — a separate df aggregate
+plus a tf⋈df join would re-shuffle the same rows on the same key); rank
+with the sharded per-group top-k.  The vocabulary scales with the
+corpus, so DF stays distributed — never a broadcast dict (at 100 TB the
+vocabulary alone is too large to ship to every task).
+``document_frequencies`` remains available as a standalone reduce for
+consumers that want the (term, df) table itself.
 
 Scoring uses ``tf / df`` (rarity-weighted term frequency).  The ratio of
 two small ints is IEEE-exact and identically ordered in every engine,
@@ -25,7 +27,6 @@ import pyarrow as pa
 import ray.data
 
 from .agg import sharded_groupby_apply
-from .join import bucketed_hash_join
 from .text import WORD_RE
 from .topk import group_topk
 
@@ -94,8 +95,21 @@ def tfidf_topk(
     deterministic tie-break on the term.  Output: ``(id, term, tf, df,
     rank)`` — integer columns only, so oracle comparison is exact."""
     tf = term_frequencies(docs, text_column, id_column)
-    df = document_frequencies(tf, num_shards=num_shards)
-    joined = bucketed_hash_join(tf, df, on="term", num_buckets=num_shards)
+
+    # ONE term-sharded exchange replaces the df-aggregate + tf⋈df join
+    # pair: after sharding on the term, every (doc, term, tf) row of a
+    # term is co-located, so its document frequency is simply the term's
+    # row count inside the shard (tf rows are distinct per doc) — the
+    # join would re-shuffle the same rows on the same key to attach a
+    # value that is already derivable in place.  This also runs the
+    # text-sized explode once instead of twice (two consumers of a lazy
+    # Dataset re-execute it).
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(df=g.groupby("term", sort=False)["tf"].transform("size"))
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    joined = sharded_groupby_apply(tf, ["term"], attach_df, num_shards=num_shards)
 
     def score(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
