@@ -9,20 +9,21 @@ one of the training-data extras the target engine adds.
 
 Scale shape (what moves through the cluster):
 
-1. **Discovery** — one streaming pass over the corpus emits per-batch
-   ``(gram_hash, n_docs)`` partials (per-doc unique first, so in-doc
-   repeats never inflate the count), then a sharded vectorized aggregate
-   keeps hashes seen in >= ``min_docs`` distinct documents.  The shuffle
-   carries 16-byte hash/count rows — never gram text, never doc bodies.
-2. **Hit join** — a second pass re-derives ``(doc_id, pos, gram_hash)``
-   occurrences (recompute beats materializing a k-gram-amplified
-   intermediate) and a partitioned hash join against the duplicated-hash
-   set keeps only duplicated positions.  Both sides stream; nothing lands
-   on the driver.
-3. **Per-doc reduce** — duplicated positions group per document through
-   the sharded aggregate; span merging / coverage is one vectorized numpy
-   pass per shard (intervals ``[p, p+k)`` merge when the position delta
-   is <= k, so coverage = k + sum(min(diff, k)) per doc).
+1. **Inverted-index exchange** — one streaming pass over the corpus
+   emits ``(doc_id, pos, gram_hash)`` occurrence rows, h-sharded.  All
+   occurrences of a hash co-locate in its shard, so duplicate discovery
+   (distinct-doc count >= ``min_docs``) AND the hit filter happen inside
+   the shard in one vectorized pass — no separate discovery aggregate,
+   no join, one corpus read.  The exchange carries 24-byte rows (hash +
+   id + position) — never gram text, never doc bodies.
+2. **Per-doc reduce** — duplicated positions group per document through
+   a second sharded exchange; span merging / coverage is one vectorized
+   numpy pass per shard (intervals ``[p, p+k)`` merge when the position
+   delta is <= k, so coverage = k + sum(min(diff, k)) per doc).
+
+:func:`duplicate_gram_hashes` remains as the standalone hash-only
+discovery reduce (16-byte partial rows) for consumers that want the
+duplicated-gram set itself rather than positions.
 
 Grouping is by 64-bit polynomial window hash (`ops/text.window_hashes`)
 rather than gram text: a collision can only ADD a false duplicate flag,
@@ -41,7 +42,6 @@ import pyarrow as pa
 import ray.data
 
 from .agg import sharded_groupby_apply
-from .join import bucketed_hash_join
 from .text import window_hashes
 
 
@@ -137,13 +137,23 @@ def duplicate_hits(
 ) -> "ray.data.Dataset":
     """(doc_id, pos) of every window whose k-gram is duplicated across
     >= ``min_docs`` distinct documents (all occurrences, including in-doc
-    repeats of a cross-doc-duplicated gram)."""
-    dup = duplicate_gram_hashes(
-        ds, text_column=text_column, k=k, min_docs=min_docs, num_shards=num_buckets
-    )
+    repeats of a cross-doc-duplicated gram).
+
+    One h-sharded exchange of the occurrence rows does BOTH discovery and
+    the hit join: all occurrences of a hash co-locate in its shard, so the
+    distinct-doc count and the filter happen in place — a separate
+    discovery aggregate plus a join would re-shuffle the same occurrence
+    rows on the same key (and read the corpus twice)."""
     occ = _occurrences(ds, text_column, id_column, k)
-    joined = bucketed_hash_join(occ, dup, on="h", num_buckets=num_buckets)
-    return joined.drop_columns(["h"])
+
+    def hits_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        n_docs = (
+            df.drop_duplicates(["h", id_column]).groupby("h", sort=False).size()
+        )
+        keep = df["h"].map(n_docs).to_numpy() >= min_docs
+        return df.loc[keep, [id_column, "pos"]]
+
+    return sharded_groupby_apply(occ, ["h"], hits_in_shard, num_shards=num_buckets)
 
 
 def duplicate_span_stats(
