@@ -126,6 +126,23 @@ def q_nodes(sf_dir: str):
     return build_nodes(q_triples(sf_dir), onto_rows)
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the KG edge table (3 fixed iterations, damping 0.85)
+    — the iterative two-exchange-per-step loop in `ops/pagerank.py`;
+    ranks rounded to 8 decimals for the hash compare (values are
+    O(1/n_nodes), so 4 decimals would collapse them)."""
+    from ..ops.pagerank import pagerank
+
+    pr = pagerank(q_edges(sf_dir), damping=0.85, iters=3, num_shards=16)
+
+    def round8(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"node": batch["node"], "pr": pc.round(batch["pr"], 8)})
+
+    return pr.map_batches(round8, batch_format="pyarrow")
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -952,6 +969,7 @@ QUERIES: Dict[str, Callable] = {
     "triples": q_triples,
     "edges": q_edges,
     "nodes": q_nodes,
+    "pagerank": q_pagerank,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -1815,3 +1833,51 @@ ORACLE_SQL["mix_langs"] = f"""
     SELECT doc_id, lang, CAST(t.c AS BIGINT) AS copy
     FROM c, UNNEST(generate_series(1, n)) t(c)
 """
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank mirror: one CTE triple
+    (dangling mass, contribution sums, fold) per iteration — recursive
+    CTEs cannot aggregate over the previous step in standard SQL, and
+    unrolling keeps the arithmetic order-independent enough that the
+    8-decimal rounding on both sides hash-matches."""
+    parts = [
+        f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    e AS (SELECT DISTINCT src, dst FROM eraw),
+    pr_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM pr_nodes),
+    od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
+           FROM e GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS pr FROM pr_nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f""",
+    dang{i} AS (SELECT COALESCE(SUM(p.pr), 0.0) AS m
+                FROM {p} p LEFT JOIN od o ON p.node = o.node
+                WHERE o.node IS NULL),
+    s{i} AS (SELECT e.dst AS node, SUM(p.pr / o.od) AS contrib
+             FROM e JOIN {p} p ON e.src = p.node
+                    JOIN od o ON e.src = o.node
+             GROUP BY e.dst),
+    pr{i} AS (SELECT nd.node,
+                     (1 - {damping}) / (SELECT c FROM nn)
+                     + {damping} * (SELECT m FROM dang{i}) / (SELECT c FROM nn)
+                     + {damping} * COALESCE(s.contrib, 0.0) AS pr
+              FROM pr_nodes nd LEFT JOIN s{i} s ON nd.node = s.node)"""
+        )
+    parts.append(f"\n    SELECT node, round(pr, 8) AS pr FROM pr{iters}")
+    return "".join(parts)
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql(damping=0.85, iters=3)

@@ -1,0 +1,84 @@
+"""PageRank: local-reference parity, mass conservation, partition
+invariance, dangling/dedup semantics."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from raykg.ops.pagerank import pagerank
+
+
+def local_pagerank(edges, damping=0.85, iters=5):
+    """Dense numpy reference with uniform dangling redistribution."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = pr[outdeg == 0].sum()
+        nxt = np.full(n, (1 - damping) / n + damping * dangling / n)
+        for u, v in edges:
+            nxt[idx[v]] += damping * pr[idx[u]] / outdeg[idx[u]]
+        pr = nxt
+    return dict(zip(nodes, pr))
+
+
+GRAPH = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("e", "e"),  # self-loop
+    ("f", "c"),              # f has in-degree 0
+    ("c", "g"),              # g is dangling (no out-edges)
+]
+
+
+def run(edges, **kw):
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    )
+    out = pagerank(ds, num_shards=8, **kw).to_pandas()
+    return dict(zip(out["node"], out["pr"]))
+
+
+def test_matches_local_reference(ray_session):
+    got = run(GRAPH)
+    want = local_pagerank(GRAPH)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+
+
+def test_mass_conserved(ray_session):
+    got = run(GRAPH)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_partition_invariance(ray_session):
+    ds1 = ray.data.from_pandas(
+        pd.DataFrame(GRAPH, columns=["src", "dst"])
+    ).repartition(7)
+    out = pagerank(ds1, num_shards=8).to_pandas()
+    got = dict(zip(out["node"], out["pr"]))
+    want = run(GRAPH)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+
+
+def test_parallel_edges_collapse(ray_session):
+    doubled = GRAPH + GRAPH
+    assert run(doubled) == pytest.approx(run(GRAPH))
+
+
+def test_keep_parallel_edges_changes_weights(ray_session):
+    skewed = GRAPH + [("a", "b")]  # a->b twice: b gains when kept
+    with_dup = run(skewed, dedup_edges=False)
+    without = run(skewed, dedup_edges=True)
+    assert with_dup["b"] > without["b"]
+
+
+def test_empty_graph(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"src": [], "dst": []}))
+    assert pagerank(ds, num_shards=4).count() == 0
