@@ -138,6 +138,7 @@ def run_bench() -> dict:
     timed("minhash_pairs")
     timed("jaccard_pairs")
     timed("dup_clusters")
+    timed("pagerank")
     timed("prep_corpus")
     timed("token_counts")
     timed("quality")

@@ -143,6 +143,17 @@ def q_pagerank(sf_dir: str):
     return pr.map_batches(round8, batch_format="pyarrow")
 
 
+def q_profile(sf_dir: str):
+    """Column profile of the documents table (counts / nulls / exact
+    distinct / lexicographic extremes) — `ops/profile.py`; reads only the
+    profiled columns."""
+    from ..ops.profile import profile_columns
+
+    cols = ["doc_id", "lang", "source"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return profile_columns(ds, cols, num_shards=16)
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -970,6 +981,7 @@ QUERIES: Dict[str, Callable] = {
     "edges": q_edges,
     "nodes": q_nodes,
     "pagerank": q_pagerank,
+    "profile": q_profile,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -1881,3 +1893,15 @@ def _pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
 
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(damping=0.85, iters=3)
+
+_PROFILE_COL_SQL = """
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           MIN(CAST({c} AS VARCHAR)) AS min_str,
+           MAX(CAST({c} AS VARCHAR)) AS max_str
+    FROM documents
+"""
+ORACLE_SQL["profile"] = " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(c=c) for c in ("doc_id", "lang", "source")
+)
