@@ -154,6 +154,20 @@ def q_profile(sf_dir: str):
     return profile_columns(ds, cols, num_shards=16)
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking of the documents table (64-token windows,
+    16-token overlap) — stateless flat-map, no exchange (`ops/chunk.py`)."""
+    from ..ops.chunk import chunk_documents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -982,6 +996,7 @@ QUERIES: Dict[str, Callable] = {
     "nodes": q_nodes,
     "pagerank": q_pagerank,
     "profile": q_profile,
+    "chunk_docs": q_chunk_docs,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -1905,3 +1920,20 @@ _PROFILE_COL_SQL = """
 ORACLE_SQL["profile"] = " UNION ALL ".join(
     _PROFILE_COL_SQL.format(c=c) for c in ("doc_id", "lang", "source")
 )
+
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+ORACLE_SQL["chunk_docs"] = f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t)
+    SELECT doc_id, i AS chunk_idx, i * {_CHUNK_STRIDE} AS tok_start,
+           least({CHUNK_SIZE}, n_tok - i * {_CHUNK_STRIDE}) AS tok_len,
+           array_to_string(
+               toks[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {CHUNK_SIZE}],
+               ' ') AS chunk
+    FROM n, UNNEST(generate_series(
+        0, CAST(ceil(n_tok / {_CHUNK_STRIDE}.0) AS BIGINT))) s(i)
+    WHERE i * {_CHUNK_STRIDE} < n_tok
+"""
