@@ -168,6 +168,22 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
 
 
+BM25_TERMS = ["customer", "vector", "stream"]
+BM25_K = 10
+
+
+def q_bm25(sf_dir: str):
+    """BM25 lexical retrieval over the documents table — `ops/bm25.py`
+    with the rational-idf scoring (engine-exact arithmetic; see module
+    docstring)."""
+    from ..ops.bm25 import bm25_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(ds, BM25_TERMS, k=BM25_K, num_shards=16)
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -997,6 +1013,7 @@ QUERIES: Dict[str, Callable] = {
     "pagerank": q_pagerank,
     "profile": q_profile,
     "chunk_docs": q_chunk_docs,
+    "bm25_top": q_bm25,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -1936,4 +1953,28 @@ ORACLE_SQL["chunk_docs"] = f"""
     FROM n, UNNEST(generate_series(
         0, CAST(ceil(n_tok / {_CHUNK_STRIDE}.0) AS BIGINT))) s(i)
     WHERE i * {_CHUNK_STRIDE} < n_tok
+"""
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+ORACLE_SQL["bm25_top"] = rf"""
+    WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+               FROM documents),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(len(ws)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM w),
+    g AS (SELECT doc_id, ws[i] AS term, len(ws) AS dl
+          FROM w, UNNEST(generate_series(1, len(ws))) t(i)),
+    tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM g WHERE term IN ({_BM25_IN}) GROUP BY 1, 2, 3),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+                  SUM(((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5)
+                      * (CAST(tf.tf AS DOUBLE) * (1.5 + 1.0))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.5 * ((1.0 - 0.75)
+                                  + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                            / (SELECT avgdl FROM st))))) AS s
+           FROM tf JOIN df USING (term) GROUP BY 1)
+    SELECT doc_id, round(s, 6) AS score
+    FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 10
 """
