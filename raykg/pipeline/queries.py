@@ -184,6 +184,14 @@ def q_bm25(sf_dir: str):
     return bm25_topk(ds, BM25_TERMS, k=BM25_K, num_shards=16)
 
 
+def q_co_mentions(sf_dir: str):
+    """Concept-concept co-mention edges (tags sharing a turn) —
+    `ops/comention.py` over the mentions long table."""
+    from ..ops.comention import co_mention_edges
+
+    return co_mention_edges(_mentions(sf_dir), num_shards=16)
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -1014,6 +1022,7 @@ QUERIES: Dict[str, Callable] = {
     "profile": q_profile,
     "chunk_docs": q_chunk_docs,
     "bm25_top": q_bm25,
+    "co_mentions": q_co_mentions,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -1977,4 +1986,14 @@ ORACLE_SQL["bm25_top"] = rf"""
            FROM tf JOIN df USING (term) GROUP BY 1)
     SELECT doc_id, round(s, 6) AS score
     FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+"""
+
+ORACLE_SQL["co_mentions"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    d AS (SELECT DISTINCT conv_id, turn_idx, tag FROM occ)
+    SELECT a.tag AS tag_a, b.tag AS tag_b,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM d a JOIN d b
+      ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.tag < b.tag
+    GROUP BY 1, 2
 """
