@@ -13,30 +13,36 @@ out-edges (redistributed uniformly, so ranks sum to 1 every iteration).
 The iteration count is FIXED (not convergence-tested) so the result is
 deterministic and exactly mirrorable in unrolled SQL for the oracle.
 
-Scale shape — exactly TWO exchanges per iteration:
+Scale shape.  The node set is |V| and the edge set |E| >> |V|; the
+state table ``(node, rank, outdeg)`` is |V|-sized.  Two iteration
+engines, chosen by whether the state fits one worker's memory:
 
-1. **Contribution join** — one bucketed hash join attaches the current
-   ``(rank, outdeg)`` to the edge table on ``src``; the joined rows carry
-   two ids and two doubles — never node payloads.
-2. **Fused reduce + fold** — contribution rows (keyed by destination)
-   union with the state rows into ONE node-sharded exchange; inside each
-   shard a vectorized kernel sums contributions per node, left-aligns
-   them onto the state rows, and applies the damping formula.  A separate
-   per-dst aggregate followed by a state join would re-shuffle the same
-   rows on the same key.
+**Broadcast engine** (``n_nodes <= max_broadcast_nodes``, the common
+case — even a billion-node KG is a few tens of GB of state while the
+corpus behind it is the 100 TB part): the state lives as one pandas
+table, ``ray.put`` once per iteration and map-side merged onto the
+streaming edge table — so the |E|-sized edges are NEVER re-shuffled;
+the only exchange per iteration is the dst-sharded contribution sum,
+carrying two-column ``(dst, w)`` rows.  The fold is a vectorized
+|V|-sized local pass.
 
-Setup is two more exchanges: parallel-edge dedup, then a single
-node-sharded pass over the endpoint rows that derives the node set, the
-out-degrees, and the uniform initial ranks together.
+**Sharded engine** (fallback above the threshold): state stays a
+Dataset end-to-end; per iteration (1) a bucketed hash join attaches
+``(rank, outdeg)`` to edges on src, (2) contribution rows union with
+the state rows into ONE node-sharded exchange where a vectorized kernel
+sums per node and applies the damping formula (a separate aggregate
+plus state join would re-shuffle the same rows on the same key).
+Nothing corpus-scale lands on the driver; the dangling mass is the only
+driver-side scalar.
 
-The state table ``(node, rank, outdeg)`` is node-set-sized and is
-materialized between iterations (the only way to iterate a lazy
-Dataset); the edge projection is materialized ONCE and re-read from the
-object store each iteration instead of recomputing its upstream
-pipeline.  The dangling mass is the only driver-side value — one float
-per iteration, reduced via per-batch partials.  Nothing corpus-scale
-ever lands on the driver, so the op survives a node set that is itself
-sharded across the cluster.
+Setup (both engines) is two exchanges: parallel-edge dedup, then a
+single node-sharded pass over the endpoint rows that derives the node
+set, the out-degrees, and the uniform initial ranks together.  The edge
+projection is materialized ONCE and re-read from the object store each
+iteration instead of recomputing its upstream pipeline.
+
+Both engines run the identical arithmetic in the identical order, so
+they agree bit-for-bit and both match the unrolled-SQL oracle.
 """
 from __future__ import annotations
 
@@ -74,6 +80,7 @@ def pagerank(
     iters: int = 5,
     num_shards: int = 64,
     dedup_edges: bool = True,
+    max_broadcast_nodes: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Rank every node of the directed graph ``(src_column, dst_column)``.
 
@@ -81,6 +88,9 @@ def pagerank(
     full precision — round at the consumer if hashing).  Parallel edges
     are collapsed to one (``dedup_edges``) so a repeated triple does not
     multiply its endpoint's influence; self-loops count like any edge.
+    Node sets up to ``max_broadcast_nodes`` run the broadcast engine
+    (state shipped via ``ray.put``, edges never re-shuffled); larger
+    node sets fall back to the fully sharded engine (see module doc).
     """
     e = edges.select_columns([src_column, dst_column])
     if dedup_edges:
@@ -124,6 +134,11 @@ def pagerank(
             pd.DataFrame(
                 {"node": pd.Series([], dtype=str), "pr": pd.Series([], dtype=float)}
             )
+        )
+
+    if n <= max_broadcast_nodes:
+        return _pagerank_broadcast(
+            e, pre_state, n, src_column, dst_column, damping, iters, num_shards
         )
 
     def init_state(df: pd.DataFrame) -> pa.Table:
@@ -196,3 +211,67 @@ def pagerank(
         ).materialize()
 
     return _arrow(state, _STATE_SCHEMA).select_columns(["node", "pr"])
+
+
+def _pagerank_broadcast(
+    e: "ray.data.Dataset",
+    pre_state: "ray.data.Dataset",
+    n: int,
+    src_column: str,
+    dst_column: str,
+    damping: float,
+    iters: int,
+    num_shards: int,
+) -> "ray.data.Dataset":
+    """Broadcast iteration engine: |V|-sized state as one pandas table,
+    ``ray.put`` per iteration and map-side merged onto the streaming edge
+    table; the only exchange per iteration is the dst-sharded ``(dst,
+    w)`` contribution sum.  Arithmetic is element-for-element the same
+    expression the sharded engine runs."""
+    import ray
+
+    state = pre_state.to_pandas()  # (node, outdeg) — fits by the threshold
+    state["outdeg"] = state["outdeg"].astype(np.float64)
+    state["pr"] = np.full(len(state), 1.0 / n)
+    dangling_mask = state["outdeg"].to_numpy() == 0.0
+
+    def sum_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["w"].sum()
+        return pd.DataFrame({"node": g.index.to_numpy(), "c": g.to_numpy()})
+
+    for _ in range(iters):
+        dangling = float(state["pr"].to_numpy()[dangling_mask].sum())
+        base = (1.0 - damping) / n + damping * dangling / n
+        ref = ray.put(state[["node", "outdeg", "pr"]])
+
+        def contrib(batch: pa.Table, ref=ref) -> pa.Table:
+            st = ray.get(ref)  # plasma-cached per worker after first pull
+            df = pa.table(
+                {src_column: batch[src_column], dst_column: batch[dst_column]}
+            ).to_pandas()
+            m = df.merge(st, left_on=src_column, right_on="node", how="left")
+            w = m["pr"].to_numpy() / m["outdeg"].to_numpy()
+            return pa.table(
+                {
+                    "node": pa.array(m[dst_column], type=pa.string()),
+                    "w": pa.array(w, type=pa.float64()),
+                }
+            )
+
+        sums = sharded_groupby_apply(
+            e.map_batches(contrib, batch_format="pyarrow"),
+            ["node"],
+            sum_shard,
+            num_shards=num_shards,
+        ).to_pandas()  # <= |V| rows
+        c = state["node"].map(dict(zip(sums["node"], sums["c"]))).fillna(0.0).to_numpy()
+        state["pr"] = base + damping * c
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(state["node"], type=pa.string()),
+                "pr": pa.array(state["pr"].to_numpy(), type=pa.float64()),
+            }
+        )
+    )

@@ -85,6 +85,16 @@ def test_keep_parallel_edges_changes_weights(ray_session):
     assert with_dup["b"] > without["b"]
 
 
+def test_sharded_engine_matches_broadcast(ray_session):
+    # max_broadcast_nodes=0 forces the fully sharded fallback; both
+    # engines run the same arithmetic and must agree to the last bit
+    got = run(GRAPH, max_broadcast_nodes=0)
+    want = run(GRAPH)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-15), node
+
+
 def test_empty_graph(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"src": [], "dst": []}))
     assert pagerank(ds, num_shards=4).count() == 0
