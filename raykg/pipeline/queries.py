@@ -192,6 +192,39 @@ def q_co_mentions(sf_dir: str):
     return co_mention_edges(_mentions(sf_dir), num_shards=16)
 
 
+def q_hub_nodes(sf_dir: str):
+    """Top-10 hub nodes by out-degree over distinct KG edges — sharded
+    degree count + tiny global sort; ties broken by node id."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.setops import distinct_rows
+
+    e = distinct_rows(
+        q_edges(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], num_shards=16
+    )
+
+    def count_out(df):
+        import pandas as pd
+
+        g = df.groupby("src", sort=False, as_index=False).size()
+        return g.rename(columns={"size": "out_degree"})
+
+    deg = sharded_groupby_apply(e, ["src"], count_out, num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "src": pa.array(df["src"], type=pa.string()),
+                "out_degree": pa.array(df["out_degree"], type=pa.int64()),
+            }
+        )
+
+    return (
+        deg.map_batches(typed, batch_format="pandas")
+        .sort(["out_degree", "src"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -1023,6 +1056,7 @@ QUERIES: Dict[str, Callable] = {
     "chunk_docs": q_chunk_docs,
     "bm25_top": q_bm25,
     "co_mentions": q_co_mentions,
+    "hub_nodes": q_hub_nodes,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -1996,4 +2030,20 @@ ORACLE_SQL["co_mentions"] = f"""
     FROM d a JOIN d b
       ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.tag < b.tag
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["hub_nodes"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    e AS (SELECT DISTINCT src, dst FROM eraw)
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree
+    FROM e GROUP BY src
+    ORDER BY out_degree DESC, src LIMIT 10
 """
