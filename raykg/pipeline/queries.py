@@ -225,6 +225,75 @@ def q_hub_nodes(sf_dir: str):
     )
 
 
+def q_suppliers_by_region(sf_dir: str):
+    """Star-schema rollup: suppliers enriched through two chained
+    broadcast dimension joins (nation, region — the canonical pattern for
+    small dims at corpus scale), per-batch pre-aggregated, then a tiny
+    5-group reduce."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.join import broadcast_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    nat = pq_mod.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).rename_columns(["s_nationkey", "n_regionkey"])
+    reg = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).rename_columns(["n_regionkey", "r_name"])
+    joined = broadcast_join(
+        broadcast_join(sup, nat, on="s_nationkey", how="left"),
+        reg,
+        on="n_regionkey",
+        how="left",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {"r_name": batch["r_name"], "bal": batch["s_acctbal"]}
+        ).to_pandas()
+        g = df.groupby("r_name", sort=False).agg(
+            n_suppliers=("bal", "size"), total_acctbal=("bal", "sum")
+        )
+        return pa.table(
+            {
+                "r_name": pa.array(g.index, type=pa.string()),
+                "n_suppliers": pa.array(g["n_suppliers"], type=pa.int64()),
+                "total_acctbal": pa.array(g["total_acctbal"], type=pa.float64()),
+            }
+        )
+
+    def reduce_regions(df):
+        g = df.groupby("r_name", sort=False, as_index=False).sum()
+        return g
+
+    out = sharded_groupby_apply(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["r_name"],
+        reduce_regions,
+        num_shards=4,
+    )
+
+    def finish(df) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": pa.array(df["r_name"], type=pa.string()),
+                "n_suppliers": pa.array(df["n_suppliers"], type=pa.int64()),
+                "total_acctbal": pc.round(
+                    pa.array(df["total_acctbal"], type=pa.float64()), 4
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -1057,6 +1126,7 @@ QUERIES: Dict[str, Callable] = {
     "bm25_top": q_bm25,
     "co_mentions": q_co_mentions,
     "hub_nodes": q_hub_nodes,
+    "suppliers_by_region": q_suppliers_by_region,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2046,4 +2116,13 @@ ORACLE_SQL["hub_nodes"] = f"""
     SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree
     FROM e GROUP BY src
     ORDER BY out_degree DESC, src LIMIT 10
+"""
+
+ORACLE_SQL["suppliers_by_region"] = """
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(SUM(s.s_acctbal), 4) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
 """
