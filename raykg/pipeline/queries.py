@@ -294,6 +294,78 @@ def q_suppliers_by_region(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_part_brands(sf_dir: str):
+    """Per-brand part stats (count, avg retail price, max size) — pruned
+    scan + per-batch pre-agg + sharded reduce; avg carried as (sum, n)
+    partials so the reduce stays associative."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import sharded_groupby_apply
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_size"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # exact integer cents: float sums are order-sensitive and a value
+        # on a round() boundary would diverge from the SQL mirror
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["p_retailprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        df = batch.set_column(
+            batch.schema.get_field_index("p_retailprice"), "cents", cents
+        ).to_pandas()
+        g = df.groupby("p_brand", sort=False).agg(
+            n_parts=("cents", "size"),
+            sum_cents=("cents", "sum"),
+            max_size=("p_size", "max"),
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(g.index, type=pa.string()),
+                "n_parts": pa.array(g["n_parts"], type=pa.int64()),
+                "sum_cents": pa.array(g["sum_cents"], type=pa.int64()),
+                "max_size": pa.array(g["max_size"], type=pa.int64()),
+            }
+        )
+
+    def reduce_brands(df):
+        return df.groupby("p_brand", sort=False, as_index=False).agg(
+            n_parts=("n_parts", "sum"),
+            sum_cents=("sum_cents", "sum"),
+            max_size=("max_size", "max"),
+        )
+
+    out = sharded_groupby_apply(
+        parts.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"],
+        reduce_brands,
+        num_shards=8,
+    )
+
+    def finish(df) -> pa.Table:
+        import numpy as np
+
+        # integer round-half-up at 1e-4 dollars: engine round() kernels
+        # disagree on the nearest double at boundary values (observed:
+        # Arrow 908.1600000000001 vs DuckDB 908.16), so the rounding is
+        # done in exact int64 arithmetic and divided once
+        n = df["n_parts"].to_numpy(dtype=np.int64)
+        s = df["sum_cents"].to_numpy(dtype=np.int64)
+        scaled = (200 * s + n) // (2 * n)
+        return pa.table(
+            {
+                "p_brand": pa.array(df["p_brand"], type=pa.string()),
+                "n_parts": pa.array(df["n_parts"], type=pa.int64()),
+                "avg_price": pa.array(scaled / 10000.0, type=pa.float64()),
+                "max_size": pa.array(df["max_size"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -1127,6 +1199,7 @@ QUERIES: Dict[str, Callable] = {
     "co_mentions": q_co_mentions,
     "hub_nodes": q_hub_nodes,
     "suppliers_by_region": q_suppliers_by_region,
+    "part_brands": q_part_brands,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2125,4 +2198,12 @@ ORACLE_SQL["suppliers_by_region"] = """
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
+"""
+
+ORACLE_SQL["part_brands"] = """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST((200 * SUM(CAST(round(p_retailprice * 100.0) AS BIGINT))
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_price,
+           CAST(MAX(p_size) AS BIGINT) AS max_size
+    FROM part GROUP BY p_brand
 """
