@@ -722,7 +722,8 @@ def q_prep_corpus(sf_dir: str):
             )
         ).select(["doc_id", "text"]),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed twice (pair gen + survivors): without this
+    # the lang-id actor pool and quality stage execute twice
     pairs = dedup_ops.ngram_jaccard_pairs(kept, threshold=0.2)
     clusters = connected_components(pairs)
     canonical = dedup_survivors(kept, clusters)
