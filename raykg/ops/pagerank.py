@@ -81,27 +81,52 @@ def pagerank(
     num_shards: int = 64,
     dedup_edges: bool = True,
     max_broadcast_nodes: int = 5_000_000,
+    weight_column: str = None,
 ) -> "ray.data.Dataset":
     """Rank every node of the directed graph ``(src_column, dst_column)``.
 
     Returns a Dataset with columns ``node`` (str) and ``pr`` (float64,
-    full precision — round at the consumer if hashing).  Parallel edges
-    are collapsed to one (``dedup_edges``) so a repeated triple does not
-    multiply its endpoint's influence; self-loops count like any edge.
-    Node sets up to ``max_broadcast_nodes`` run the broadcast engine
-    (state shipped via ``ray.put``, edges never re-shuffled); larger
-    node sets fall back to the fully sharded engine (see module doc).
+    full precision — round at the consumer if hashing).  Unweighted
+    (default): parallel edges are collapsed to one (``dedup_edges``) so
+    a repeated triple does not multiply its endpoint's influence;
+    self-loops count like any edge.  With ``weight_column`` the walk is
+    weighted — parallel edges SUM their weights (a triple tagged in ten
+    turns carries 10x the influence) and each edge passes ``pr * w /
+    out_strength(src)``; ``dedup_edges`` is ignored.  Node sets up to
+    ``max_broadcast_nodes`` run the broadcast engine (state shipped via
+    ``ray.put``, edges never re-shuffled); larger node sets fall back to
+    the fully sharded engine (see module doc).
     """
-    e = edges.select_columns([src_column, dst_column])
-    if dedup_edges:
-        e = distinct_rows(e, [src_column, dst_column], num_shards=num_shards)
-    e = _arrow(
-        e, {src_column: pa.string(), dst_column: pa.string()}
-    ).materialize()  # reused every iteration; two-id rows only
+    if weight_column is not None:
+        def sum_w(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby([src_column, dst_column], sort=False, as_index=False)[
+                weight_column
+            ].sum()
+            return g.rename(columns={weight_column: "w"})
 
-    # One node-sharded pass derives node set + out-degree + uniform init:
-    # src endpoints carry is_out=1 (e is parallel-edge-free, so the count
-    # of out-rows per node IS the out-degree), dst endpoints is_out=0.
+        e = sharded_groupby_apply(
+            edges.select_columns([src_column, dst_column, weight_column]),
+            [src_column, dst_column],
+            sum_w,
+            num_shards=num_shards,
+        )
+    else:
+        e = edges.select_columns([src_column, dst_column])
+        if dedup_edges:
+            e = distinct_rows(e, [src_column, dst_column], num_shards=num_shards)
+        e = e.map_batches(
+            lambda b: b.append_column(
+                "w", pa.array(np.ones(b.num_rows), type=pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+    e = _arrow(
+        e, {src_column: pa.string(), dst_column: pa.string(), "w": pa.float64()}
+    ).materialize()  # reused every iteration; (id, id, weight) rows only
+
+    # One node-sharded pass derives node set + out-strength + uniform init:
+    # src endpoints carry their edge weight (1.0 unweighted, so the sum IS
+    # the out-degree), dst endpoints carry 0.
     def endpoints(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
@@ -110,7 +135,13 @@ def pagerank(
                     [batch[src_column].combine_chunks(), batch[dst_column].combine_chunks()]
                 ),
                 "is_out": pa.array(
-                    np.concatenate([np.ones(n), np.zeros(n)]), type=pa.float64()
+                    np.concatenate(
+                        [
+                            batch["w"].to_numpy(zero_copy_only=False),
+                            np.zeros(n),
+                        ]
+                    ),
+                    type=pa.float64(),
                 ),
             }
         )
@@ -160,11 +191,12 @@ def pagerank(
     def contrib(batch: pa.Table) -> pa.Table:
         pr = batch["pr"].to_numpy(zero_copy_only=False)
         od = batch["outdeg"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "node": batch[dst_column],
                 "outdeg": pa.nulls(batch.num_rows, type=pa.float64()),
-                "pr": pa.array(pr / od, type=pa.float64()),
+                "pr": pa.array(pr * w / od, type=pa.float64()),
                 "kind": pa.array(["c"] * batch.num_rows),
             }
         )
@@ -247,10 +279,14 @@ def _pagerank_broadcast(
         def contrib(batch: pa.Table, ref=ref) -> pa.Table:
             st = ray.get(ref)  # plasma-cached per worker after first pull
             df = pa.table(
-                {src_column: batch[src_column], dst_column: batch[dst_column]}
+                {
+                    src_column: batch[src_column],
+                    dst_column: batch[dst_column],
+                    "ew": batch["w"],
+                }
             ).to_pandas()
             m = df.merge(st, left_on=src_column, right_on="node", how="left")
-            w = m["pr"].to_numpy() / m["outdeg"].to_numpy()
+            w = m["pr"].to_numpy() * m["ew"].to_numpy() / m["outdeg"].to_numpy()
             return pa.table(
                 {
                     "node": pa.array(m[dst_column], type=pa.string()),

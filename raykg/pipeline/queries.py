@@ -366,6 +366,39 @@ def q_part_brands(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_concept_rank(sf_dir: str):
+    """Weighted PageRank over the symmetrized concept co-mention graph
+    (edge weight = co-occurrence turn count) — concept centrality."""
+    from ..ops.comention import co_mention_edges
+    from ..ops.pagerank import pagerank
+
+    cm = co_mention_edges(_mentions(sf_dir), num_shards=16)
+
+    def symmetrize(df) -> pa.Table:
+        import numpy as np
+
+        a = df["tag_a"].to_numpy()
+        b = df["tag_b"].to_numpy()
+        w = df["n_turns"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.string()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.string()),
+                "w": pa.array(np.concatenate([w, w]), type=pa.float64()),
+            }
+        )
+
+    edges = cm.map_batches(symmetrize, batch_format="pandas")
+    pr = pagerank(edges, weight_column="w", damping=0.85, iters=3, num_shards=8)
+
+    def round8(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"node": batch["node"], "pr": pc.round(batch["pr"], 8)})
+
+    return pr.map_batches(round8, batch_format="pyarrow")
+
+
 def q_doc_tags(sf_dir: str):
     """Per matched turn: sorted distinct tag/keyword rollup — computed
     inside the mention actor (turn-local), zero shuffle."""
@@ -1201,6 +1234,7 @@ QUERIES: Dict[str, Callable] = {
     "hub_nodes": q_hub_nodes,
     "suppliers_by_region": q_suppliers_by_region,
     "part_brands": q_part_brands,
+    "concept_rank": q_concept_rank,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2208,3 +2242,50 @@ ORACLE_SQL["part_brands"] = """
            CAST(MAX(p_size) AS BIGINT) AS max_size
     FROM part GROUP BY p_brand
 """
+
+
+def _pagerank_weighted_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Weighted unrolled PageRank over the symmetrized co-mention graph:
+    same shape as `_pagerank_sql` with out-degree replaced by out-strength
+    (SUM of weights) and contributions pr * w / strength — the same
+    left-associated expression the engine evaluates."""
+    parts = [
+        f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    d AS (SELECT DISTINCT conv_id, turn_idx, tag FROM occ),
+    cm AS (SELECT a.tag AS tag_a, b.tag AS tag_b,
+                  CAST(COUNT(*) AS DOUBLE) AS w
+           FROM d a JOIN d b
+             ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            AND a.tag < b.tag
+           GROUP BY 1, 2),
+    eraw AS (SELECT tag_a AS src, tag_b AS dst, w FROM cm
+             UNION ALL SELECT tag_b, tag_a, w FROM cm),
+    e AS (SELECT src, dst, SUM(w) AS w FROM eraw GROUP BY 1, 2),
+    pr_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM pr_nodes),
+    od AS (SELECT src AS node, SUM(w) AS od FROM e GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS pr FROM pr_nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f""",
+    dang{i} AS (SELECT COALESCE(SUM(p.pr), 0.0) AS m
+                FROM {p} p LEFT JOIN od o ON p.node = o.node
+                WHERE o.node IS NULL),
+    s{i} AS (SELECT e.dst AS node, SUM(p.pr * e.w / o.od) AS contrib
+             FROM e JOIN {p} p ON e.src = p.node
+                    JOIN od o ON e.src = o.node
+             GROUP BY e.dst),
+    pr{i} AS (SELECT nd.node,
+                     (1 - {damping}) / (SELECT c FROM nn)
+                     + {damping} * (SELECT m FROM dang{i}) / (SELECT c FROM nn)
+                     + {damping} * COALESCE(s.contrib, 0.0) AS pr
+              FROM pr_nodes nd LEFT JOIN s{i} s ON nd.node = s.node)"""
+        )
+    parts.append(f"\n    SELECT node, round(pr, 8) AS pr FROM pr{iters}")
+    return "".join(parts)
+
+
+ORACLE_SQL["concept_rank"] = _pagerank_weighted_sql(damping=0.85, iters=3)

@@ -8,21 +8,23 @@ import ray.data
 from raykg.ops.pagerank import pagerank
 
 
-def local_pagerank(edges, damping=0.85, iters=5):
-    """Dense numpy reference with uniform dangling redistribution."""
-    edges = sorted(set(edges))
-    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+def local_pagerank(edges, damping=0.85, iters=5, weights=None):
+    """Dense numpy reference with uniform dangling redistribution;
+    ``weights`` maps (u, v) -> summed weight (None = unweighted distinct)."""
+    if weights is None:
+        weights = {e: 1.0 for e in set(edges)}
+    nodes = sorted({u for u, _ in weights} | {v for _, v in weights})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     outdeg = np.zeros(n)
-    for u, _ in edges:
-        outdeg[idx[u]] += 1
+    for (u, _), w in weights.items():
+        outdeg[idx[u]] += w
     pr = np.full(n, 1.0 / n)
     for _ in range(iters):
         dangling = pr[outdeg == 0].sum()
         nxt = np.full(n, (1 - damping) / n + damping * dangling / n)
-        for u, v in edges:
-            nxt[idx[v]] += damping * pr[idx[u]] / outdeg[idx[u]]
+        for (u, v), w in weights.items():
+            nxt[idx[v]] += damping * pr[idx[u]] * w / outdeg[idx[u]]
         pr = nxt
     return dict(zip(nodes, pr))
 
@@ -83,6 +85,36 @@ def test_keep_parallel_edges_changes_weights(ray_session):
     with_dup = run(skewed, dedup_edges=False)
     without = run(skewed, dedup_edges=True)
     assert with_dup["b"] > without["b"]
+
+
+def test_weighted_matches_local_reference(ray_session):
+    from collections import Counter
+
+    weighted = GRAPH + [("a", "b"), ("a", "b"), ("d", "c")]  # parallel repeats
+    df = pd.DataFrame(weighted, columns=["src", "dst"])
+    df["weight"] = 1.0
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = pagerank(
+        ds, num_shards=8, iters=3, weight_column="weight"
+    ).to_pandas()
+    got = dict(zip(out["node"], out["pr"]))
+    wmap = {e: float(c) for e, c in Counter(weighted).items()}
+    want = local_pagerank(weighted, iters=3, weights=wmap)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+
+
+def test_uniform_weights_equal_unweighted(ray_session):
+    # constant weights cancel: pr * c / (c * outdeg) == pr / outdeg
+    df = pd.DataFrame(GRAPH, columns=["src", "dst"])
+    df["weight"] = 2.5
+    ds = ray.data.from_pandas(df)
+    out = pagerank(ds, num_shards=8, iters=3, weight_column="weight").to_pandas()
+    got = dict(zip(out["node"], out["pr"]))
+    want = run(GRAPH)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
 
 
 def test_sharded_engine_matches_broadcast(ray_session):
