@@ -127,6 +127,21 @@ def test_sharded_engine_matches_broadcast(ray_session):
         assert got[node] == pytest.approx(want[node], abs=1e-15), node
 
 
+def test_random_graph_matches_reference(ray_session):
+    # seeded random digraph: dangling nodes, self-loops, parallel edges
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [
+        (nodes[rng.integers(40)], nodes[rng.integers(40)]) for _ in range(120)
+    ]
+    got = run(edges)
+    want = local_pagerank(edges, iters=3)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_empty_graph(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"src": [], "dst": []}))
     assert pagerank(ds, num_shards=4).count() == 0
