@@ -34,7 +34,8 @@ import ray.data
 
 from ..ops.hashing import bucket_column, partition_of
 
-__all__ = ["partition_of", "add_partition_column", "PartitionedWriter"]
+__all__ = ["partition_of", "add_partition_column", "PartitionedWriter",
+           "read_jsonl", "write_jsonl"]
 
 
 def add_partition_column(
@@ -189,3 +190,48 @@ class PartitionedWriter:
             for p in sorted(self.done_partitions())
         ]
         return ray.data.read_parquet(paths)
+
+
+# --- JSONL source/sink -------------------------------------------------------
+#
+# The reference runs inside DSS's format-agnostic dataset abstraction; the
+# second wire format here is newline-delimited JSON (the lingua franca of
+# LLM training dumps).  Reads stream through Ray's native JSON reader (one
+# task per file, Arrow blocks out); writes stream block-by-block — one
+# shard file per block, so a writer task never holds more than one block.
+
+def read_jsonl(
+    paths, columns: Optional[list] = None, **kwargs
+) -> "ray.data.Dataset":
+    """Read newline-delimited JSON into Arrow blocks; ``columns`` prunes
+    immediately after parse (JSON has no column projection at the codec
+    level, so pruning happens at the first map — still before any exchange
+    or materialization)."""
+    ds = ray.data.read_json(paths, **kwargs)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
+def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> int:
+    """Write one ``shard-*.jsonl`` file per block; returns row count.
+    Shard naming is content-addressed (md5 of the shard bytes) so a retry
+    of a failed task overwrites its own partial file instead of appending
+    a duplicate."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        buf = "\n".join(
+            json.dumps(rec, ensure_ascii=False, sort_keys=True, default=str)
+            for rec in batch.to_pylist()
+        )
+        data = (buf + "\n").encode("utf-8") if buf else b""
+        name = hashlib.md5(data).hexdigest()[:16]
+        tmp = os.path.join(out_dir, f".shard-{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(out_dir, f"shard-{name}.jsonl"))
+        return pa.Table.from_pydict({"rows": pa.array([batch.num_rows], type=pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_format="pyarrow")
+    return int(counts.sum("rows") or 0)

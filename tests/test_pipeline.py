@@ -220,3 +220,43 @@ def test_job_build_graph_and_resume(tmp_path):
         [str(p) for p in (tmp_path / "kg" / "edges").glob("part=*/data.parquet")]
     ).count()
     assert total == report["tables"]["edges"]["rows"]
+
+
+class TestJsonlIO:
+    def test_jsonl_roundtrip(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from raykg.pipeline.io import read_jsonl, write_jsonl
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2],
+                "text": ["héllo wörld", 'quote " and \\ backslash', ""],
+                "n": [1.5, None, -2.0],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(2)
+        out = tmp_path / "jsonl"
+        assert write_jsonl(ds, str(out)) == 3
+        shards = sorted(out.glob("shard-*.jsonl"))
+        assert len(shards) >= 1 and not list(out.glob(".shard-*"))
+        back = (
+            read_jsonl([str(p) for p in shards])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = df.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[["doc_id", "text", "n"]], want, check_dtype=False)
+
+    def test_jsonl_column_prune(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from raykg.pipeline.io import read_jsonl, write_jsonl
+
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"], "c": [0.1, 0.2]})
+        out = tmp_path / "jsonl2"
+        write_jsonl(ray.data.from_pandas(df), str(out))
+        back = read_jsonl(str(out), columns=["a", "b"]).to_pandas()
+        assert sorted(back.columns) == ["a", "b"]
+        assert len(back) == 2
