@@ -93,3 +93,101 @@ def kmv_oracle_sql(table: str, column: str, k: int = 256) -> str:
                           // (SELECT MAX(h) FROM k)
                 END AS BIGINT) AS n_distinct_est
     """
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+def _cm_bucket(row: int, value, width: int) -> int:
+    """Row-salted 60-bit md5 bucket — same cross-engine idiom as the KMV
+    hash, so a SQL engine computes the identical sketch cell."""
+    h = int(
+        hashlib.md5(f"{row}:{value}".encode("utf-8")).hexdigest()[:15], 16
+    )
+    return h % width
+
+
+class CountMinSketch(AggregateFnV2):
+    """Dataset-native Count-Min accumulator: a fixed (depth x width) int64
+    matrix per block (independent of block size), elementwise-summed
+    through Ray Data's tree combine.  Point estimates upper-bound true
+    frequencies; error ≤ 2N/width with prob 1 - 2^-depth.  Per-block cost
+    is depth md5 calls per DISTINCT value (value_counts first), not per
+    row."""
+
+    def __init__(self, on: str, depth: int = 4, width: int = 512):
+        self._d = depth
+        self._w = width
+        super().__init__(
+            f"countmin({on})",
+            zero_factory=lambda: np.zeros((depth, width), dtype=np.int64),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> np.ndarray:
+        col = BlockAccessor.for_block(block).to_arrow()[self.get_target_column()]
+        acc = np.zeros((self._d, self._w), dtype=np.int64)
+        counts: dict = {}
+        for v in col.to_pylist():
+            if v is not None:
+                counts[v] = counts.get(v, 0) + 1
+        for v, c in counts.items():
+            for i in range(self._d):
+                acc[i, _cm_bucket(i, v, self._w)] += c
+        return acc
+
+    def combine(self, acc: np.ndarray, new: np.ndarray) -> np.ndarray:
+        return acc + new
+
+    def finalize(self, acc: np.ndarray) -> np.ndarray:
+        return acc
+
+
+def countmin_counts(
+    ds: "ray.data.Dataset",
+    column: str,
+    probes,
+    depth: int = 4,
+    width: int = 512,
+) -> pd.DataFrame:
+    """Count-Min point estimates for ``probes``: one bounded-size sketch
+    exchange (depth x width ints per block), then a driver-side probe of
+    depth cells per key.  Returns (key, est) sorted by key."""
+    sketch = ds.aggregate(CountMinSketch(column, depth=depth, width=width))[
+        f"countmin({column})"
+    ]
+    rows = [
+        {
+            "key": str(p),
+            "est": int(
+                min(sketch[i, _cm_bucket(i, p, width)] for i in range(depth))
+            ),
+        }
+        for p in probes
+    ]
+    return pd.DataFrame(rows).sort_values("key").reset_index(drop=True)
+
+
+def countmin_oracle_sql(
+    table: str, column: str, probes, depth: int = 4, width: int = 512
+) -> str:
+    """DuckDB mirror of :func:`countmin_counts` — identical row-salted
+    hash, identical cells, identical min-over-rows estimate."""
+    probe_values = ", ".join(f"('{p}')" for p in probes)
+    rows = ", ".join(str(i) for i in range(depth))
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || "
+        "CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT) % {w}"
+    )
+    return f"""
+    WITH probes(key) AS (VALUES {probe_values}),
+    occ AS (SELECT i, {bucket.format(v=column, w=width)} AS b
+            FROM {table}, UNNEST([{rows}]) u(i)
+            WHERE {column} IS NOT NULL),
+    cm AS (SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+    pe AS (SELECT key, i, {bucket.format(v="key", w=width)} AS b
+           FROM probes, UNNEST([{rows}]) u(i))
+    SELECT key, CAST(MIN(COALESCE(cm.c, 0)) AS BIGINT) AS est
+    FROM pe LEFT JOIN cm USING (i, b)
+    GROUP BY key ORDER BY key
+    """

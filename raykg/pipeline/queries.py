@@ -1045,6 +1045,15 @@ def q_approx_distinct(sf_dir: str):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_approx_counts(sf_dir: str):
+    """Count-Min point estimates for the event types — bounded-size sketch
+    exchange (depth x width ints per block), exactly mirrored in SQL."""
+    from ..ops.sketch import countmin_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return countmin_counts(ev, "event_type", probes=EVENT_TYPES, depth=4, width=512)
+
+
 def q_event_pivot(sf_dir: str):
     """Per-user event-type counts as a wide table (pivot with a pinned
     category schema)."""
@@ -1235,6 +1244,7 @@ QUERIES: Dict[str, Callable] = {
     "suppliers_by_region": q_suppliers_by_region,
     "part_brands": q_part_brands,
     "concept_rank": q_concept_rank,
+    "approx_counts": q_approx_counts,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2289,3 +2299,9 @@ def _pagerank_weighted_sql(damping: float = 0.85, iters: int = 3) -> str:
 
 
 ORACLE_SQL["concept_rank"] = _pagerank_weighted_sql(damping=0.85, iters=3)
+
+from ..ops.sketch import countmin_oracle_sql as _cm_sql  # noqa: E402
+
+ORACLE_SQL["approx_counts"] = _cm_sql(
+    "events", "event_type", probes=EVENT_TYPES, depth=4, width=512
+)

@@ -38,3 +38,41 @@ class TestKmv:
         con.register("t", df)
         theirs = con.execute(kmv_oracle_sql("t", "v", k=128)).fetchone()[0]
         assert mine == theirs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMin:
+    def test_upper_bound_and_exact_when_sparse(self):
+        from raykg.ops.sketch import countmin_counts
+
+        df = pd.DataFrame({"v": ["a"] * 50 + ["b"] * 30 + ["c"] * 5})
+        out = countmin_counts(
+            ray.data.from_pandas(df).repartition(4), "v", probes=["a", "b", "c", "zz"]
+        )
+        got = dict(zip(out["key"], out["est"]))
+        # estimates never undercount; with 3 distinct values in 4x512 cells
+        # there are no collisions, so they are exact — and absent keys are 0
+        assert got == {"a": 50, "b": 30, "c": 5, "zz": 0}
+
+    def test_partition_invariance(self):
+        from raykg.ops.sketch import countmin_counts
+
+        df = pd.DataFrame({"v": [str(i % 17) for i in range(300)]})
+        a = countmin_counts(ray.data.from_pandas(df).repartition(1), "v", probes=["3"])
+        b = countmin_counts(ray.data.from_pandas(df).repartition(9), "v", probes=["3"])
+        assert a["est"].tolist() == b["est"].tolist()
+
+    def test_sql_mirror_identical(self):
+        from raykg.ops.sketch import countmin_counts, countmin_oracle_sql
+
+        df = pd.DataFrame({"v": [f"k{i % 11}" for i in range(200)] + [None] * 5})
+        got = countmin_counts(
+            ray.data.from_pandas(df).repartition(3), "v", probes=["k0", "k7", "nope"]
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            countmin_oracle_sql("t", "v", probes=["k0", "k7", "nope"])
+        ).df()
+        assert got["key"].tolist() == want["key"].tolist()
+        assert got["est"].tolist() == want["est"].tolist()
