@@ -111,3 +111,25 @@ def stratified_sample(
         return batch.filter(pa.array(p < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def assign_splits(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    bounds=(80, 90),
+    names=("train", "val", "test"),
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: the md5 percentile of the
+    row key picks the split (``< bounds[0]`` -> names[0], ``< bounds[1]``
+    -> names[1], else names[2]).  Stateless map — reproducible across
+    engines, runs and cluster sizes, and a doc keeps its split when the
+    corpus grows (percentiles depend only on the key)."""
+    lo, hi = bounds
+    n0, n1, n2 = names
+
+    def tag(batch: pa.Table) -> pa.Table:
+        p = _pct_of(batch[key_column].to_pylist())
+        split = np.where(p < lo, n0, np.where(p < hi, n1, n2))
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -1042,6 +1042,18 @@ def q_approx_distinct(sf_dir: str):
     return kmv_distinct(orders, "o_custkey", k=256)
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test split assignment (80/10/10 on the
+    md5 percentile of doc_id) — stateless map, reproducible across
+    engines and cluster sizes."""
+    from ..ops.sample import assign_splits
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return assign_splits(docs, "doc_id", bounds=(80, 90))
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1245,6 +1257,7 @@ QUERIES: Dict[str, Callable] = {
     "part_brands": q_part_brands,
     "concept_rank": q_concept_rank,
     "approx_counts": q_approx_counts,
+    "doc_splits": q_doc_splits,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2305,3 +2318,11 @@ from ..ops.sketch import countmin_oracle_sql as _cm_sql  # noqa: E402
 ORACLE_SQL["approx_counts"] = _cm_sql(
     "events", "event_type", probes=EVENT_TYPES, depth=4, width=512
 )
+
+ORACLE_SQL["doc_splits"] = f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_MD5_PCT} < 80 THEN 'train'
+                WHEN {_MD5_PCT} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
