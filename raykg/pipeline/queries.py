@@ -1054,6 +1054,19 @@ def q_doc_splits(sf_dir: str):
     return assign_splits(docs, "doc_id", bounds=(80, 90))
 
 
+def q_lm_scores(sf_dir: str):
+    """Corpus-bigram LM fluency score per document (mean conditional
+    bigram probability under the corpus's own counts) — `ops/lm.py`;
+    distributed counts + bucketed probability joins, rational arithmetic
+    so the SQL oracle reproduces the scores."""
+    from ..ops.lm import lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_score(docs, num_shards=16)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1258,6 +1271,7 @@ QUERIES: Dict[str, Callable] = {
     "concept_rank": q_concept_rank,
     "approx_counts": q_approx_counts,
     "doc_splits": q_doc_splits,
+    "lm_scores": q_lm_scores,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2325,4 +2339,22 @@ ORACLE_SQL["doc_splits"] = f"""
                 WHEN {_MD5_PCT} < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
+"""
+
+ORACLE_SQL["lm_scores"] = r"""
+    WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+               FROM documents),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM w, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bg GROUP BY 1, 2, 3),
+    s AS (SELECT db.doc_id,
+                 SUM(CAST(db.n AS DOUBLE)
+                     * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))) AS s,
+                 SUM(CAST(db.n AS DOUBLE)) AS k
+          FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          GROUP BY 1)
+    SELECT doc_id, round(s / k, 6) AS lm_score FROM s
 """
