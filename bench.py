@@ -147,6 +147,8 @@ def run_bench() -> dict:
     timed("redact")
     timed("repetition")
     timed("tfidf_top")
+    timed("bm25_top")
+    timed("lm_scores")
     timed("order_windows")
     timed("approx_distinct", consume=len)
 

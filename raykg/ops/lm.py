@@ -5,7 +5,7 @@ signal a training-data pipeline runs next to the rule-based metrics in
 `ops/text.py`: documents whose word transitions are rare relative to
 the corpus score low and get filtered or down-weighted.
 
-The model is the corpus itself: bigram and unigram counts over the
+The model is the corpus itself: bigram and unigram-head counts over the
 whitespace tokens.  The score per document is the MEAN CONDITIONAL
 BIGRAM PROBABILITY
 
@@ -17,18 +17,22 @@ is engine-dependent; same trade as `ops/tfidf.py` and `ops/bm25.py`).
 Because the model is trained on the corpus being scored, every document
 bigram exists in the counts — no OOV smoothing branch.
 
-Scale shape — the vocabulary scales with the corpus, so counts stay
-DISTRIBUTED end-to-end (never a broadcast dict):
+Scale shape — ONE corpus read and TWO exchanges, total:
 
-1. **Count pass** — one streaming explode emits per-batch pre-counted
-   ``(w1, w2, n)`` partials; a bigram-sharded exchange reduces them.
-   Unigram counts fall out of the same table (sum over w2 inside the
-   shard) — one corpus read, one exchange, both tables.
-2. **Probability join** — per-doc distinct bigram rows (with in-doc
-   multiplicity) bucket-join the count tables on the hashed bigram /
-   head word; weights and counts, never text bodies, move.
-3. **Per-doc reduce** — ``(doc, sum p, n)`` partials co-locate in a
-   doc-sharded exchange; the mean is one vectorized pass.
+1. **Head-sharded count + score** — the explode emits per-batch
+   pre-counted ``(doc, w1, w2, n)`` rows (tokenization is the only
+   per-row Python; the pre-count is one C-speed pandas groupby).  These
+   rows shard by ``w1``: every bigram sharing a head word co-locates,
+   so the GLOBAL counts ``c(w1, w2)`` and ``c(w1)`` are in-shard sums
+   of the very same rows — no separate count tables, no join.  A
+   vectorized merge scores each row and pre-reduces ``(doc, sum p,
+   n_bigrams)`` partials per shard.
+2. **Per-doc reduce** — the partials co-locate in a doc-sharded
+   exchange; the mean is one vectorized pass.
+
+The vocabulary-scaled counts never exist as a separate table, never
+broadcast, and never meet a join — the count model lives entirely
+inside the shard that needs it.
 """
 from __future__ import annotations
 
@@ -40,45 +44,39 @@ import pyarrow as pa
 import ray.data
 
 from .agg import sharded_groupby_apply
-from .join import bucketed_hash_join
 from .text import WORD_RE
 
 
 def _bigram_rows(
-    docs: "ray.data.Dataset", text_column: str, id_column: str, with_doc: bool
+    docs: "ray.data.Dataset", text_column: str, id_column: str
 ) -> "ray.data.Dataset":
-    """(w1, w2, n) pre-counted per batch — or per (doc, w1, w2) when
-    ``with_doc`` (scoring side needs the doc key and in-doc multiplicity)."""
+    """Pre-counted ``(doc, w1, w2, n)`` rows, one per distinct in-doc
+    bigram per batch."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
+        ids: List = []
+        w1s: List[str] = []
+        w2s: List[str] = []
         for i, t in zip(
             batch[id_column].to_pylist(), batch[text_column].to_pylist()
         ):
             toks = WORD_RE.findall(t or "")
-            for a, b in zip(toks, toks[1:]):
-                key = (i, a, b) if with_doc else (a, b)
-                counts[key] = counts.get(key, 0) + 1
-        if with_doc:
-            ids, w1s, w2s = (
-                [k[0] for k in counts],
-                [k[1] for k in counts],
-                [k[2] for k in counts],
-            )
-            t = {
+            if len(toks) >= 2:
+                w1s.extend(toks[:-1])
+                w2s.extend(toks[1:])
+                ids.extend([i] * (len(toks) - 1))
+        df = pd.DataFrame({id_column: ids, "w1": w1s, "w2": w2s})
+        g = df.groupby([id_column, "w1", "w2"], sort=False, as_index=False).size()
+        return pa.table(
+            {
                 id_column: pa.array(
-                    ids, type=batch.schema.field(id_column).type
+                    g[id_column], type=batch.schema.field(id_column).type
                 ),
-                "w1": pa.array(w1s, type=pa.string()),
-                "w2": pa.array(w2s, type=pa.string()),
+                "w1": pa.array(g["w1"], type=pa.string()),
+                "w2": pa.array(g["w2"], type=pa.string()),
+                "n": pa.array(g["size"], type=pa.int64()),
             }
-        else:
-            t = {
-                "w1": pa.array([k[0] for k in counts], type=pa.string()),
-                "w2": pa.array([k[1] for k in counts], type=pa.string()),
-            }
-        t["n"] = pa.array(list(counts.values()), type=pa.int64())
-        return pa.table(t)
+        )
 
     return docs.map_batches(explode, batch_format="pyarrow")
 
@@ -94,80 +92,33 @@ def lm_score(
     mean conditional bigram probability under the corpus's own counts,
     rounded to ``round_digits``.  Docs with < 2 tokens are absent."""
 
-    def reduce_bigrams(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+    def shard_score(df: pd.DataFrame) -> pd.DataFrame:
+        # global c(w1, w2) and c(w1): in-shard sums — all rows of a head
+        # word are here by construction of the shard key
+        g12 = (
+            df.groupby(["w1", "w2"], sort=False, as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "c12"})
+        )
+        g1 = (
+            df.groupby("w1", sort=False, as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "c1"})
+        )
+        m = df.merge(g12, on=["w1", "w2"]).merge(g1, on="w1")
+        n = m["n"].to_numpy(dtype=np.float64)
+        p = n * (
+            m["c12"].to_numpy(dtype=np.float64) / m["c1"].to_numpy(dtype=np.float64)
+        )
+        part = pd.DataFrame({id_column: m[id_column], "s": p, "k": n})
+        return part.groupby(id_column, sort=False, as_index=False).sum()
 
-    bigrams = sharded_groupby_apply(
-        _bigram_rows(docs, text_column, id_column, with_doc=False),
-        ["w1", "w2"],
-        reduce_bigrams,
+    partials = sharded_groupby_apply(
+        _bigram_rows(docs, text_column, id_column),
+        ["w1"],
+        shard_score,
         num_shards=num_shards,
     )
-
-    def typed_counts(df: pd.DataFrame) -> pa.Table:
-        return pa.table(
-            {
-                "w1": pa.array(df["w1"], type=pa.string()),
-                "w2": pa.array(df["w2"], type=pa.string()),
-                "c12": pa.array(df["n"], type=pa.int64()),
-            }
-        )
-
-    bigrams = bigrams.map_batches(typed_counts, batch_format="pandas").materialize()
-
-    # unigram HEAD counts fall out of the bigram table: c(w1) as a bigram
-    # head = sum over w2 — exactly the denominator the ratio needs
-    def reduce_heads(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("w1", sort=False, as_index=False)["c12"].sum()
-
-    heads = sharded_groupby_apply(
-        bigrams, ["w1"], reduce_heads, num_shards=num_shards
-    ).map_batches(
-        lambda df: pa.table(
-            {
-                "w1": pa.array(df["w1"], type=pa.string()),
-                "c1": pa.array(df["c12"], type=pa.int64()),
-            }
-        ),
-        batch_format="pandas",
-    )
-
-    doc_rows = _bigram_rows(docs, text_column, id_column, with_doc=True)
-
-    # join order: (doc rows ⋈ bigram counts) on a composite key, then ⋈ head
-    # counts on w1 — ids + ints through both exchanges, never text bodies
-    def with_key(name):
-        def f(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            key = pc.binary_join_element_wise(batch["w1"], batch["w2"], "\x1f")
-            return batch.append_column(name, key)
-
-        return f
-
-    joined = bucketed_hash_join(
-        doc_rows.map_batches(with_key("bg"), batch_format="pyarrow"),
-        bigrams.map_batches(with_key("bg"), batch_format="pyarrow").drop_columns(
-            ["w1", "w2"]
-        ),
-        on="bg",
-        num_buckets=num_shards,
-    ).drop_columns(["bg", "w2"])
-    joined = bucketed_hash_join(
-        joined, heads, on="w1", num_buckets=num_shards
-    )
-
-    def partial_score(batch: pa.Table) -> pa.Table:
-        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c12 = batch["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                id_column: batch[id_column],
-                "s": pa.array(n * (c12 / c1), type=pa.float64()),
-                "k": pa.array(n, type=pa.float64()),
-            }
-        )
 
     def doc_mean(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(id_column, sort=False)
@@ -181,8 +132,5 @@ def lm_score(
         )
 
     return sharded_groupby_apply(
-        joined.map_batches(partial_score, batch_format="pyarrow"),
-        [id_column],
-        doc_mean,
-        num_shards=num_shards,
+        partials, [id_column], doc_mean, num_shards=num_shards
     )
