@@ -1067,6 +1067,32 @@ def q_lm_scores(sf_dir: str):
     return lm_score(docs, num_shards=16)
 
 
+def q_order_zscore(sf_dir: str):
+    """Per-priority z-score of order totals — `ops/feature.py` (no row
+    exchange: moment partials reduce to a 5-row table broadcast back
+    into a stateless map)."""
+    import pyarrow.compute as pc
+
+    from ..ops.feature import zscore_by_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = zscore_by_group(orders, "o_orderpriority", "o_totalprice")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "zscore": pc.round(batch["zscore"], 6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1272,6 +1298,7 @@ QUERIES: Dict[str, Callable] = {
     "approx_counts": q_approx_counts,
     "doc_splits": q_doc_splits,
     "lm_scores": q_lm_scores,
+    "order_zscore": q_order_zscore,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2357,4 +2384,20 @@ ORACLE_SQL["lm_scores"] = r"""
           FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
           GROUP BY 1)
     SELECT doc_id, round(s / k, 6) AS lm_score FROM s
+"""
+
+ORACLE_SQL["order_zscore"] = """
+    WITH st AS (SELECT o_orderpriority AS g,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(o_totalprice) AS s,
+                       SUM(o_totalprice * o_totalprice) AS ss
+                FROM orders GROUP BY 1),
+    mm AS (SELECT g, s / n AS m,
+                  sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sd
+           FROM st)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(CASE WHEN mm.sd > 0.0
+                      THEN (o.o_totalprice - mm.m) / mm.sd
+                      ELSE 0.0 END, 6) AS zscore
+    FROM orders o JOIN mm ON o.o_orderpriority = mm.g
 """
