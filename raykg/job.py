@@ -34,6 +34,7 @@ def build_graph(
     out_dir: str,
     num_partitions: int = 64,
     resume: bool = True,
+    compute_pagerank: bool = False,
 ) -> dict:
     """The job body (importable for tests): transcripts + ontology ->
     partitioned graph tables on disk; returns the run report."""
@@ -80,6 +81,23 @@ def build_graph(
     w_s = PartitionedWriter(os.path.join(out_dir, "concept_scores"), 1)
     s = w_s.write(scores, key_column="tag", resume=resume, fingerprint=fingerprint)
     report["tables"]["concept_scores"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
+
+    if compute_pagerank:
+        from .ops.pagerank import pagerank
+
+        ranks = pagerank(
+            w_edges.read(), src_column="subj", dst_column="obj", iters=5
+        )
+        w_r = PartitionedWriter(
+            os.path.join(out_dir, "node_ranks"), max(num_partitions // 4, 1)
+        )
+        s = w_r.write(
+            ranks, key_column="node", resume=resume, fingerprint=fingerprint
+        )
+        report["tables"]["node_ranks"] = {
+            "rows": int(s["rows"].sum()),
+            "partitions": len(s),
+        }
     return report
 
 
@@ -97,6 +115,8 @@ def main(argv=None) -> int:
     p.add_argument("--lemmatization", action="store_true")
     p.add_argument("--num-partitions", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--pagerank", action="store_true",
+                   help="also materialize node PageRank (out/node_ranks)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone runs; under ray job submit the cluster decides")
     args = p.parse_args(argv)
@@ -159,6 +179,7 @@ def main(argv=None) -> int:
             args.out,
             num_partitions=args.num_partitions,
             resume=not args.no_resume,
+            compute_pagerank=args.pagerank,
         )
         report["seconds"] = round(time.perf_counter() - t0, 2)
         print(json.dumps(report))

@@ -222,6 +222,26 @@ def test_job_build_graph_and_resume(tmp_path):
     assert total == report["tables"]["edges"]["rows"]
 
 
+def test_job_pagerank_table(tmp_path):
+    from raykg.job import build_graph
+    from raykg.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig(language="en", category_column="category", concurrency=2)
+    out = str(tmp_path / "kg")
+    report = build_graph(
+        read_transcripts(SF), ONTO, cfg, out, num_partitions=4,
+        compute_pagerank=True,
+    )
+    assert report["tables"]["node_ranks"]["rows"] > 0
+    import ray.data as rd
+
+    ranks = rd.read_parquet(
+        [str(p) for p in (tmp_path / "kg" / "node_ranks").glob("part=*/data.parquet")]
+    ).to_pandas()
+    assert {"node", "pr"}.issubset(ranks.columns)  # + the writer's part key
+    assert abs(ranks["pr"].sum() - 1.0) < 1e-6  # mass conserved
+
+
 class TestJsonlIO:
     def test_jsonl_roundtrip(self, tmp_path, ray_session):
         import pandas as pd
