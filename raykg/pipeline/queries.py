@@ -1093,6 +1093,55 @@ def q_order_zscore(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+INCR_PRIOR_MAX = 300
+INCR_INC_MIN = 250
+
+
+def q_incr_new_docs(sf_dir: str):
+    """Incremental corpus processing: keep only increment docs whose text
+    content hash is UNSEEN in the prior snapshot.  The windows overlap
+    (prior = doc_id < 300, increment = doc_id >= 250) so the 50
+    re-delivered docs are genuinely dropped by the hash membership test —
+    the anti-join is exercised, not vacuous.  Only md5 hex strings cross
+    the wire, never bodies; at corpus-scale priors swap the broadcast
+    semi_join for the bucketed membership path in `ops/setops.py`."""
+    import hashlib as _hl
+
+    from ..ops.join import semi_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            _hl.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "h": pa.array(hs, type=pa.string()),
+            }
+        )
+
+    hashed = docs.map_batches(with_hash, batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    prior = hashed.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], INCR_PRIOR_MAX)),
+        batch_format="pyarrow",
+    )
+    inc = hashed.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], INCR_INC_MIN)),
+        batch_format="pyarrow",
+    )
+    return semi_join(inc, prior, on="h", anti=True).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1299,6 +1348,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_splits": q_doc_splits,
     "lm_scores": q_lm_scores,
     "order_zscore": q_order_zscore,
+    "incr_new_docs": q_incr_new_docs,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2400,4 +2450,13 @@ ORACLE_SQL["order_zscore"] = """
                       THEN (o.o_totalprice - mm.m) / mm.sd
                       ELSE 0.0 END, 6) AS zscore
     FROM orders o JOIN mm ON o.o_orderpriority = mm.g
+"""
+
+ORACLE_SQL["incr_new_docs"] = f"""
+    WITH prior AS (SELECT md5(text) AS h FROM documents
+                   WHERE doc_id < {INCR_PRIOR_MAX}),
+    inc AS (SELECT doc_id, lang, md5(text) AS h FROM documents
+            WHERE doc_id >= {INCR_INC_MIN})
+    SELECT doc_id, lang FROM inc
+    WHERE h NOT IN (SELECT h FROM prior)
 """
