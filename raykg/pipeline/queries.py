@@ -1142,6 +1142,31 @@ def q_incr_new_docs(sf_dir: str):
     )
 
 
+def q_tri_counts(sf_dir: str):
+    """Per-part triangle counts over the co-order part graph (parts
+    linked when they co-occur in an order).  Graph build is one
+    order-sharded pair expansion (`group_pairs`); counting is the
+    degree-ordered wedge-closure engine in `ops/triangles.py` — wedge
+    volume bounded O(m^1.5) regardless of hot parts."""
+    from ..ops.triangles import group_pairs, triangle_counts
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = group_pairs(li, "l_orderkey", "l_partkey", num_shards=32)
+    out = triangle_counts(pairs, num_shards=32)
+
+    def typed(df):
+        return pa.table(
+            {
+                "node": pa.array(df["node"], type=pa.int64()),
+                "n_tri": pa.array(df["n_tri"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1349,6 +1374,7 @@ QUERIES: Dict[str, Callable] = {
     "lm_scores": q_lm_scores,
     "order_zscore": q_order_zscore,
     "incr_new_docs": q_incr_new_docs,
+    "tri_counts": q_tri_counts,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2450,6 +2476,22 @@ ORACLE_SQL["order_zscore"] = """
                       THEN (o.o_totalprice - mm.m) / mm.sd
                       ELSE 0.0 END, 6) AS zscore
     FROM orders o JOIN mm ON o.o_orderpriority = mm.g
+"""
+
+ORACLE_SQL["tri_counts"] = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corner AS (SELECT a AS node FROM tri UNION ALL
+               SELECT b FROM tri UNION ALL
+               SELECT c FROM tri)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM corner GROUP BY node
 """
 
 ORACLE_SQL["incr_new_docs"] = f"""

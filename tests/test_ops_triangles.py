@@ -1,0 +1,93 @@
+"""Triangle counting: known graphs, brute-force parity, engine parity."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from raykg.ops.triangles import canonical_edges, group_pairs, triangle_counts
+
+
+def _counts(ds) -> dict:
+    df = ds.to_pandas()
+    if not len(df):
+        return {}
+    return dict(zip(df["node"], df["n_tri"]))
+
+
+def _brute(edges) -> dict:
+    """Per-node triangle counts by enumerating all node triples."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    out: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    return out
+
+
+def _ds(edges):
+    return ray.data.from_pandas(
+        pd.DataFrame({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
+    )
+
+
+def test_k4_every_node_in_three_triangles(ray_session):
+    edges = list(itertools.combinations([1, 2, 3, 4], 2))
+    got = _counts(triangle_counts(_ds(edges), num_shards=4))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_with_pendant_and_noise(ray_session):
+    # triangle 1-2-3, pendant 3-4; duplicate/reversed/self edges ignored
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (3, 3), (1, 2)]
+    got = _counts(triangle_counts(_ds(edges), num_shards=4))
+    assert got == {1: 1, 2: 1, 3: 1}  # node 4 is in no triangle
+
+
+def test_star_graph_has_no_triangles(ray_session):
+    edges = [(0, i) for i in range(1, 30)]
+    assert _counts(triangle_counts(_ds(edges), num_shards=4)) == {}
+
+
+def test_random_graph_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(400, 2))
+    ]
+    got = _counts(triangle_counts(_ds(edges), num_shards=8))
+    assert got == _brute(edges)
+
+
+def test_engines_agree_and_string_nodes(ray_session):
+    rng = np.random.default_rng(11)
+    edges = [
+        (f"n{int(a)}", f"n{int(b)}")
+        for a, b in rng.integers(0, 25, size=(150, 2))
+    ]
+    bc = _counts(triangle_counts(_ds(edges), num_shards=4, broadcast_degrees=True))
+    sh = _counts(triangle_counts(_ds(edges), num_shards=4, broadcast_degrees=False))
+    assert bc == sh == _brute(edges)
+
+
+def test_canonical_edges_dedup_and_order(ray_session):
+    df = canonical_edges(_ds([(2, 1), (1, 2), (3, 3), (1, 3)]), num_shards=4).to_pandas()
+    got = sorted(map(tuple, df[["u", "v"]].to_numpy()))
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_group_pairs_distinct_within_group(ray_session):
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"g": [1, 1, 1, 1, 2, 2, 3], "x": [10, 20, 30, 10, 5, 6, 9]}
+        )
+    )
+    df = group_pairs(ds, "g", "x", num_shards=4).to_pandas()
+    got = sorted(map(tuple, df[["u", "v"]].to_numpy()))
+    assert got == [(5, 6), (10, 20), (10, 30), (20, 30)]
