@@ -1167,6 +1167,32 @@ def q_tri_counts(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_part_hops(sf_dir: str):
+    """Minimum hops from part 1 over the undirected co-order part graph
+    (≤3 hops) — level-synchronous BFS in `ops/bfs.py` (broadcast-frontier
+    engine; the sharded engine is pinned equal by test)."""
+    from ..ops.bfs import khop_min_hops
+    from ..ops.triangles import group_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = group_pairs(li, "l_orderkey", "l_partkey", num_shards=32)
+    out = khop_min_hops(pairs, [1], src="u", dst="v", max_hops=3, directed=False)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": pc.cast(batch["node"], pa.int64()),
+                "hops": pc.cast(batch["hops"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1375,6 +1401,7 @@ QUERIES: Dict[str, Callable] = {
     "order_zscore": q_order_zscore,
     "incr_new_docs": q_incr_new_docs,
     "tri_counts": q_tri_counts,
+    "part_hops": q_part_hops,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2492,6 +2519,22 @@ ORACLE_SQL["tri_counts"] = """
                SELECT c FROM tri)
     SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
     FROM corner GROUP BY node
+"""
+
+ORACLE_SQL["part_hops"] = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT u AS s, v AS d FROM pairs
+          UNION ALL SELECT v, u FROM pairs),
+    reach(node, h) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION ALL
+        SELECT e.d, r.h + 1 FROM reach r JOIN e ON e.s = r.node
+        WHERE r.h < 3),
+    best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
+    SELECT node, CAST(h AS BIGINT) AS hops FROM best
 """
 
 ORACLE_SQL["incr_new_docs"] = f"""
