@@ -1193,6 +1193,40 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_link_predict(sf_dir: str):
+    """Adjacency-Jaccard link-prediction scores over the KG edge table:
+    node pairs sharing a neighbor, with common count, Jaccard of the
+    adjacency sets, and an is_edge flag — the wedge-expansion /
+    pair-reduce engine in `ops/neighbors.py` (pair partials pre-counted
+    per shard; degrees broadcast once).  Centers with degree > 64 are
+    skipped (the standard hub-cap approximation — a neighbor shared by
+    everyone carries no link-prediction signal), which bounds the wedge
+    exchange at Θ(64 · |E|) regardless of concept/tool hub growth; the
+    oracle mirrors the cap exactly."""
+    from ..ops.neighbors import common_neighbor_scores
+
+    e = q_edges(sf_dir).select_columns(["src", "dst"])
+    out = common_neighbor_scores(
+        e, u="src", v="dst", num_shards=16, min_common=1,
+        max_center_degree=64,
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "u": pc.cast(batch["u"], pa.string()),
+                "v": pc.cast(batch["v"], pa.string()),
+                "common": pc.cast(batch["common"], pa.int64()),
+                "jaccard": pc.round(batch["jaccard"], 8),
+                "is_edge": pc.cast(batch["is_edge"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1402,6 +1436,7 @@ QUERIES: Dict[str, Callable] = {
     "incr_new_docs": q_incr_new_docs,
     "tri_counts": q_tri_counts,
     "part_hops": q_part_hops,
+    "link_predict": q_link_predict,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2519,6 +2554,39 @@ ORACLE_SQL["tri_counts"] = """
                SELECT c FROM tri)
     SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
     FROM corner GROUP BY node
+"""
+
+ORACLE_SQL["link_predict"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    ce AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM eraw WHERE src <> dst),
+    adj AS (SELECT u AS node, v AS nbr FROM ce
+            UNION ALL SELECT v, u FROM ce),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY node),
+    ctr AS (SELECT a.node, a.nbr FROM adj a
+            JOIN deg d ON d.node = a.node WHERE d.d <= 64),
+    pairs AS (
+        SELECT a.nbr AS u, b.nbr AS v, CAST(COUNT(*) AS BIGINT) AS common
+        FROM ctr a JOIN ctr b ON a.node = b.node AND a.nbr < b.nbr
+        GROUP BY a.nbr, b.nbr)
+    SELECT p.u, p.v, p.common,
+           round(CAST(p.common AS DOUBLE) / (du.d + dv.d - p.common), 8)
+               AS jaccard,
+           CAST(CASE WHEN ce.u IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_edge
+    FROM pairs p
+    JOIN deg du ON du.node = p.u
+    JOIN deg dv ON dv.node = p.v
+    LEFT JOIN ce ON ce.u = p.u AND ce.v = p.v
 """
 
 ORACLE_SQL["part_hops"] = """
