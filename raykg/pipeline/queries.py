@@ -1193,6 +1193,76 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_cheap_paths(sf_dir: str):
+    """Bounded-hop weighted shortest paths from part 1 over the co-order
+    part graph; edge weight = MIN over orders of the two line numbers'
+    sum (integers, so both engines and the SQL mirror agree exactly).
+    Level-synchronous Bellman-Ford in `ops/paths.py` (broadcast engine;
+    sharded pinned equal by test)."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.paths import bounded_shortest_paths
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+
+    def emit(df):
+        import pandas as pd
+
+        # min line number per (order, part) first: min over (i, j) of
+        # (ln_i + ln_j) factorizes into min(ln_u) + min(ln_v)
+        df = df.sort_values("l_linenumber", kind="stable").drop_duplicates(
+            ["l_orderkey", "l_partkey"]
+        )
+        u_out, v_out, w_out = [], [], []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            p = g["l_partkey"].to_numpy()
+            ln = g["l_linenumber"].to_numpy()
+            order = np.argsort(p, kind="stable")
+            p, ln = p[order], ln[order]
+            k = len(p)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            u_out.append(p[ii])
+            v_out.append(p[jj])
+            w_out.append(ln[ii] + ln[jj])
+        if not u_out:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.int64),
+                 "w": pd.Series([], dtype=np.int64)}
+            )
+        part = pd.DataFrame(
+            {"u": np.concatenate(u_out), "v": np.concatenate(v_out),
+             "w": np.concatenate(w_out)}
+        )
+        return part.groupby(["u", "v"], sort=False, as_index=False)["w"].min()
+
+    pairs = sharded_groupby_apply(li, ["l_orderkey"], emit, 32)
+
+    def pair_min(df):
+        return df.groupby(["u", "v"], sort=False, as_index=False)["w"].min()
+
+    wedges = sharded_groupby_apply(pairs, ["u", "v"], pair_min, 32)
+    out = bounded_shortest_paths(
+        wedges, [1], src="u", dst="v", weight="w", max_hops=3
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": pc.cast(batch["node"], pa.int64()),
+                "cost": pc.cast(batch["cost"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def q_link_predict(sf_dir: str):
     """Adjacency-Jaccard link-prediction scores over the KG edge table:
     node pairs sharing a neighbor, with common count, Jaccard of the
@@ -1437,6 +1507,7 @@ QUERIES: Dict[str, Callable] = {
     "tri_counts": q_tri_counts,
     "part_hops": q_part_hops,
     "link_predict": q_link_predict,
+    "cheap_paths": q_cheap_paths,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2603,6 +2674,26 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["cheap_paths"] = """
+    WITH RECURSIVE mp AS (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               MIN(l_linenumber) AS ln
+        FROM lineitem GROUP BY l_orderkey, l_partkey),
+    pairs AS (
+        SELECT a.p AS u, b.p AS v, CAST(MIN(a.ln + b.ln) AS BIGINT) AS w
+        FROM mp a JOIN mp b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+    e AS (SELECT u AS s, v AS d, w FROM pairs
+          UNION ALL SELECT v, u, w FROM pairs),
+    walk(node, cost, h) AS (
+        SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.d, walk.cost + e.w, walk.h + 1
+        FROM walk JOIN e ON e.s = walk.node WHERE walk.h < 3)
+    SELECT node, CAST(MIN(cost) AS BIGINT) AS cost
+    FROM walk GROUP BY node
 """
 
 ORACLE_SQL["incr_new_docs"] = f"""
