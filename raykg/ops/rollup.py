@@ -1,0 +1,101 @@
+"""ROLLUP / grouping-sets aggregation (SQL ``GROUP BY ROLLUP (k1, .., kn)``).
+
+``rollup_sum`` emits one row per group at EVERY prefix level — ``(k1,
+.., kn)``, ``(k1, .., k(n-1))``, .., ``(k1)``, and the grand total —
+with aggregated-out key columns set to NULL, exactly like the SQL
+construct.  Aggregates are the decomposable pair ``(sum, count)`` so
+every level folds from per-batch partials.
+
+Scale shape: per-batch partials pre-aggregate each full key combo
+(bounded by distinct combos per batch, not rows), then ONE exchange
+sharded by ``k1`` computes all non-grand levels in-shard — every prefix
+level shares the leading key, so all rows of any prefix group land in
+the same shard.  The grand total folds per-shard partials through a
+second, one-group exchange whose volume is ``num_shards`` rows.  No
+level ever re-reads the input.
+
+The reference plugin has only per-document rollups (`SURVEY.md` A1-A3);
+this is the relational counterpart for the warehouse-style queries.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .agg import sharded_groupby_apply
+
+
+def rollup_sum(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    value: str,
+    num_shards: int = 32,
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(keys)`` with ``sum(value) AS sum, count(*) AS n``;
+    NULL key columns mark aggregated-out levels.
+
+    Key columns must be non-null in the input (fill beforehand): a data
+    NULL would be indistinguishable from a rollup NULL — the standard
+    SQL caveat that ``GROUPING()`` exists to resolve."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False).agg(
+            sum=(value, "sum"), n=(value, "size")
+        )
+        return g.reset_index()
+
+    partials = ds.select_columns(keys + [value]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        out: List[pd.DataFrame] = []
+        for depth in range(len(keys), 0, -1):
+            g = (
+                df.groupby(keys[:depth], sort=False, dropna=False)
+                .agg(sum=("sum", "sum"), n=("n", "sum"))
+                .reset_index()
+            )
+            for k in keys[depth:]:
+                g[k] = None
+            out.append(g[keys + ["sum", "n"]])
+        return pd.concat(out, ignore_index=True)
+
+    leveled = sharded_groupby_apply(partials, [keys[0]], levels, num_shards)
+
+    def grand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # only full-depth rows (k2.. not NULL would double count) — depth
+        # is identified by keys[-1] non-null when n > 1 keys; with one
+        # key every row is full depth.  Use the deepest level rows.
+        if len(keys) > 1:
+            df = df[df[keys[-1]].notna()]
+        return pd.DataFrame(
+            {"sum": [df["sum"].sum()], "n": [df["n"].sum()], "_g": [0]}
+        )
+
+    def grand_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"sum": [df["sum"].sum()], "n": [df["n"].sum()]}
+        )
+        for k in keys:
+            out[k] = None
+        return out[keys + ["sum", "n"]]
+
+    grand = sharded_groupby_apply(
+        leveled.map_batches(grand_partial, batch_format="pandas"),
+        ["_g"],
+        lambda df: grand_fold(df),
+        1,
+    )
+
+    return leveled.union(grand)

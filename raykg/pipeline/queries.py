@@ -1193,6 +1193,58 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (priority, status) over orders: sum of total
+    price in exact integer cents + row count at every prefix level
+    (leaf, per-priority, grand) — `ops/rollup.py`, one leading-key
+    exchange + a num_shards-row grand fold."""
+    from ..ops.rollup import rollup_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["o_totalprice"], pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = rollup_sum(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        "cents",
+        num_shards=16,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], type=pa.string(), from_pandas=True
+                ),
+                "o_orderstatus": pa.array(
+                    df["o_orderstatus"], type=pa.string(), from_pandas=True
+                ),
+                "sum_cents": pa.array(df["sum"], type=pa.int64()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_cheap_paths(sf_dir: str):
     """Bounded-hop weighted shortest paths from part 1 over the co-order
     part graph; edge weight = MIN over orders of the two line numbers'
@@ -1508,6 +1560,7 @@ QUERIES: Dict[str, Callable] = {
     "part_hops": q_part_hops,
     "link_predict": q_link_predict,
     "cheap_paths": q_cheap_paths,
+    "orders_rollup": q_orders_rollup,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2674,6 +2727,15 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["orders_rollup"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 ORACLE_SQL["cheap_paths"] = """
