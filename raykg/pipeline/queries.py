@@ -1193,6 +1193,32 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_token_lift(sf_dir: str):
+    """PMI-style association lift for co-occurring token pairs over the
+    documents corpus — `ops/assoc.py` (df floor broadcast, doc-sharded
+    pair expansion with per-shard partials, pair-sharded sum).  Lift is
+    kept as the exact rational (n_docs * n_co) / (df_u * df_v) so the
+    SQL mirror hash-matches (same idiom as BM25's rational idf)."""
+    from ..ops.assoc import token_lift_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = token_lift_pairs(docs, min_df=50, min_co=25, num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "u": pa.array(df["u"], type=pa.string()),
+                "v": pa.array(df["v"], type=pa.string()),
+                "n_co": pa.array(df["n_co"], type=pa.int64()),
+                "lift": pa.array(np.round(df["lift"], 8), type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP (priority, status) over orders: sum of total
     price in exact integer cents + row count at every prefix level
@@ -1561,6 +1587,7 @@ QUERIES: Dict[str, Callable] = {
     "link_predict": q_link_predict,
     "cheap_paths": q_cheap_paths,
     "orders_rollup": q_orders_rollup,
+    "token_lift": q_token_lift,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2727,6 +2754,30 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["token_lift"] = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY tok),
+    voc AS (SELECT tok, c FROM df WHERE c >= 50),
+    vt AS (SELECT t.doc_id, t.tok FROM tok t
+           JOIN voc ON voc.tok = t.tok),
+    pairs AS (
+        SELECT a.tok AS u, b.tok AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM vt a JOIN vt b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING COUNT(*) >= 25),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT p.u, p.v, p.c AS n_co,
+           round((SELECT n FROM n) * p.c / (du.c * dv.c), 8) AS lift
+    FROM pairs p
+    JOIN voc du ON du.tok = p.u
+    JOIN voc dv ON dv.tok = p.v
 """
 
 ORACLE_SQL["orders_rollup"] = """
