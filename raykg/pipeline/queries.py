@@ -1193,6 +1193,20 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_embed_cov(sf_dir: str):
+    """Exact fixed-point covariance numerator over the embedding table
+    (`ops/pca.py`): per-batch (n, sum, gram) moment partials tree-combine
+    to a single d x d matrix — integer arithmetic over floor(x * 2^20)
+    quantization so the SQL mirror is bit-equal.  The float PCA built on
+    the same pass is test-verified (planted-subspace recovery)."""
+    from ..ops.pca import covariance_fixedpoint
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return covariance_fixedpoint(emb, scale_bits=20)
+
+
 def q_token_lift(sf_dir: str):
     """PMI-style association lift for co-occurring token pairs over the
     documents corpus — `ops/assoc.py` (df floor broadcast, doc-sharded
@@ -1588,6 +1602,7 @@ QUERIES: Dict[str, Callable] = {
     "cheap_paths": q_cheap_paths,
     "orders_rollup": q_orders_rollup,
     "token_lift": q_token_lift,
+    "embed_cov": q_embed_cov,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2754,6 +2769,23 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["embed_cov"] = """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    q AS (SELECT e.vec_id, idx.i,
+                 CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1048576.0)
+                      AS BIGINT) AS qv
+          FROM embeddings e, idx),
+    s AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS s1 FROM q GROUP BY i),
+    p AS (SELECT a.i AS i, b.i AS j,
+                 CAST(SUM(a.qv * b.qv) AS BIGINT) AS s2
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings)
+    SELECT p.i, p.j,
+           CAST((SELECT c FROM n) * p.s2 - sa.s1 * sb.s1 AS BIGINT) AS num
+    FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
 """
 
 ORACLE_SQL["token_lift"] = """
