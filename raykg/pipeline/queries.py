@@ -1193,6 +1193,42 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _co_order_pairs(sf_dir: str):
+    from ..ops.triangles import group_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return group_pairs(li, "l_orderkey", "l_partkey", num_shards=32)
+
+
+def q_part_assort(sf_dir: str):
+    """Newman degree assortativity of the co-order part graph as the
+    exact integer rational (m, num, den) — `ops/graphstats.py` (degrees
+    broadcast once, four scalar sums folded from per-batch partials)."""
+    from ..ops.graphstats import degree_assortativity
+
+    return degree_assortativity(_co_order_pairs(sf_dir), num_shards=32)
+
+
+def q_degree_hist(sf_dir: str):
+    """Power-of-two degree histogram of the co-order part graph —
+    node-sized table, one tiny bucket exchange."""
+    from ..ops.graphstats import degree_histogram
+
+    out = degree_histogram(_co_order_pairs(sf_dir), num_shards=32)
+
+    def typed(df):
+        return pa.table(
+            {
+                "bucket": pa.array(df["bucket"], type=pa.int64()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_embed_cov(sf_dir: str):
     """Exact fixed-point covariance numerator over the embedding table
     (`ops/pca.py`): per-batch (n, sum, gram) moment partials tree-combine
@@ -1603,6 +1639,8 @@ QUERIES: Dict[str, Callable] = {
     "orders_rollup": q_orders_rollup,
     "token_lift": q_token_lift,
     "embed_cov": q_embed_cov,
+    "part_assort": q_part_assort,
+    "degree_hist": q_degree_hist,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2769,6 +2807,37 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+_CO_ORDER_DEG_CTES = """
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS node, v AS nbr FROM pairs
+            UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY node)
+"""
+
+ORACLE_SQL["part_assort"] = f"""
+    WITH {_CO_ORDER_DEG_CTES},
+    de AS (SELECT du.d AS j, dv.d AS k
+           FROM adj a JOIN deg du ON du.node = a.node
+                      JOIN deg dv ON dv.node = a.nbr),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(j) AS BIGINT) AS s1,
+                 CAST(SUM(j * k) AS BIGINT) AS s2,
+                 CAST(SUM(j * j) AS BIGINT) AS s3
+          FROM de)
+    SELECT m, m * s2 - s1 * s1 AS num, m * s3 - s1 * s1 AS den FROM s
+"""
+
+ORACLE_SQL["degree_hist"] = f"""
+    WITH {_CO_ORDER_DEG_CTES}
+    SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM deg GROUP BY 1
 """
 
 ORACLE_SQL["embed_cov"] = """
