@@ -1193,6 +1193,82 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_orders_merge(sf_dir: str):
+    """CDC merge: apply a deterministic changeset (delete keys % 7 == 0,
+    restate keys % 7 == 3, insert shifted new keys from % 7 == 5) to the
+    orders snapshot — `ops/merge.py`, one key-sharded exchange resolving
+    last-version-wins upsert/delete semantics."""
+    from ..ops.merge import apply_changeset
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["o_totalprice"], pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    snapshot = orders.map_batches(snap, batch_format="pyarrow")
+
+    def changes(df):
+        import pandas as pd
+
+        k = df["o_orderkey"].to_numpy()
+        c = df["cents"].to_numpy()
+        out = []
+        d = k % 7 == 0
+        out.append(
+            pd.DataFrame(
+                {"o_orderkey": k[d], "o_orderstatus": None, "cents": 0,
+                 "op": "delete", "version": 1}
+            )
+        )
+        u = k % 7 == 3
+        out.append(
+            pd.DataFrame(
+                {"o_orderkey": k[u], "o_orderstatus": "X",
+                 "cents": c[u] + 100, "op": "upsert", "version": 2}
+            )
+        )
+        i = k % 7 == 5
+        out.append(
+            pd.DataFrame(
+                {"o_orderkey": k[i] + 10_000_000, "o_orderstatus": "N",
+                 "cents": 0, "op": "upsert", "version": 1}
+            )
+        )
+        return pd.concat(out, ignore_index=True)
+
+    chg = snapshot.map_batches(changes, batch_format="pandas")
+    out = apply_changeset(snapshot, chg, key="o_orderkey", num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "o_orderstatus": pa.array(
+                    df["o_orderstatus"], type=pa.string(), from_pandas=True
+                ),
+                "cents": pa.array(df["cents"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def _co_order_pairs(sf_dir: str):
     from ..ops.triangles import group_pairs
 
@@ -1641,6 +1717,7 @@ QUERIES: Dict[str, Callable] = {
     "embed_cov": q_embed_cov,
     "part_assort": q_part_assort,
     "degree_hist": q_degree_hist,
+    "orders_merge": q_orders_merge,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2807,6 +2884,20 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["orders_merge"] = """
+    WITH snap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders)
+    SELECT o_orderkey, o_orderstatus, cents FROM snap
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 7 <> 3
+    UNION ALL
+    SELECT o_orderkey, 'X', cents + 100 FROM snap WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'N', CAST(0 AS BIGINT)
+    FROM snap WHERE o_orderkey % 7 = 5
 """
 
 _CO_ORDER_DEG_CTES = """

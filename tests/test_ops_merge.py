@@ -1,0 +1,96 @@
+"""Changeset application: upsert/delete/insert semantics, version order."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from raykg.ops.merge import apply_changeset
+
+
+SNAP = pd.DataFrame(
+    {"id": [1, 2, 3, 4], "val": ["a", "b", "c", "d"]}
+)
+
+
+def _apply(changes: pd.DataFrame, num_shards=4) -> dict:
+    out = apply_changeset(
+        ray.data.from_pandas(SNAP),
+        ray.data.from_pandas(changes),
+        key="id",
+        num_shards=num_shards,
+    ).to_pandas()
+    return dict(zip(out["id"], out["val"]))
+
+
+def test_upsert_delete_insert(ray_session):
+    changes = pd.DataFrame(
+        {
+            "id": [2, 3, 9],
+            "val": ["B", None, "i"],
+            "op": ["upsert", "delete", "upsert"],
+            "version": [1, 1, 1],
+        }
+    )
+    assert _apply(changes) == {1: "a", 2: "B", 4: "d", 9: "i"}
+
+
+def test_latest_version_wins(ray_session):
+    changes = pd.DataFrame(
+        {
+            "id": [2, 2, 2, 4, 4],
+            "val": ["x", "y", "z", None, "re"],
+            "op": ["upsert", "upsert", "upsert", "delete", "upsert"],
+            "version": [3, 1, 2, 5, 6],
+        }
+    )
+    # id 2: version 3 wins -> x; id 4: delete v5 then upsert v6 -> re
+    assert _apply(changes) == {1: "a", 2: "x", 3: "c", 4: "re"}
+
+
+def test_delete_after_upsert_removes(ray_session):
+    changes = pd.DataFrame(
+        {
+            "id": [1, 1],
+            "val": ["new", None],
+            "op": ["upsert", "delete"],
+            "version": [1, 2],
+        }
+    )
+    assert _apply(changes) == {2: "b", 3: "c", 4: "d"}
+
+
+def test_empty_changes_identity(ray_session):
+    changes = pd.DataFrame(
+        {"id": pd.Series([], dtype=np.int64),
+         "val": pd.Series([], dtype=object),
+         "op": pd.Series([], dtype=object),
+         "version": pd.Series([], dtype=np.int64)}
+    )
+    assert _apply(changes) == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_partition_invariance(ray_session):
+    rng = np.random.default_rng(7)
+    snap = pd.DataFrame({"id": range(200), "val": [f"v{i}" for i in range(200)]})
+    ids = rng.integers(0, 250, 300)
+    changes = pd.DataFrame(
+        {
+            "id": ids,
+            "val": [f"c{i}" for i in range(300)],
+            "op": rng.choice(["upsert", "delete"], 300, p=[0.8, 0.2]),
+            # versions globally unique so tie-order never matters
+            "version": np.arange(1, 301),
+        }
+    )
+    outs = []
+    for parts, shards in [(1, 2), (7, 8)]:
+        out = apply_changeset(
+            ray.data.from_pandas(snap).repartition(parts),
+            ray.data.from_pandas(changes).repartition(parts),
+            key="id",
+            num_shards=shards,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
