@@ -191,3 +191,101 @@ def countmin_oracle_sql(
     FROM pe LEFT JOIN cm USING (i, b)
     GROUP BY key ORDER BY key
     """
+
+
+# --- HyperLogLog --------------------------------------------------------------
+
+_HLL_P = 10                      # 2^10 = 1024 registers
+_HLL_WBITS = _BITS - _HLL_P      # 50-bit sub-hash word per value
+
+
+def _hll_parts(values) -> "np.ndarray":
+    """(idx, rho) pairs for a set of values: idx = top p bits of the
+    60-bit md5 hash, rho = leading-zero rank of the remaining 50-bit
+    word (w == 0 -> 51).  floor(log2(w)) is exact for w < 2^53, so a SQL
+    engine computes the identical rho."""
+    hs = np.array([_h60(v) for v in values], dtype=np.int64)
+    idx = hs >> _HLL_WBITS
+    w = hs & ((1 << _HLL_WBITS) - 1)
+    rho = np.where(
+        w == 0,
+        _HLL_WBITS + 1,
+        _HLL_WBITS - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64),
+    )
+    return idx, rho
+
+
+class HllSketch(AggregateFnV2):
+    """Dataset-native HyperLogLog accumulator: a fixed array of 2^p
+    max-rank registers per block, elementwise-max through the tree
+    combine.  max() is order-independent, so the register state — unlike
+    a Misra-Gries/space-saving summary — is reproducible across any
+    partitioning AND bit-equal to a SQL mirror (GROUP BY idx, MAX(rho)
+    over the same md5-derived ranks)."""
+
+    def __init__(self, on: str):
+        super().__init__(
+            f"hll({on})",
+            zero_factory=lambda: np.zeros(1 << _HLL_P, dtype=np.int64),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> np.ndarray:
+        col = BlockAccessor.for_block(block).to_arrow()[self.get_target_column()]
+        vals = {v for v in col.to_pylist() if v is not None}
+        acc = np.zeros(1 << _HLL_P, dtype=np.int64)
+        if vals:
+            idx, rho = _hll_parts(sorted(vals, key=str))
+            np.maximum.at(acc, idx, rho)
+        return acc
+
+    def combine(self, acc: np.ndarray, new: np.ndarray) -> np.ndarray:
+        return np.maximum(acc, new)
+
+    def finalize(self, acc: np.ndarray) -> np.ndarray:
+        return acc
+
+
+def hll_registers(ds: "ray.data.Dataset", column: str) -> pd.DataFrame:
+    """Occupied HLL registers ``(idx, rho)`` — the full sketch state,
+    exactly (the float cardinality estimate lives in
+    :func:`hll_estimate`; the registers are the oracle surface)."""
+    regs = ds.aggregate(HllSketch(column))[f"hll({column})"]
+    nz = np.nonzero(regs)[0]
+    return pd.DataFrame(
+        {"idx": nz.astype(np.int64), "rho": regs[nz].astype(np.int64)}
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = _HLL_P) -> float:
+    """Standard HLL harmonic-mean estimate with the small-range
+    linear-counting correction (test surface; float)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    regs[registers["idx"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return float(est)
+
+
+def hll_oracle_sql(table: str, column: str) -> str:
+    """DuckDB mirror of :func:`hll_registers` — identical hash, idx, rho."""
+    w_mask = (1 << _HLL_WBITS) - 1
+    return f"""
+    WITH h AS (SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST({column} AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+               FROM {table} WHERE {column} IS NOT NULL),
+    parts AS (SELECT h >> {_HLL_WBITS} AS idx,
+                     h & {w_mask} AS w FROM h),
+    rr AS (SELECT idx,
+                  CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                       ELSE {_HLL_WBITS} - CAST(floor(log2(w)) AS BIGINT)
+                  END AS rho
+           FROM parts)
+    SELECT idx, CAST(MAX(rho) AS BIGINT) AS rho FROM rr GROUP BY idx
+    """

@@ -1193,6 +1193,19 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_hll_custkeys(sf_dir: str):
+    """HyperLogLog register state for distinct customers in orders —
+    `ops/sketch.HllSketch` (fixed 1024-register array per block,
+    elementwise-max tree combine; order-independent, so the registers
+    are bit-equal to the SQL mirror)."""
+    from ..ops.sketch import hll_registers
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    return hll_registers(orders, "o_custkey")
+
+
 def q_orders_merge(sf_dir: str):
     """CDC merge: apply a deterministic changeset (delete keys % 7 == 0,
     restate keys % 7 == 3, insert shifted new keys from % 7 == 5) to the
@@ -1718,6 +1731,7 @@ QUERIES: Dict[str, Callable] = {
     "part_assort": q_part_assort,
     "degree_hist": q_degree_hist,
     "orders_merge": q_orders_merge,
+    "hll_custkeys": q_hll_custkeys,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2447,6 +2461,10 @@ ORACLE_SQL["tfidf_top"] = r"""
 from ..ops.sketch import kmv_oracle_sql as _kmv_sql  # noqa: E402
 
 ORACLE_SQL["approx_distinct"] = _kmv_sql("orders", "o_custkey", k=256)
+
+from ..ops.sketch import hll_oracle_sql as _hll_sql  # noqa: E402
+
+ORACLE_SQL["hll_custkeys"] = _hll_sql("orders", "o_custkey")
 
 ORACLE_SQL["event_pivot"] = """
     SELECT user_id,

@@ -76,3 +76,39 @@ class TestCountMin:
         ).df()
         assert got["key"].tolist() == want["key"].tolist()
         assert got["est"].tolist() == want["est"].tolist()
+
+
+class TestHll:
+    def test_registers_partition_invariant(self):
+        from raykg.ops.sketch import hll_registers
+
+        df = pd.DataFrame({"v": [f"u{i % 400}" for i in range(1000)]})
+        a = hll_registers(ray.data.from_pandas(df).repartition(1), "v")
+        b = hll_registers(ray.data.from_pandas(df).repartition(9), "v")
+        pd.testing.assert_frame_equal(
+            a.sort_values("idx").reset_index(drop=True),
+            b.sort_values("idx").reset_index(drop=True),
+        )
+
+    def test_sql_mirror_identical(self):
+        from raykg.ops.sketch import hll_oracle_sql, hll_registers
+
+        df = pd.DataFrame(
+            {"v": [f"x{i % 333}" for i in range(900)] + [None] * 4}
+        )
+        got = hll_registers(ray.data.from_pandas(df).repartition(5), "v")
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(hll_oracle_sql("t", "v")).df()
+        g = got.sort_values("idx").reset_index(drop=True)
+        w = want.sort_values("idx").reset_index(drop=True).astype("int64")
+        pd.testing.assert_frame_equal(g, w)
+
+    def test_estimate_accuracy(self):
+        from raykg.ops.sketch import hll_estimate, hll_registers
+
+        for n in (50, 2_000, 20_000):
+            df = pd.DataFrame({"v": [f"id{i}" for i in range(n)]})
+            regs = hll_registers(ray.data.from_pandas(df).repartition(4), "v")
+            est = hll_estimate(regs)
+            assert abs(est - n) / n < 0.10, (n, est)
