@@ -94,3 +94,51 @@ def melt(
         return pa.concat_tables(parts)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def collect_strings(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    order_by: Sequence[str],
+    sep: str = "\n",
+    prefix_col: Optional[str] = None,
+    prefix_sep: str = ": ",
+    out_col: str = "full_text",
+    num_shards: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered per-key string assembly: ``(key, n_items, out_col)`` with
+    ``out_col`` = the non-null ``value`` strings of the key joined by
+    ``sep`` in ``order_by`` order (optionally each prefixed by its
+    ``prefix_col``, e.g. role-tagged conversation turns).
+
+    One key-sharded exchange; the per-shard pass is a single vectorized
+    sort + grouped join.  NULL values are skipped and excluded from
+    ``n_items`` (SQL ``string_agg``/``COUNT(col)`` semantics, so a SQL
+    mirror agrees row-for-row).  This is the conversation-assembly step
+    of an LM-training pipeline — turns back into whole documents —
+    built on the same sharded-groupby machinery as the window ops."""
+    order_by = list(order_by)
+    cols = [key, value] + order_by + ([prefix_col] if prefix_col else [])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[value].notna()]
+        df = df.sort_values([key] + order_by, kind="stable")
+        joined = (
+            df[prefix_col].astype(str) + prefix_sep + df[value].astype(str)
+            if prefix_col
+            else df[value].astype(str)
+        )
+        df = df.assign(__joined=joined)
+        g = df.groupby(key, sort=False)
+        return pd.DataFrame(
+            {
+                key: list(g.groups),
+                "n_items": g.size().to_numpy(),
+                out_col: g["__joined"].agg(sep.join).to_numpy(),
+            }
+        )
+
+    return sharded_groupby_apply(
+        ds.select_columns(list(dict.fromkeys(cols))), [key], fold, num_shards
+    )

@@ -1193,6 +1193,31 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_conv_text(sf_dir: str):
+    """Conversation assembly — turns rejoined into one role-tagged
+    document per conversation (the LM-training document-build step):
+    `ops/reshape.collect_strings`, one conv-sharded exchange with a
+    vectorized sort + grouped join per shard."""
+    from ..ops.reshape import collect_strings
+
+    t = read_transcripts(sf_dir)
+    out = collect_strings(
+        t, "conv_id", "text", ["turn_idx"], prefix_col="role",
+        num_shards=16,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], type=pa.string()),
+                "n_items": pa.array(df["n_items"], type=pa.int64()),
+                "full_text": pa.array(df["full_text"], type=pa.string()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_hll_custkeys(sf_dir: str):
     """HyperLogLog register state for distinct customers in orders —
     `ops/sketch.HllSketch` (fixed 1024-register array per block,
@@ -1732,6 +1757,7 @@ QUERIES: Dict[str, Callable] = {
     "degree_hist": q_degree_hist,
     "orders_merge": q_orders_merge,
     "hll_custkeys": q_hll_custkeys,
+    "conv_text": q_conv_text,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2902,6 +2928,14 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["conv_text"] = f"""
+    WITH {_T_CTE}
+    SELECT conv_id, CAST(COUNT(text) AS BIGINT) AS n_items,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+               AS full_text
+    FROM t GROUP BY conv_id
 """
 
 ORACLE_SQL["orders_merge"] = """

@@ -55,3 +55,52 @@ def test_melt_roundtrip_values():
     assert out["value"].tolist() == [10, 20, 30, 40]
     assert out["variable"].tolist() == ["a", "b", "a", "b"]
     assert len(out) == 4
+
+
+class TestCollectStrings:
+    def test_ordered_assembly_with_prefix(self, ray_session):
+        import pandas as pd
+
+        from raykg.ops.reshape import collect_strings
+
+        df = pd.DataFrame(
+            {
+                "conv": ["a", "a", "b", "a"],
+                "i": [2, 0, 0, 1],
+                "role": ["assistant", "user", "user", "assistant"],
+                "text": ["fine", "hi", "solo", None],
+            }
+        )
+        out = collect_strings(
+            ray.data.from_pandas(df), "conv", "text", ["i"],
+            prefix_col="role", num_shards=4,
+        ).to_pandas().sort_values("conv").reset_index(drop=True)
+        # null text at (a, 1) skipped and not counted
+        assert out["conv"].tolist() == ["a", "b"]
+        assert out["n_items"].tolist() == [2, 1]
+        assert out["full_text"].tolist() == [
+            "user: hi\nassistant: fine", "user: solo",
+        ]
+
+    def test_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from raykg.ops.reshape import collect_strings
+
+        rng = np.random.default_rng(29)
+        df = pd.DataFrame(
+            {
+                "conv": rng.integers(0, 20, 300).astype(str),
+                "i": np.arange(300),
+                "text": [f"t{i}" for i in range(300)],
+            }
+        )
+        outs = [
+            collect_strings(
+                ray.data.from_pandas(df).repartition(p), "conv", "text",
+                ["i"], num_shards=s,
+            ).to_pandas().sort_values("conv").reset_index(drop=True)
+            for p, s in [(1, 2), (11, 8)]
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
