@@ -240,3 +240,59 @@ def sessionize(
         .groupby("__bucket")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    ds: "ray.data.Dataset",
+    steps,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_shards: int = 32,
+):
+    """Ordered-funnel completion: ``(step, n_keys)`` where ``n_keys`` is
+    how many keys performed ``steps[0] .. steps[i-1]`` in strict time
+    order (greedy earliest-match chaining — the same semantics as the
+    SQL ``MIN(ts)``-per-step chain, so a SQL mirror agrees exactly).
+
+    One key-sharded exchange; inside each shard the chain is
+    len(steps) vectorized filter + groupby-min passes (never a per-key
+    Python walk).  Per-shard step partials (<= num_shards x len(steps)
+    rows) fold through one tiny final exchange.
+    """
+    from .agg import sharded_groupby_apply
+
+    steps = list(steps)
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        reached = None  # Series: key -> ts of last completed step
+        out_steps = []
+        out_counts = []
+        for i, s in enumerate(steps):
+            ev = df[df[type_col] == s]
+            if reached is None:
+                cur = ev.groupby(key, sort=False)[ts_col].min()
+            else:
+                prev = ev[key].map(reached)
+                ev = ev[prev.notna() & (ev[ts_col] > prev)]
+                cur = ev.groupby(key, sort=False)[ts_col].min()
+            reached = cur
+            out_steps.append(i + 1)
+            out_counts.append(len(cur))
+            if not len(cur):
+                # later steps are all zero; emit explicitly for stable shape
+                for j in range(i + 2, len(steps) + 1):
+                    out_steps.append(j)
+                    out_counts.append(0)
+                break
+        return pd.DataFrame({"step": out_steps, "n": out_counts})
+
+    partials = sharded_groupby_apply(
+        ds.select_columns([key, ts_col, type_col]), [key], chain, num_shards
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("step", sort=False, as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_keys"})
+
+    return sharded_groupby_apply(partials, ["step"], fold, min(num_shards, 4))

@@ -1193,6 +1193,31 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_event_funnel(sf_dir: str):
+    """view -> click -> purchase funnel completion counts per step —
+    `ops/events.funnel_counts` (one user-sharded exchange; the greedy
+    earliest-match chain is len(steps) vectorized filter+min passes per
+    shard, matching the SQL MIN(ts)-chaining semantics exactly)."""
+    from ..ops.events import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel_counts(
+        ev, ["view", "click", "purchase"], num_shards=16
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "step": pa.array(df["step"], type=pa.int64()),
+                "n_keys": pa.array(df["n_keys"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_conv_text(sf_dir: str):
     """Conversation assembly — turns rejoined into one role-tagged
     document per conversation (the LM-training document-build step):
@@ -1758,6 +1783,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_merge": q_orders_merge,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
+    "event_funnel": q_event_funnel,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2928,6 +2954,21 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["event_funnel"] = """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM s1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 ORACLE_SQL["conv_text"] = f"""

@@ -75,3 +75,67 @@ class TestWindowOver:
             .sort_values(["k2", "t"])
         )
         assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+
+
+class TestFunnel:
+    def test_strict_order_chain(self, ray_session):
+        import pandas as pd
+
+        from raykg.ops.events import funnel_counts
+
+        df = pd.DataFrame(
+            {
+                # u1 completes all 3 in order; u2 clicks before viewing
+                # (click doesn't count), never purchases; u3 views only
+                "user_id": [1, 1, 1, 2, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 00:01",
+                     "2024-01-01 00:02", "2024-01-01 00:00",
+                     "2024-01-01 00:01", "2024-01-01 00:00"]
+                ),
+                "event_type": ["view", "click", "purchase",
+                               "click", "view", "view"],
+            }
+        )
+        out = funnel_counts(
+            ray.data.from_pandas(df), ["view", "click", "purchase"],
+            num_shards=4,
+        ).to_pandas().sort_values("step")
+        assert out["step"].tolist() == [1, 2, 3]
+        assert out["n_keys"].tolist() == [3, 1, 1]
+
+    def test_matches_per_user_brute(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from raykg.ops.events import funnel_counts
+
+        rng = np.random.default_rng(41)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 50, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.permutation(n), unit="s"),
+                "event_type": rng.choice(
+                    ["view", "click", "purchase", "error"], n
+                ),
+            }
+        )
+        steps = ["view", "click", "purchase"]
+        want = [0, 0, 0]
+        for _, g in df.sort_values("ts").groupby("user_id"):
+            t, depth = None, 0
+            for s in steps:
+                ev = g[(g["event_type"] == s)
+                       & ((g["ts"] > t) if t is not None else True)]
+                if not len(ev):
+                    break
+                t = ev["ts"].min()
+                depth += 1
+            for i in range(depth):
+                want[i] += 1
+        out = funnel_counts(
+            ray.data.from_pandas(df).repartition(7), steps, num_shards=8
+        ).to_pandas().sort_values("step")
+        assert out["n_keys"].tolist() == want
