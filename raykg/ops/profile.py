@@ -198,3 +198,69 @@ def profile_columns(
         distinct.map_batches(join_side("d"), batch_format="pandas")
     )
     return sharded_groupby_apply(both, ["column"], merge, num_shards=1)
+
+
+_CKSUM_P = (1 << 61) - 1  # Mersenne prime; sums stay BIGINT-safe in SQL
+
+
+def table_checksum(
+    ds: "ray.data.Dataset",
+    columns: Sequence[str],
+    null_token: str = "<null>",
+) -> pd.DataFrame:
+    """Order-independent content checksum: one row ``(n_rows, checksum)``
+    with ``checksum = SUM(md5_60bit(c1 || '|' || c2 ...)) mod 2^61-1``.
+
+    Addition commutes, so the result is independent of partitioning and
+    row order — the cross-engine "did the copy/migration preserve every
+    row" validation.  The per-row hash uses the corpus-auditability md5
+    idiom from `ops/sample.py`, and every value is canonicalized as its
+    string form (callers pass int/string columns; float formatting is
+    engine-specific and excluded by contract), so a SQL engine computes
+    the IDENTICAL scalar:
+
+        SUM(CAST(('0x' || substr(md5(
+            COALESCE(CAST(c1 AS VARCHAR), '<null>') || '|' || ...), 1, 15))
+            AS BIGINT)) % 2305843009213693951
+
+    Scale shape: per-batch scalar partials (n, sum mod p) — nothing but
+    O(blocks) two-int rows ever move.
+    """
+    import hashlib
+
+    cols = list(columns)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            df[c].map(lambda v: null_token if v is None or v != v else str(v))
+            for c in cols
+        ]
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows + "|" + p
+        s = 0
+        for r in rows:
+            s += int(hashlib.md5(r.encode("utf-8")).hexdigest()[:15], 16)
+        return pd.DataFrame({"n": [len(df)], "s": [s % _CKSUM_P]})
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pandas"
+    ).take_all()
+    n = sum(int(p["n"]) for p in parts)
+    s = sum(int(p["s"]) for p in parts) % _CKSUM_P
+    return pd.DataFrame({"n_rows": [n], "checksum": [s]}).astype("int64")
+
+
+def table_checksum_sql(
+    table: str, columns: Sequence[str], null_token: str = "<null>"
+) -> str:
+    """DuckDB mirror of :func:`table_checksum`."""
+    expr = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '{null_token}')" for c in columns
+    )
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT))
+                % {_CKSUM_P} AS BIGINT) AS checksum
+    FROM {table}
+    """

@@ -1193,6 +1193,20 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_lineitem_checksum(sf_dir: str):
+    """Order-independent content checksum of lineitem's key columns —
+    `ops/profile.table_checksum` (commutative md5-sum mod 2^61-1; scalar
+    partials per batch, nothing corpus-scale moves).  The cross-engine
+    migration-validation primitive."""
+    from ..ops.profile import table_checksum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+    return table_checksum(li, ["l_orderkey", "l_partkey", "l_linenumber"])
+
+
 def q_event_funnel(sf_dir: str):
     """view -> click -> purchase funnel completion counts per step —
     `ops/events.funnel_counts` (one user-sharded exchange; the greedy
@@ -1784,6 +1798,7 @@ QUERIES: Dict[str, Callable] = {
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "event_funnel": q_event_funnel,
+    "lineitem_checksum": q_lineitem_checksum,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2955,6 +2970,12 @@ ORACLE_SQL["part_hops"] = """
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
 """
+
+from ..ops.profile import table_checksum_sql as _cksum_sql  # noqa: E402
+
+ORACLE_SQL["lineitem_checksum"] = _cksum_sql(
+    "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"]
+)
 
 ORACLE_SQL["event_funnel"] = """
     WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

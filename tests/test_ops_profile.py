@@ -63,3 +63,49 @@ def test_profile_partition_invariance(ray_session):
         ds1.sort_values("column").reset_index(drop=True),
         ds9.sort_values("column").reset_index(drop=True),
     )
+
+
+class TestTableChecksum:
+    def test_order_and_partition_invariant(self, ray_session):
+        import pandas as pd
+
+        from raykg.ops.profile import table_checksum
+
+        df = pd.DataFrame({"k": [3, 1, 2], "s": ["c", "a", None]})
+        a = table_checksum(ray.data.from_pandas(df), ["k", "s"])
+        shuffled = df.sample(frac=1, random_state=7).reset_index(drop=True)
+        b = table_checksum(
+            ray.data.from_pandas(shuffled).repartition(3), ["k", "s"]
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n_rows"].iloc[0] == 3
+
+    def test_detects_single_value_change(self, ray_session):
+        import pandas as pd
+
+        from raykg.ops.profile import table_checksum
+
+        df = pd.DataFrame({"k": range(50), "s": [f"v{i}" for i in range(50)]})
+        base = table_checksum(ray.data.from_pandas(df), ["k", "s"])
+        df2 = df.copy()
+        df2.loc[31, "s"] = "v31x"
+        changed = table_checksum(ray.data.from_pandas(df2), ["k", "s"])
+        assert base["checksum"].iloc[0] != changed["checksum"].iloc[0]
+
+    def test_sql_mirror_identical(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from raykg.ops.profile import table_checksum, table_checksum_sql
+
+        df = pd.DataFrame(
+            {"k": list(range(40)) + [None],
+             "s": [f"x{i % 7}" for i in range(40)] + ["tail"]}
+        )
+        # int column with a null: pandas object path keeps ints as ints
+        df["k"] = df["k"].astype("object")
+        got = table_checksum(ray.data.from_pandas(df), ["k", "s"])
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(table_checksum_sql("t", ["k", "s"])).df().astype("int64")
+        pd.testing.assert_frame_equal(got, want)
