@@ -151,6 +151,18 @@ def run_bench() -> dict:
     timed("lm_scores")
     timed("order_windows")
     timed("approx_distinct", consume=len)
+    # graph + warehouse extras (round-2 session additions)
+    timed("tri_counts")
+    timed("link_predict")
+    timed("cheap_paths")
+    timed("orders_rollup")
+    timed("orders_merge")
+    timed("conv_text")
+    timed("event_funnel")
+    timed("token_lift")
+    timed("embed_cov")
+    timed("hll_custkeys", consume=len)
+    timed("lineitem_checksum", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -43,3 +43,61 @@ def group_topk(
         return df[df[rank_column] <= k]
 
     return sharded_groupby_apply(ds, keys, shard_topk, num_shards=num_shards)
+
+
+def dense_rank_global(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    ascending: bool = False,
+    rank_column: str = "rank",
+) -> "ray.data.Dataset":
+    """Global ``DENSE_RANK() OVER (ORDER BY value)`` — every row gets the
+    1-based rank of its value among the DISTINCT values of the whole
+    dataset (ties share a rank, no gaps).
+
+    Dense rank depends only on a row's VALUE, so no global sort of the
+    data is needed: per-batch distinct-value partials collect into one
+    sorted array (value-cardinality-sized — the same node-table regime
+    as the degree broadcasts; for truly unbounded cardinality fall back
+    to a sort + partition-offset pass), ship once via ``ray.put``, and
+    every batch attaches its ranks with one ``searchsorted``.  Two
+    passes over the data, zero shuffles.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        col = batch[value_column]
+        v = np.unique(col.to_numpy(zero_copy_only=False))
+        return pa.table({"v": v})
+
+    tabs = [
+        t
+        for t in ray.get(
+            list(
+                ds.select_columns([value_column])
+                .map_batches(distinct, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+        )
+        if t.num_rows
+    ]
+    vals = np.unique(
+        np.concatenate([t["v"].to_numpy(zero_copy_only=False) for t in tabs])
+    )
+    ref = ray.put(vals)
+    n_vals = len(vals)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        x = batch[value_column].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vs, x)  # ascending rank-1
+        rank = pos + 1 if ascending else n_vals - pos
+        return batch.append_column(
+            rank_column, pa.array(rank.astype(np.int64))
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -1193,6 +1193,54 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_part_rank(sf_dir: str):
+    """Parts dense-ranked by total ordered quantity — per-part sum (one
+    sharded exchange) then `ops/topk.dense_rank_global` (distinct totals
+    broadcast once, ranks attached with a searchsorted; no global
+    sort)."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.topk import dense_rank_global
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "q": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby("l_partkey", sort=False, as_index=False)["q"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = sharded_groupby_apply(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", sort=False, as_index=False)["q"]
+        .sum()
+        .rename(columns={"q": "total_qty"}),
+        32,
+    )
+    out = dense_rank_global(totals, "total_qty", ascending=False)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+                "total_qty": pc.cast(batch["total_qty"], pa.int64()),
+                "rank": pc.cast(batch["rank"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def q_lineitem_checksum(sf_dir: str):
     """Order-independent content checksum of lineitem's key columns —
     `ops/profile.table_checksum` (commutative md5-sum mod 2^61-1; scalar
@@ -1799,6 +1847,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_text": q_conv_text,
     "event_funnel": q_event_funnel,
     "lineitem_checksum": q_lineitem_checksum,
+    "part_rank": q_part_rank,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -2969,6 +3018,17 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["part_rank"] = """
+    WITH t AS (SELECT l_partkey,
+                      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                          AS total_qty
+               FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, total_qty,
+           CAST(DENSE_RANK() OVER (ORDER BY total_qty DESC) AS BIGINT)
+               AS rank
+    FROM t
 """
 
 from ..ops.profile import table_checksum_sql as _cksum_sql  # noqa: E402
