@@ -223,6 +223,8 @@ def triangle_counts(
     num_shards: int = 32,
     broadcast_degrees: Optional[bool] = None,
     broadcast_max_nodes: int = 2_000_000,
+    broadcast_edges: Optional[bool] = None,
+    broadcast_max_edges: int = 50_000_000,
 ) -> "ray.data.Dataset":
     """Per-node triangle participation counts ``(node, n_tri)`` — only
     nodes in at least one triangle appear.
@@ -232,7 +234,18 @@ def triangle_counts(
     node table fits a worker heap), ``False`` attaches degrees with two
     bucketed hash joins (the corpus-scale path), ``None`` decides by
     counting the materialized degree table against
-    ``broadcast_max_nodes``."""
+    ``broadcast_max_nodes``.
+
+    ``broadcast_edges`` picks the CLOSURE engine.  ``True`` packs the
+    canonical edge set into one sorted uint64 key array shipped via
+    ``ray.put`` (8 bytes/edge — ~1 GB at 128M edges), and each wedge is
+    closed IN PLACE with a vectorized ``searchsorted`` membership test,
+    so the wedge set — the O(m^1.5) volume that dominates dense graphs —
+    never enters an exchange; only node-count partials move.  ``False``
+    is the original co-sharded wedge ⋈ edge exchange (the corpus-scale
+    path when the edge set itself cannot fit a worker heap).  ``None``
+    auto-picks: integer node ids < 2^32 and ≤ ``broadcast_max_edges``
+    edges → broadcast.  Engines are pinned equal by test."""
     canon = canonical_edges(edges, u, v, num_shards).materialize()
     degrees = _degrees(canon, num_shards)
 
@@ -277,6 +290,76 @@ def triangle_counts(
                 _SIDE: np.zeros(sum(map(len, lo_out)), dtype=np.int8),
             }
         )
+
+    if broadcast_edges is None or broadcast_edges:
+        etabs = [
+            t for t in ray.get(list(canon.to_arrow_refs())) if t.num_rows
+        ]
+        et = pa.concat_tables(etabs) if etabs else None
+        ok = False
+        if et is not None and pa.types.is_integer(et["u"].type):
+            eu = et["u"].to_numpy(zero_copy_only=False)
+            ev = et["v"].to_numpy(zero_copy_only=False)
+            if (
+                len(eu) <= broadcast_max_edges
+                and eu.min(initial=0) >= 0
+                and max(eu.max(initial=0), ev.max(initial=0)) < (1 << 32)
+            ):
+                ok = True
+        if broadcast_edges and not ok:
+            raise ValueError(
+                "broadcast_edges requires non-negative integer node ids "
+                f"< 2^32 and <= {broadcast_max_edges} edges"
+            )
+        if ok:
+            keys = np.sort(
+                (eu.astype(np.uint64) << np.uint64(32))
+                | ev.astype(np.uint64)
+            )
+            kref = ray.put(keys)
+
+            def wedge_close(df: pd.DataFrame) -> pd.DataFrame:
+                ks = ray.get(kref)
+                corner_parts: List[np.ndarray] = []
+                for src_val, vals in df.groupby("src", sort=False)["dst"]:
+                    d = vals.to_numpy()
+                    k = len(d)
+                    if k < 2:
+                        continue
+                    ii, jj = np.triu_indices(k, 1)
+                    a, b = d[ii], d[jj]
+                    lo = np.minimum(a, b).astype(np.uint64)
+                    hi = np.maximum(a, b).astype(np.uint64)
+                    wk = (lo << np.uint64(32)) | hi
+                    pos = np.minimum(np.searchsorted(ks, wk), len(ks) - 1)
+                    mask = ks[pos] == wk
+                    nhit = int(mask.sum())
+                    if not nhit:
+                        continue
+                    corner_parts.append(lo[mask].astype(np.int64))
+                    corner_parts.append(hi[mask].astype(np.int64))
+                    corner_parts.append(
+                        np.full(nhit, src_val, dtype=np.int64)
+                    )
+                if not corner_parts:
+                    return pd.DataFrame(
+                        {"node": pd.Series([], dtype=np.int64),
+                         "n": pd.Series([], dtype=np.int64)}
+                    )
+                vc = pd.Series(np.concatenate(corner_parts)).value_counts()
+                return pd.DataFrame(
+                    {"node": vc.index.to_numpy(), "n": vc.to_numpy()}
+                )
+
+            partials = sharded_groupby_apply(
+                oriented, ["src"], wedge_close, num_shards
+            )
+
+            def total_b(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby("node", sort=False, as_index=False)["n"].sum()
+                return g.rename(columns={"n": "n_tri"})
+
+            return sharded_groupby_apply(partials, ["node"], total_b, num_shards)
 
     wedge_ds = sharded_groupby_apply(oriented, ["src"], wedges, num_shards)
 

@@ -63,3 +63,35 @@ def test_pca_transform_projects(ray_session):
     c = np.cov(proj.T)
     off = c - np.diag(np.diag(c))
     assert np.abs(off).max() < 1e-6
+
+
+def test_quantize_roundtrip_and_range(ray_session):
+    from raykg.ops.pca import quantize_embeddings
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(50),
+             "embedding": [row for row in x]}
+        )
+    )
+    out = quantize_embeddings(ds).to_pandas()
+    assert len(out) == 50 * 8
+    assert out["code"].between(-127, 127).all()
+    # reconstruct within one quantization step
+    for vid, g in out.groupby("id"):
+        g = g.sort_values("i")
+        recon = g["code"].to_numpy() * g["absmax"].to_numpy() / 127.0
+        err = np.abs(recon - x[vid].astype(np.float64))
+        assert (err <= g["absmax"].iloc[0] / 127.0 + 1e-12).all()
+
+
+def test_quantize_zero_vector(ray_session):
+    from raykg.ops.pca import quantize_embeddings
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": [0], "embedding": [np.zeros(4, np.float32)]})
+    )
+    out = quantize_embeddings(ds).to_pandas()
+    assert (out["code"] == 0).all() and (out["absmax"] == 0.0).all()

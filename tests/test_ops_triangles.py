@@ -91,3 +91,30 @@ def test_group_pairs_distinct_within_group(ray_session):
     df = group_pairs(ds, "g", "x", num_shards=4).to_pandas()
     got = sorted(map(tuple, df[["u", "v"]].to_numpy()))
     assert got == [(5, 6), (10, 20), (10, 30), (20, 30)]
+
+
+def test_closure_engines_pinned_equal(ray_session):
+    rng = np.random.default_rng(21)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(300, 2))
+        if a != b
+    ]
+    bcast = _counts(
+        triangle_counts(_ds(edges), num_shards=8, broadcast_edges=True)
+    )
+    shard = _counts(
+        triangle_counts(_ds(edges), num_shards=8, broadcast_edges=False)
+    )
+    assert bcast == shard == _brute(edges)
+
+
+def test_broadcast_edges_rejects_string_ids(ray_session):
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"u": ["a", "b"], "v": ["b", "c"]})
+    )
+    with pytest.raises(ValueError, match="broadcast_edges"):
+        triangle_counts(ds, num_shards=2, broadcast_edges=True).materialize()
+    # auto mode silently falls back to the sharded closure
+    got = _counts(triangle_counts(ds, num_shards=2))
+    assert got == {}
