@@ -1193,6 +1193,18 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_embed_quant(sf_dir: str):
+    """Symmetric int8 embedding quantization in long form (id, i, code,
+    absmax) — `ops/pca.quantize_embeddings` (stateless vectorized map,
+    zero exchanges; floor arithmetic so the SQL mirror is bit-equal)."""
+    from ..ops.pca import quantize_embeddings
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(emb)
+
+
 def q_part_rank(sf_dir: str):
     """Parts dense-ranked by total ordered quantity — per-part sum (one
     sharded exchange) then `ops/topk.dense_rank_global` (distinct totals
@@ -1848,6 +1860,7 @@ QUERIES: Dict[str, Callable] = {
     "event_funnel": q_event_funnel,
     "lineitem_checksum": q_lineitem_checksum,
     "part_rank": q_part_rank,
+    "embed_quant": q_embed_quant,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -3018,6 +3031,20 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["embed_quant"] = """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    x AS (SELECT e.vec_id AS id, idx.i,
+                 CAST(e.embedding[idx.i] AS DOUBLE) AS xv
+          FROM embeddings e, idx),
+    m AS (SELECT id, MAX(ABS(xv)) AS absmax FROM x GROUP BY id)
+    SELECT x.id, x.i,
+           CAST(CASE WHEN m.absmax = 0 THEN 0
+                     ELSE floor(x.xv * 127.0 / m.absmax) END AS BIGINT)
+               AS code,
+           m.absmax
+    FROM x JOIN m USING (id)
 """
 
 ORACLE_SQL["part_rank"] = """
