@@ -114,3 +114,67 @@ def degree_histogram(
         lambda df: df.groupby("bucket", sort=False, as_index=False)["n"].sum(),
         min(num_shards, 8),
     )
+
+
+def kcore_bounded(
+    edges: "ray.data.Dataset",
+    k: int,
+    rounds: int,
+    u: str = "u",
+    v: str = "v",
+    num_shards: int = 32,
+) -> "ray.data.Dataset":
+    """Bounded-round k-core peeling: ``rounds`` synchronous passes of
+    "drop every node with degree < k, keep edges between survivors",
+    returning the surviving ``(node, deg)`` table (degrees within the
+    surviving subgraph).  With enough rounds this is the k-core
+    fixed point; bounding the rounds keeps the loop deterministic and
+    SQL-mirrorable (one unrolled CTE block per round) — the same
+    bounded-iteration contract as `ops/bfs.py` / `ops/paths.py`.
+
+    Per round: one node-sharded degree exchange + one broadcast of the
+    surviving node ids (sorted array via ``ray.put``, searchsorted
+    filter per batch).  The edge set only ever shrinks; node state is
+    node-table-scale, never corpus-scale.
+    """
+    cur = canonical_edges(edges, u, v, num_shards).materialize()
+    deg = _degrees(cur, num_shards).materialize()
+    node_type = pa.int64()
+
+    def empty_result():
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], type=node_type),
+                 "deg": pa.array([], type=pa.int64())}
+            )
+        )
+
+    for _ in range(rounds):
+        tabs = [t for t in ray.get(list(deg.to_arrow_refs())) if t.num_rows]
+        if not tabs:
+            return empty_result()
+        node_type = tabs[0]["node"].type
+        dt = pa.concat_tables(tabs)
+        nodes = dt["node"].to_numpy(zero_copy_only=False)
+        degs = dt["deg"].to_numpy(zero_copy_only=False)
+        keep = np.sort(nodes[degs >= k])
+        if len(keep) == len(nodes):
+            break  # fixed point reached early — identical to more rounds
+        ref = ray.put(keep)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            kp = ray.get(ref)
+            a = batch["u"].to_numpy(zero_copy_only=False)
+            b = batch["v"].to_numpy(zero_copy_only=False)
+            if not len(kp):
+                return batch.slice(0, 0)
+            pa_ = np.minimum(np.searchsorted(kp, a), len(kp) - 1)
+            pb_ = np.minimum(np.searchsorted(kp, b), len(kp) - 1)
+            mask = (kp[pa_] == a) & (kp[pb_] == b)
+            return batch.filter(pa.array(mask))
+
+        cur = cur.map_batches(filt, batch_format="pyarrow").materialize()
+        deg = _degrees(cur, num_shards).materialize()
+    if not deg.count():
+        return empty_result()
+    return deg

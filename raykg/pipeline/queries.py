@@ -1193,6 +1193,30 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_part_kcore(sf_dir: str):
+    """Bounded 2-round 80-core peeling of the co-order part graph —
+    `ops/graphstats.kcore_bounded` (per round one degree exchange + one
+    survivor-set broadcast filter; bounded iterations keep it
+    SQL-mirrorable like the BFS/Bellman-Ford family)."""
+    from ..ops.graphstats import kcore_bounded
+
+    out = kcore_bounded(
+        _co_order_pairs(sf_dir), k=80, rounds=2, num_shards=32
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": pc.cast(batch["node"], pa.int64()),
+                "deg": pc.cast(batch["deg"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def q_embed_quant(sf_dir: str):
     """Symmetric int8 embedding quantization in long form (id, i, code,
     absmax) — `ops/pca.quantize_embeddings` (stateless vectorized map,
@@ -1861,6 +1885,7 @@ QUERIES: Dict[str, Callable] = {
     "lineitem_checksum": q_lineitem_checksum,
     "part_rank": q_part_rank,
     "embed_quant": q_embed_quant,
+    "part_kcore": q_part_kcore,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -3032,6 +3057,39 @@ ORACLE_SQL["part_hops"] = """
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
 """
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded k-core mirror: degree CTE + survivor filter per
+    round (recursive CTEs cannot re-aggregate, same as PageRank)."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e0 AS (SELECT u, v FROM pairs)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    d{r} AS (SELECT node, COUNT(*) AS d FROM
+             (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+             GROUP BY node),
+    s{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r + 1} AS (SELECT e.u, e.v FROM e{r} e
+                 JOIN s{r} a ON a.node = e.u
+                 JOIN s{r} b ON b.node = e.v)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+    (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["part_kcore"] = _kcore_sql(k=80, rounds=2)
 
 ORACLE_SQL["embed_quant"] = """
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -54,3 +54,60 @@ def test_degree_histogram(ray_session):
     got = degree_histogram(_ds(edges), num_shards=4).to_pandas()
     d = dict(zip(got["bucket"], got["n"]))
     assert d == {0: 9, 3: 1}
+
+
+class TestKCore:
+    def _brute(self, edges, k, rounds):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        for _ in range(rounds):
+            deg: dict = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nes = {e for e in es if e[0] in keep and e[1] in keep}
+            if nes == es:
+                break
+            es = nes
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    def test_triangle_with_pendant(self, ray_session):
+        from raykg.ops.graphstats import kcore_bounded
+
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        out = kcore_bounded(_ds(edges), k=2, rounds=3, num_shards=4).to_pandas()
+        got = dict(zip(out["node"], out["deg"]))
+        assert got == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled, 3's deg drops
+
+    def test_chain_peels_iteratively(self, ray_session):
+        from raykg.ops.graphstats import kcore_bounded
+
+        # path 1-2-3-4-5: round 1 peels 1,5; round 2 peels 2,4; round 3 empty
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        for rounds in (1, 2, 3):
+            out = kcore_bounded(
+                _ds(edges), k=2, rounds=rounds, num_shards=4
+            ).to_pandas()
+            # ray's to_pandas drops columns on zero-row datasets
+            got = dict(zip(out["node"], out["deg"])) if len(out) else {}
+            assert got == self._brute(edges, 2, rounds), rounds
+
+    def test_random_matches_brute(self, ray_session):
+        from raykg.ops.graphstats import kcore_bounded
+
+        rng = np.random.default_rng(37)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 30, size=(90, 2))
+            if a != b
+        ]
+        for k, rounds in [(2, 2), (3, 3), (4, 2)]:
+            out = kcore_bounded(
+                _ds(edges), k=k, rounds=rounds, num_shards=8
+            ).to_pandas()
+            got = dict(zip(out["node"], out["deg"]))
+            assert got == self._brute(edges, k, rounds), (k, rounds)
