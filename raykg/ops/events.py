@@ -296,3 +296,70 @@ def funnel_counts(
         return g.rename(columns={"n": "n_keys"})
 
     return sharded_groupby_apply(partials, ["step"], fold, min(num_shards, 4))
+
+
+def ohlc_window(
+    ds: "ray.data.Dataset",
+    key_column: str = "event_type",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    unit: str = "hour",
+    num_shards: int = 32,
+):
+    """Time-ordered downsampling (the market-data OHLC bar): per (key,
+    window) the first/max/min/last value by event time plus the count —
+    ``(key, window_start, open, high, low, close, n)``.
+
+    First/last are ORDER-DEPENDENT aggregates, so the partial state per
+    (key, window) is ``(ts_min, v_at_ts_min, ts_max, v_at_ts_max, min,
+    max, n)`` — still a constant-size decomposable tuple: combining two
+    partials keeps the value attached to the smaller/larger timestamp.
+    One vectorized sort + groupby-first/last pass per batch builds the
+    partials; one (key, window)-sharded exchange folds them.  Ties on
+    ts resolve to the smallest ts row deterministically only when ts is
+    unique per (key, window) — feeds with duplicate timestamps should
+    disambiguate (the same contract as SQL ``arg_min``/``arg_max``).
+    """
+    import pyarrow.compute as pc
+
+    from .agg import sharded_groupby_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch[ts_column], unit=unit)
+        df = pd.DataFrame(
+            {
+                "k": batch[key_column].to_pandas(),
+                "w": win.to_pandas(),
+                "ts": batch[ts_column].to_pandas(),
+                "v": batch[value_column].to_pandas(),
+            }
+        )
+        df = df.sort_values(["k", "w", "ts"], kind="stable")
+        g = df.groupby(["k", "w"], sort=False)
+        out = g.agg(
+            ts_min=("ts", "first"), v_open=("v", "first"),
+            ts_max=("ts", "last"), v_close=("v", "last"),
+            lo=("v", "min"), hi=("v", "max"), n=("v", "size"),
+        ).reset_index()
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "w", "ts_min"], kind="stable")
+        g = df.groupby(["k", "w"], sort=False)
+        first = g.agg(ts_min=("ts_min", "min"), v_open=("v_open", "first"))
+        df2 = df.sort_values(["k", "w", "ts_max"], kind="stable")
+        g2 = df2.groupby(["k", "w"], sort=False)
+        last = g2.agg(ts_max=("ts_max", "max"), v_close=("v_close", "last"))
+        rest = g.agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+        out = first.join(last).join(rest).reset_index()
+        return out.rename(columns={"k": key_column, "w": "window_start"})[
+            [key_column, "window_start", "v_open", "hi", "lo", "v_close", "n"]
+        ].rename(columns={"v_open": "open", "hi": "high", "lo": "low",
+                          "v_close": "close"})
+
+    return sharded_groupby_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k", "w"],
+        fold,
+        num_shards,
+    )

@@ -264,3 +264,43 @@ def table_checksum_sql(
                 % {_CKSUM_P} AS BIGINT) AS checksum
     FROM {table}
     """
+
+
+def histogram_fixed(
+    ds: "ray.data.Dataset",
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> "ray.data.Dataset":
+    """Fixed-width histogram: ``(bin, n)`` with ``bin =
+    floor((x - lo) * nbins / (hi - lo))`` clamped to ``[0, nbins-1]``
+    (values outside [lo, hi) land in the edge bins).  The bin expression
+    is plain IEEE double arithmetic evaluated identically by numpy and a
+    SQL engine (floor breaks no ties the engines disagree on for real
+    data), so the SQL mirror hash-matches.
+
+    Per-batch ``bincount`` partials (nbins ints per block) fold through
+    one tiny exchange — the classic zero-shuffle profile pass."""
+    from .agg import sharded_groupby_apply
+
+    span = float(hi) - float(lo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        b = np.floor((x - float(lo)) * nbins / span).astype(np.int64)
+        b = np.clip(b, 0, nbins - 1)
+        counts = np.bincount(b, minlength=nbins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz, type=pa.int64()),
+             "n": pa.array(counts[nz], type=pa.int64())}
+        )
+
+    return sharded_groupby_apply(
+        ds.select_columns([column]).map_batches(partial, batch_format="pyarrow"),
+        ["bin"],
+        lambda df: df.groupby("bin", sort=False, as_index=False)["n"].sum(),
+        4,
+    )

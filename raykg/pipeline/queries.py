@@ -1193,6 +1193,168 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_tag_assoc(sf_dir: str):
+    """Association-rule confidence between co-mentioned concepts:
+    directed (a -> b) with conf = n_co / n_turns(a) — composes
+    `ops/comention.co_mention_edges` with a broadcast per-tag turn count
+    (concept cardinality is ontology-sized, so the denominator ships
+    once); exact integer division makes the SQL mirror bit-equal."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.comention import co_mention_edges
+
+    m = _mentions(sf_dir)
+
+    def turn_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"],
+             "tag": batch["tag"]}
+        )
+        return t.group_by(["conv_id", "turn_idx", "tag"]).aggregate([])
+
+    d = m.map_batches(turn_tag, batch_format="pyarrow")
+
+    def count_tag(df):
+        g = (
+            df.drop_duplicates(["conv_id", "turn_idx", "tag"])
+            .groupby("tag", sort=False, as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "n"})
+
+    per_tag = sharded_groupby_apply(d, ["tag"], count_tag, 8).to_pandas()
+    counts = dict(zip(per_tag["tag"], per_tag["n"]))
+    cref = ray.put(counts)
+
+    pairs = co_mention_edges(m, num_shards=16)
+
+    def directed(df):
+        import pandas as pd
+
+        cnt = ray.get(cref)
+        fwd = pd.DataFrame(
+            {"tag_a": df["tag_a"], "tag_b": df["tag_b"], "n_co": df["n_turns"]}
+        )
+        rev = pd.DataFrame(
+            {"tag_a": df["tag_b"], "tag_b": df["tag_a"], "n_co": df["n_turns"]}
+        )
+        out = pd.concat([fwd, rev], ignore_index=True)
+        na = out["tag_a"].map(cnt).to_numpy(dtype=np.int64)
+        out["conf"] = out["n_co"].to_numpy(dtype=np.float64) / na
+        return pa.table(
+            {
+                "tag_a": pa.array(out["tag_a"], type=pa.string()),
+                "tag_b": pa.array(out["tag_b"], type=pa.string()),
+                "n_co": pa.array(out["n_co"], type=pa.int64()),
+                "conf": pa.array(np.round(out["conf"], 8), type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(directed, batch_format="pandas")
+
+
+def q_event_ohlc(sf_dir: str):
+    """Hourly OHLC bars per event type — `ops/events.ohlc_window`
+    (order-dependent first/last carried as (ts, value)-paired partials;
+    one (key, window)-sharded exchange).  (event_type, ts) is unique in
+    the corpus, so arg_min/arg_max semantics are well-defined."""
+    from ..ops.events import ohlc_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = ohlc_window(ev, num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    df["window_start"], type=pa.timestamp("us")
+                ),
+                "open": pa.array(df["open"], type=pa.float64()),
+                "high": pa.array(df["high"], type=pa.float64()),
+                "low": pa.array(df["low"], type=pa.float64()),
+                "close": pa.array(df["close"], type=pa.float64()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_price_hist(sf_dir: str):
+    """24-bin fixed-width histogram of order total price —
+    `ops/profile.histogram_fixed` (per-batch bincount partials, one tiny
+    bin exchange; zero shuffles of data rows)."""
+    from ..ops.profile import histogram_fixed
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return histogram_fixed(orders, "o_totalprice", lo=0.0, hi=600000.0,
+                           nbins=24)
+
+
+def q_cust_orders_left(sf_dir: str):
+    """LEFT outer bucketed hash join: every customer against per-customer
+    counts of a filtered order subset (o_orderkey % 3 == 0) — unmatched
+    customers keep typed-null counts, exercising `bucketed_hash_join`'s
+    outer path (one co-bucketed exchange, vectorized per-bucket merge)."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.join import bucketed_hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey": batch["c_custkey"],
+             "c_mktsegment": batch["c_mktsegment"]}
+        )
+
+    left = cust.map_batches(rekey, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["o_orderkey"] % 3 == 0]
+        g = df.groupby("o_custkey", sort=False, as_index=False).size()
+        return pa.table(
+            {"custkey": pa.array(g["o_custkey"], type=pa.int64()),
+             "n_orders": pa.array(g["size"], type=pa.int64())}
+        )
+
+    right = sharded_groupby_apply(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["custkey"],
+        lambda df: df.groupby("custkey", sort=False, as_index=False)[
+            "n_orders"
+        ].sum(),
+        16,
+    )
+    out = bucketed_hash_join(left, right, on="custkey", num_buckets=16,
+                             how="left")
+
+    def typed(df):
+        return pa.table(
+            {
+                "custkey": pa.array(df["custkey"], type=pa.int64()),
+                "c_mktsegment": pa.array(
+                    df["c_mktsegment"], type=pa.string(), from_pandas=True
+                ),
+                "n_orders": pa.array(
+                    df["n_orders"], type=pa.int64(), from_pandas=True
+                ),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_part_kcore(sf_dir: str):
     """Bounded 2-round 80-core peeling of the co-order part graph —
     `ops/graphstats.kcore_bounded` (per round one degree exchange + one
@@ -1886,6 +2048,10 @@ QUERIES: Dict[str, Callable] = {
     "part_rank": q_part_rank,
     "embed_quant": q_embed_quant,
     "part_kcore": q_part_kcore,
+    "cust_orders_left": q_cust_orders_left,
+    "price_hist": q_price_hist,
+    "event_ohlc": q_event_ohlc,
+    "tag_assoc": q_tag_assoc,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -3057,6 +3223,47 @@ ORACLE_SQL["part_hops"] = """
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
 """
+
+ORACLE_SQL["tag_assoc"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    d AS (SELECT DISTINCT conv_id, turn_idx, tag FROM occ),
+    per AS (SELECT tag, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY tag),
+    co AS (SELECT a.tag AS tag_a, b.tag AS tag_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_co
+           FROM d a JOIN d b
+             ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            AND a.tag <> b.tag
+           GROUP BY 1, 2)
+    SELECT co.tag_a, co.tag_b, co.n_co,
+           round(CAST(co.n_co AS DOUBLE) / per.n, 8) AS conf
+    FROM co JOIN per ON per.tag = co.tag_a
+"""
+
+ORACLE_SQL["event_ohlc"] = """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           arg_min(value, ts) AS open, MAX(value) AS high,
+           MIN(value) AS low, arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+ORACLE_SQL["price_hist"] = """
+    SELECT CAST(LEAST(GREATEST(
+               floor((o_totalprice - 0.0) * 24.0 / 600000.0), 0), 23)
+               AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+"""
+
+ORACLE_SQL["cust_orders_left"] = """
+    WITH cnt AS (SELECT o_custkey AS custkey,
+                        CAST(COUNT(*) AS BIGINT) AS n_orders
+                 FROM orders WHERE o_orderkey % 3 = 0
+                 GROUP BY o_custkey)
+    SELECT c.c_custkey AS custkey, c.c_mktsegment, cnt.n_orders
+    FROM customer c LEFT JOIN cnt ON cnt.custkey = c.c_custkey
+"""
+
 
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled bounded k-core mirror: degree CTE + survivor filter per

@@ -139,3 +139,60 @@ class TestFunnel:
             ray.data.from_pandas(df).repartition(7), steps, num_shards=8
         ).to_pandas().sort_values("step")
         assert out["n_keys"].tolist() == want
+
+
+class TestOhlc:
+    def test_known_bars(self, ray_session):
+        import pandas as pd
+
+        from raykg.ops.events import ohlc_window
+
+        df = pd.DataFrame(
+            {
+                "event_type": ["a"] * 4 + ["b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:05", "2024-01-01 10:50",
+                     "2024-01-01 10:20", "2024-01-01 11:10",
+                     "2024-01-01 10:30"]
+                ),
+                "value": [5.0, 2.0, 9.0, 7.0, 1.0],
+            }
+        )
+        out = ohlc_window(
+            ray.data.from_pandas(df), num_shards=4
+        ).to_pandas().sort_values(["event_type", "window_start"])
+        rows = out.to_dict("records")
+        a10 = rows[0]
+        assert a10["open"] == 5.0 and a10["close"] == 2.0
+        assert a10["high"] == 9.0 and a10["low"] == 2.0 and a10["n"] == 3
+        a11 = rows[1]
+        assert (a11["open"], a11["close"], a11["n"]) == (7.0, 7.0, 1)
+        b10 = rows[2]
+        assert (b10["open"], b10["close"], b10["high"], b10["low"]) == (
+            1.0, 1.0, 1.0, 1.0)
+
+    def test_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from raykg.ops.events import ohlc_window
+
+        rng = np.random.default_rng(43)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "event_type": rng.choice(["x", "y", "z"], n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.permutation(n) * 97, unit="s"),
+                "value": rng.normal(size=n),
+            }
+        )
+        outs = [
+            ohlc_window(ray.data.from_pandas(df).repartition(p),
+                        num_shards=s)
+            .to_pandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+            for p, s in [(1, 2), (9, 8)]
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
