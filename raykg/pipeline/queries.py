@@ -1193,6 +1193,35 @@ def q_part_hops(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_embed_classify(sf_dir: str):
+    """Nearest-centroid classification of the embedding table against its
+    own class centroids — `ops/classify.py` (fit: one pass of per-class
+    integer-sum partials; predict: stateless map against the broadcast
+    centroid matrix).  Fixed-point arithmetic end-to-end, so this ML
+    inference op has an EXACT SQL oracle."""
+    from ..ops.classify import nearest_centroid_fit, nearest_centroid_predict
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    labels, cents = nearest_centroid_fit(emb)
+    out = nearest_centroid_predict(emb, labels, cents)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "label": pc.cast(batch["label"], pa.int64()),
+                "pred": pc.cast(batch["pred"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def q_tag_assoc(sf_dir: str):
     """Association-rule confidence between co-mentioned concepts:
     directed (a -> b) with conf = n_co / n_turns(a) — composes
@@ -2052,6 +2081,7 @@ QUERIES: Dict[str, Callable] = {
     "price_hist": q_price_hist,
     "event_ohlc": q_event_ohlc,
     "tag_assoc": q_tag_assoc,
+    "embed_classify": q_embed_classify,
     "doc_tags": q_doc_tags,
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
@@ -3222,6 +3252,30 @@ ORACLE_SQL["part_hops"] = """
         WHERE r.h < 3),
     best AS (SELECT node, MIN(h) AS h FROM reach GROUP BY node)
     SELECT node, CAST(h AS BIGINT) AS hops FROM best
+"""
+
+ORACLE_SQL["embed_classify"] = """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    q AS (SELECT e.vec_id, e.label, idx.i,
+                 CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1048576.0)
+                      AS BIGINT) AS qv
+          FROM embeddings e, idx),
+    cent AS (SELECT label, i,
+                    CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*))
+                         AS BIGINT) AS c
+             FROM q GROUP BY label, i),
+    d AS (SELECT q.vec_id, cent.label AS cl,
+                 CAST(SUM((q.qv - cent.c) * (q.qv - cent.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cent ON cent.i = q.i
+          GROUP BY q.vec_id, cent.label),
+    best AS (SELECT vec_id, cl,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cl) AS rn
+             FROM d)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(b.cl AS BIGINT) AS pred
+    FROM embeddings e JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
 """
 
 ORACLE_SQL["tag_assoc"] = f"""
