@@ -128,3 +128,73 @@ def nearest_centroid_predict(
         return batch.append_column(out_col, pa.array(best, type=pa.int64()))
 
     return ds.map_batches(predict, batch_format="pyarrow")
+
+
+def logistic_fit(
+    ds: "ray.data.Dataset",
+    col: str = "embedding",
+    label_col: str = "label",
+    positive_label: int = 0,
+    iters: int = 20,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> np.ndarray:
+    """Binary logistic regression by full-batch gradient descent —
+    ``iters`` synchronous passes, each one streaming map of per-batch
+    gradient partials ``(g (d+1,), n)`` folded on the driver (the weight
+    vector is d+1 floats — model-sized state, shipped per pass via the
+    task closure; the corpus is never collected).
+
+    Iterative float math has no SQL mirror by design — correctness is
+    pinned by tests (separable-data convergence, sklearn-free local
+    reference parity, partition invariance of each gradient step up to
+    float-sum reassociation).  Returns ``w (d+1,)`` with the bias last.
+    """
+    first = ds.take(1)
+    d = len(first[0][col])
+    w = np.zeros(d + 1, dtype=np.float64)
+
+    for _ in range(iters):
+        w_now = w.copy()
+
+        def grad(batch: pa.Table, w_=w_now) -> pa.Table:
+            x = _stack(batch, col).astype(np.float64)
+            y = (
+                batch[label_col].to_numpy(zero_copy_only=False)
+                == positive_label
+            ).astype(np.float64)
+            z = x @ w_[:-1] + w_[-1]
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            g = np.empty(d + 1, dtype=np.float64)
+            g[:-1] = x.T @ err
+            g[-1] = err.sum()
+            return pa.table(
+                {"g": pa.array([g.tolist()]),
+                 "n": pa.array([len(y)], type=pa.int64())}
+            )
+
+        parts = ds.map_batches(grad, batch_format="pyarrow").take_all()
+        n = sum(int(p["n"]) for p in parts)
+        g = np.sum([np.asarray(p["g"]) for p in parts], axis=0) / n
+        g[:-1] += l2 * w[:-1]
+        w = w - lr * g
+    return w
+
+
+def logistic_predict(
+    ds: "ray.data.Dataset",
+    w: np.ndarray,
+    col: str = "embedding",
+    out_col: str = "score",
+) -> "ray.data.Dataset":
+    """Append the positive-class probability — stateless vectorized map."""
+    w = np.asarray(w, dtype=np.float64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        x = _stack(batch, col).astype(np.float64)
+        z = x @ w[:-1] + w[-1] if x.size else np.zeros(0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        return batch.append_column(out_col, pa.array(p, type=pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -57,3 +57,42 @@ def test_partition_invariance(ray_session):
     _, c1 = nearest_centroid_fit(_ds(x, y, parts=1))
     _, c2 = nearest_centroid_fit(_ds(x, y, parts=13))
     assert (c1 == c2).all()
+
+
+class TestLogistic:
+    def test_separable_converges(self, ray_session):
+        from raykg.ops.classify import logistic_fit, logistic_predict
+
+        rng = np.random.default_rng(13)
+        n = 400
+        y = rng.integers(0, 2, n)
+        # class 0 at +2 on dim0, class 1 at -2
+        x = np.zeros((n, 3))
+        x[:, 0] = np.where(y == 0, 2.0, -2.0) + rng.normal(scale=0.4, size=n)
+        x[:, 1:] = rng.normal(size=(n, 2))
+        ds = _ds(x, y, parts=5)
+        w = logistic_fit(ds, iters=40, lr=1.0)
+        scored = logistic_predict(ds, w).to_pandas()
+        pred_pos = scored["score"].to_numpy() > 0.5
+        acc = (pred_pos == (scored["label"].to_numpy() == 0)).mean()
+        assert acc > 0.98
+
+    def test_matches_local_reference(self, ray_session):
+        from raykg.ops.classify import logistic_fit
+
+        rng = np.random.default_rng(17)
+        x = rng.normal(size=(150, 4))
+        y = rng.integers(0, 2, 150)
+        w = logistic_fit(_ds(x, y, parts=4), iters=10, lr=0.3, l2=1e-3)
+
+        # local re-implementation of the same full-batch GD
+        wl = np.zeros(5)
+        yy = (y == 0).astype(float)
+        for _ in range(10):
+            z = x @ wl[:-1] + wl[-1]
+            p = 1 / (1 + np.exp(-z))
+            g = np.concatenate([x.T @ (p - yy), [(p - yy).sum()]]) / len(y)
+            g[:-1] += 1e-3 * wl[:-1]
+            wl = wl - 0.3 * g
+        # partial-sum reassociation drifts ~1e-9 over 10 iterations
+        assert w == pytest.approx(wl, rel=1e-4, abs=1e-7)
