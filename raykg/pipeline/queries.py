@@ -478,6 +478,40 @@ def q_tag_diacritics(sf_dir: str):
     )
 
 
+def q_tag_lemma(sf_dir: str):
+    """Lemmatization-mode matching end-to-end: every 'customer' token is
+    replaced by an inflected form of 'work' (worked/working/works by
+    turn_idx % 3) and the ontology carries only the base form 'work' —
+    matches exist ONLY if the lookup lemmatizer actually maps the
+    inflections back to the lemma.  The oracle needs no SQL lemmatizer:
+    the injection rule determines both the match count (the original
+    'customer' count) and the reported span text per turn."""
+    from .tag import extract_mention_counts
+
+    def inflect(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        turn = np.asarray(batch["turn_idx"].to_pylist())
+        forms = np.array(["worked", "working", "works"])[turn % 3]
+        text = batch["text"].to_pylist()
+        out = [
+            t.replace("customer", f) if t is not None else None
+            for t, f in zip(text, forms)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            pa.array(out, type=pa.string()),
+        )
+
+    ds = read_transcripts(sf_dir).map_batches(inflect, batch_format="pyarrow")
+    return extract_mention_counts(
+        ds,
+        [("Work", "work", "action")],
+        _cfg(lemmatization=True, category_column="category"),
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -2086,6 +2120,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_stats": q_conv_stats,
     "tag_overlap": q_tag_overlap,
     "tag_casefold": q_tag_casefold,
+    "tag_lemma": q_tag_lemma,
     "tag_diacritics": q_tag_diacritics,
     "distinct_langs": q_distinct_langs,
     "dedup_exact": q_dedup_exact,
@@ -2326,6 +2361,20 @@ ORACLE_SQL: Dict[str, str] = {
                 FROM t2, onto
                 WHERE regexp_matches(lower(t2.text), '\\b' || onto.keyword || '\\b'))
         SELECT conv_id, turn_idx, tag, keyword, n_matches FROM occ
+    """,
+    "tag_lemma": f"""
+        WITH {_T_CTE},
+        occ AS (SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(text, '\\bcustomer\\b'))
+                           AS n_matches
+                FROM t
+                WHERE regexp_matches(text, '\\bcustomer\\b'))
+        SELECT conv_id, turn_idx, 'Work' AS tag,
+               CASE WHEN turn_idx % 3 = 0 THEN 'worked'
+                    WHEN turn_idx % 3 = 1 THEN 'working'
+                    ELSE 'works' END AS keyword,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM occ
     """,
     "tag_diacritics": f"""
         WITH {_T_CTE}, {_ONTO_CTE},
