@@ -1315,6 +1315,51 @@ def q_tag_assoc(sf_dir: str):
     return pairs.map_batches(directed, batch_format="pandas")
 
 
+def q_conv_json(sf_dir: str):
+    """SFT chat-format builder: each conversation as the byte-exact JSON
+    array [{"role": ..., "content": ...}, ...] in turn order (the
+    training-example serialization step; same byte-exact JSON contract
+    as tag_doc_json).  One conv-sharded exchange."""
+    import json
+
+    from ..ops.agg import sharded_groupby_apply
+
+    t = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        df = df[df["text"].notna()].sort_values(
+            ["conv_id", "turn_idx"], kind="stable"
+        )
+        rows = []
+        for conv, g in df.groupby("conv_id", sort=False):
+            msgs = [
+                {"role": r, "content": x}
+                for r, x in zip(g["role"], g["text"])
+            ]
+            rows.append(
+                {"conv_id": conv, "n_msgs": len(msgs),
+                 "messages": json.dumps(msgs, ensure_ascii=False)}
+            )
+        return pd.DataFrame(rows, columns=["conv_id", "n_msgs", "messages"])
+
+    out = sharded_groupby_apply(t, ["conv_id"], fold, 16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], type=pa.string()),
+                "n_msgs": pa.array(df["n_msgs"], type=pa.int64()),
+                "messages": pa.array(df["messages"], type=pa.string()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_event_ohlc(sf_dir: str):
     """Hourly OHLC bars per event type — `ops/events.ohlc_window`
     (order-dependent first/last carried as (ts, value)-paired partials;
@@ -2106,6 +2151,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_merge": q_orders_merge,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
+    "conv_json": q_conv_json,
     "event_funnel": q_event_funnel,
     "lineitem_checksum": q_lineitem_checksum,
     "part_rank": q_part_rank,
@@ -3445,6 +3491,15 @@ ORACLE_SQL["event_funnel"] = """
     FROM s1
     UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
     UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+ORACLE_SQL["conv_json"] = f"""
+    WITH {_T_CTE}
+    SELECT conv_id, CAST(COUNT(text) AS BIGINT) AS n_msgs,
+           '[' || string_agg(
+               '{{"role": "' || role || '", "content": "' || text || '"}}',
+               ', ' ORDER BY turn_idx) || ']' AS messages
+    FROM t WHERE text IS NOT NULL GROUP BY conv_id
 """
 
 ORACLE_SQL["conv_text"] = f"""
