@@ -280,3 +280,44 @@ class TestJsonlIO:
         back = read_jsonl(str(out), columns=["a", "b"]).to_pandas()
         assert sorted(back.columns) == ["a", "b"]
         assert len(back) == 2
+
+
+class TestCsvIO:
+    def test_csv_roundtrip(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from raykg.pipeline.io import read_csv, write_csv
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2],
+                "text": ["héllo wörld", 'comma, and "quote"', "plain"],
+                "n": [1.5, 0.25, -2.0],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(2)
+        out = tmp_path / "csv"
+        assert write_csv(ds, str(out)) == 3
+        shards = sorted(out.glob("shard-*.csv"))
+        assert len(shards) >= 1 and not list(out.glob(".shard-*"))
+        back = (
+            read_csv([str(p) for p in shards])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = df.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            back[["doc_id", "text", "n"]], want, check_dtype=False
+        )
+
+    def test_csv_column_prune(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from raykg.pipeline.io import read_csv, write_csv
+
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"], "c": [0.1, 0.2]})
+        out = tmp_path / "csv2"
+        write_csv(ray.data.from_pandas(df), str(out))
+        back = read_csv(str(out), columns=["a", "b"]).to_pandas()
+        assert sorted(back.columns) == ["a", "b"]
