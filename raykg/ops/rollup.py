@@ -71,7 +71,11 @@ def rollup_sum(
             out.append(g[keys + ["sum", "n"]])
         return pd.concat(out, ignore_index=True)
 
-    leveled = sharded_groupby_apply(partials, [keys[0]], levels, num_shards)
+    # materialized: consumed twice (as output rows AND as grand-total
+    # partials) — without this the leading-key exchange would run twice
+    leveled = sharded_groupby_apply(
+        partials, [keys[0]], levels, num_shards
+    ).materialize()
 
     def grand_partial(df: pd.DataFrame) -> pd.DataFrame:
         # only full-depth rows (k2.. not NULL would double count) — depth

@@ -1265,7 +1265,9 @@ def q_tag_assoc(sf_dir: str):
     from ..ops.agg import sharded_groupby_apply
     from ..ops.comention import co_mention_edges
 
-    m = _mentions(sf_dir)
+    # materialized: the mention extraction feeds BOTH the per-tag
+    # denominators and the co-mention pair build
+    m = _mentions(sf_dir).materialize()
 
     def turn_tag(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1313,6 +1315,31 @@ def q_tag_assoc(sf_dir: str):
         )
 
     return pairs.map_batches(directed, batch_format="pandas")
+
+
+def q_kg_hits(sf_dir: str):
+    """HITS hub/authority scores over the directed KG edge table as
+    exact 3-round alternating-path counts — `ops/hits.py` (node-state
+    vectors broadcast per half-iteration, one node-sharded contribution
+    fold each; integer-exact, so the unrolled SQL join chain is
+    bit-equal)."""
+    from ..ops.hits import hits_path_counts
+
+    e = q_edges(sf_dir).select_columns(["src", "dst"])
+    out = hits_path_counts(e, iters=3, num_shards=16)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": pc.cast(batch["node"], pa.string()),
+                "hub": pc.cast(batch["hub"], pa.int64()),
+                "auth": pc.cast(batch["auth"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
 
 
 def q_conv_json(sf_dir: str):
@@ -2152,6 +2179,7 @@ QUERIES: Dict[str, Callable] = {
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
+    "kg_hits": q_kg_hits,
     "event_funnel": q_event_funnel,
     "lineitem_checksum": q_lineitem_checksum,
     "part_rank": q_part_rank,
@@ -3492,6 +3520,44 @@ ORACLE_SQL["event_funnel"] = """
     UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
     UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
 """
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS path-count mirror over the KG eraw edges."""
+    parts = [
+        f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    n0 AS (SELECT src AS node FROM eraw UNION SELECT dst FROM eraw),
+    h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM n0)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{k} AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+             FROM eraw e JOIN h{k - 1} h ON h.node = e.src
+             GROUP BY e.dst),
+    h{k} AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+             FROM eraw e JOIN a{k} a ON a.node = e.dst
+             GROUP BY e.src)"""
+        )
+    parts.append(
+        f"""
+    SELECT n0.node, COALESCE(h{iters}.h, 0) AS hub,
+           COALESCE(a{iters}.a, 0) AS auth
+    FROM n0 LEFT JOIN h{iters} ON h{iters}.node = n0.node
+            LEFT JOIN a{iters} ON a{iters}.node = n0.node"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["kg_hits"] = _hits_sql(iters=3)
 
 ORACLE_SQL["conv_json"] = f"""
     WITH {_T_CTE}
