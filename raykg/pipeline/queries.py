@@ -1317,6 +1317,28 @@ def q_tag_assoc(sf_dir: str):
     return pairs.map_batches(directed, batch_format="pandas")
 
 
+def q_part_walks(sf_dir: str):
+    """DeepWalk-style corpus prep: one deterministic 3-step random walk
+    per part over the co-order graph — `ops/walks.py` (md5-seeded
+    neighbor picks over sorted adjacency; one bucketed frontier ⋈
+    adjacency exchange per step, reproducible across partitionings and
+    in SQL)."""
+    from ..ops.walks import random_walks
+
+    out = random_walks(_co_order_pairs(sf_dir), length=3, num_shards=32)
+
+    def typed(df):
+        return pa.table(
+            {
+                "walk_id": pa.array(df["walk_id"], type=pa.int64()),
+                "step": pa.array(df["step"], type=pa.int64()),
+                "node": pa.array(df["node"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_kg_hits(sf_dir: str):
     """HITS hub/authority scores over the directed KG edge table as
     exact 3-round alternating-path counts — `ops/hits.py` (node-state
@@ -2180,6 +2202,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
     "kg_hits": q_kg_hits,
+    "part_walks": q_part_walks,
     "event_funnel": q_event_funnel,
     "lineitem_checksum": q_lineitem_checksum,
     "part_rank": q_part_rank,
@@ -3520,6 +3543,43 @@ ORACLE_SQL["event_funnel"] = """
     UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
     UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
 """
+
+def _walks_sql(length: int = 3) -> str:
+    """Unrolled random-walk mirror: ranked sorted adjacency + the same
+    md5-mod neighbor pick per step."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS node, v AS nbr FROM pairs
+            UNION ALL SELECT v, u FROM pairs),
+    ranked AS (SELECT node, nbr,
+                      ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1
+                          AS r,
+                      COUNT(*) OVER (PARTITION BY node) AS deg
+               FROM adj),
+    w0 AS (SELECT DISTINCT node AS walk_id, node FROM adj)"""
+    ]
+    for s in range(1, length + 1):
+        parts.append(
+            f""",
+    w{s} AS (SELECT w.walk_id, rk.nbr AS node
+             FROM w{s - 1} w JOIN ranked rk ON rk.node = w.node
+              AND rk.r = CAST(('0x' || substr(md5(
+                      CAST(w.walk_id AS VARCHAR) || ':{s}'), 1, 15))
+                      AS BIGINT) % rk.deg)"""
+        )
+    sel = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for s in range(1, length + 1):
+        sel.append(f"SELECT walk_id, CAST({s} AS BIGINT), node FROM w{s}")
+    parts.append("\n    " + "\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+ORACLE_SQL["part_walks"] = _walks_sql(length=3)
+
 
 def _hits_sql(iters: int = 3) -> str:
     """Unrolled HITS path-count mirror over the KG eraw edges."""
