@@ -163,6 +163,15 @@ def run_bench() -> dict:
     timed("embed_cov")
     timed("hll_custkeys", consume=len)
     timed("lineitem_checksum", consume=len)
+    timed("part_kcore")
+    timed("kg_hits")
+    timed("part_walks")
+    timed("part_rank")
+    timed("embed_classify")
+    timed("conv_json")
+    timed("cust_orders_left")
+    timed("price_hist")
+    timed("tag_lemma")
 
     headline = timings["triples_scaled"]
     result = {

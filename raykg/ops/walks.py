@@ -46,16 +46,83 @@ def _pick_hash(walk_ids: np.ndarray, step: int) -> np.ndarray:
     )
 
 
+def _walks_broadcast(adj, length, num_shards):
+    """Adjacency as one broadcast CSR (sorted nodes, indptr, sorted
+    neighbor array — 16 bytes/directed edge): each step is a STATELESS
+    map over the frontier, zero per-step exchanges.  Right whenever the
+    edge set fits a worker heap — the same regime as the triangle
+    closure's packed-edge-set broadcast; the sharded join engine below
+    is the corpus-scale fallback."""
+    tabs = [
+        t
+        for t in ray.get(list(adj.materialize().to_arrow_refs()))
+        if t.num_rows
+    ]
+    at = pa.concat_tables(tabs)
+    an = at["node"].to_numpy(zero_copy_only=False)
+    ab = at["nbr"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ab, an))
+    an, ab = an[order], ab[order]
+    nodes, indptr_start = np.unique(an, return_index=True)
+    indptr = np.append(indptr_start, len(an))
+    ref = ray.put((nodes, indptr, ab))
+
+    start = ray.data.from_arrow(
+        pa.table({"walk_id": pa.array(nodes), "node": pa.array(nodes)})
+    )
+
+    out = [
+        start.map_batches(
+            lambda df, s=0: df.assign(step=np.int64(s)),
+            batch_format="pandas",
+        )
+    ]
+    frontier = start
+    for s in range(1, length + 1):
+
+        def step(df: pd.DataFrame, s=s) -> pd.DataFrame:
+            ns, ip, nb = ray.get(ref)
+            pos = np.searchsorted(ns, df["node"].to_numpy())
+            deg = ip[pos + 1] - ip[pos]
+            h = _pick_hash(df["walk_id"].to_numpy(), s)
+            idx = ip[pos] + (h % deg)
+            return pd.DataFrame(
+                {"walk_id": df["walk_id"].to_numpy(), "node": nb[idx]}
+            )
+
+        frontier = frontier.map_batches(step, batch_format="pandas")
+        out.append(
+            frontier.map_batches(
+                lambda df, s=s: df.assign(step=np.int64(s)),
+                batch_format="pandas",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res.map_batches(
+        lambda df: df[["walk_id", "step", "node"]], batch_format="pandas"
+    )
+
+
 def random_walks(
     edges: "ray.data.Dataset",
     u: str = "u",
     v: str = "v",
     length: int = 3,
     num_shards: int = 32,
+    engine: str = "auto",
+    broadcast_max_edges: int = 50_000_000,
 ) -> "ray.data.Dataset":
     """One walk per node (walk_id = start node), ``length`` steps over
     the undirected graph: long-form output ``(walk_id, step, node)``
-    with step 0 = the start.  Deterministic md5 neighbor picks."""
+    with step 0 = the start.  Deterministic md5 neighbor picks.
+
+    ``engine``: 'broadcast' ships the CSR adjacency once and walks with
+    stateless maps; 'sharded' keeps the adjacency a Dataset and does one
+    bucketed frontier ⋈ adjacency exchange per step; 'auto' broadcasts
+    when the directed edge count fits ``broadcast_max_edges``.  Engines
+    are pinned equal by test (the pick is deterministic)."""
     canon = canonical_edges(edges, u, v, num_shards).materialize()
 
     def symmetrize(batch: pa.Table) -> pa.Table:
@@ -71,6 +138,14 @@ def random_walks(
         )
 
     adj = canon.map_batches(symmetrize, batch_format="pyarrow")
+
+    if engine == "auto":
+        n_edges = canon.count() * 2
+        engine = "broadcast" if n_edges <= broadcast_max_edges else "sharded"
+    if engine == "broadcast":
+        return _walks_broadcast(adj, length, num_shards)
+
+    adj = adj.materialize()
 
     # frontier step s: (walk_id, node); start = every node walks
     def starts(df: pd.DataFrame) -> pd.DataFrame:

@@ -71,3 +71,16 @@ def test_partition_invariance_and_connectivity(ray_session):
     for w, steps in byw.items():
         for s in range(1, max(steps) + 1):
             assert tuple(sorted((steps[s - 1], steps[s]))) in es
+
+
+def test_engines_pinned_equal(ray_session):
+    rng = np.random.default_rng(61)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 25, size=(80, 2))
+        if a != b
+    ]
+    a = _got(random_walks(_ds(edges), length=3, engine="broadcast"))
+    b = _got(random_walks(_ds(edges), length=3, engine="sharded",
+                          num_shards=4))
+    assert a == b
