@@ -1317,6 +1317,56 @@ def q_tag_assoc(sf_dir: str):
     return pairs.map_batches(directed, batch_format="pandas")
 
 
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per part — composes the triangle
+    engine with the degree table: coef = 2*n_tri / (deg*(deg-1)),
+    rounded to 8 (an exact integer ratio, so the division is the same
+    double on both engines).  One broadcast degree attach on the
+    node-sized triangle output; nodes in no triangle get coef 0 via the
+    degree table's left side."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.triangles import _degrees, canonical_edges, triangle_counts
+
+    pairs = _co_order_pairs(sf_dir)
+    canon = canonical_edges(pairs, num_shards=32).materialize()
+    tri = triangle_counts(canon, num_shards=32).materialize()
+    deg = _degrees(canon, 32).materialize()
+
+    tri_tabs = [
+        t for t in ray.get(list(tri.to_arrow_refs())) if t.num_rows
+    ]
+    tri_map = (
+        pa.concat_tables(tri_tabs) if tri_tabs
+        else pa.table({"node": [], "n_tri": []})
+    )
+    tn = tri_map["node"].to_numpy(zero_copy_only=False)
+    tc = tri_map["n_tri"].to_numpy(zero_copy_only=False)
+    order = np.argsort(tn, kind="stable")
+    ref = ray.put((tn[order], tc[order]))
+
+    def attach(df):
+        ns, cs = ray.get(ref)
+        node = df["node"].to_numpy()
+        if len(ns):
+            pos = np.minimum(np.searchsorted(ns, node), len(ns) - 1)
+            ntri = np.where(ns[pos] == node, cs[pos], 0).astype(np.int64)
+        else:
+            ntri = np.zeros(len(node), dtype=np.int64)
+        d = df["deg"].to_numpy().astype(np.int64)
+        denom = d * (d - 1)
+        coef = np.where(denom > 0, 2.0 * ntri / np.maximum(denom, 1), 0.0)
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.int64()),
+                "n_tri": pa.array(ntri, type=pa.int64()),
+                "deg": pa.array(d, type=pa.int64()),
+                "coef": pa.array(np.round(coef, 8), type=pa.float64()),
+            }
+        )
+
+    return deg.map_batches(attach, batch_format="pandas")
+
+
 def q_part_walks(sf_dir: str):
     """DeepWalk-style corpus prep: one deterministic 3-step random walk
     per part over the co-order graph — `ops/walks.py` (md5-seeded
@@ -2203,6 +2253,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_json": q_conv_json,
     "kg_hits": q_kg_hits,
     "part_walks": q_part_walks,
+    "clustering_coef": q_clustering_coef,
     "event_funnel": q_event_funnel,
     "lineitem_checksum": q_lineitem_checksum,
     "part_rank": q_part_rank,
@@ -3659,6 +3710,25 @@ _CO_ORDER_DEG_CTES = """
             UNION ALL SELECT v, u FROM pairs),
     deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
             FROM adj GROUP BY node)
+"""
+
+ORACLE_SQL["clustering_coef"] = f"""
+    WITH {_CO_ORDER_DEG_CTES},
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corner AS (SELECT a AS node FROM tri UNION ALL
+               SELECT b FROM tri UNION ALL
+               SELECT c FROM tri),
+    tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+           FROM corner GROUP BY node)
+    SELECT deg.node, COALESCE(tc.n_tri, 0) AS n_tri, deg.d AS deg,
+           round(CASE WHEN deg.d > 1
+                      THEN 2.0 * COALESCE(tc.n_tri, 0)
+                           / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 8) AS coef
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
 """
 
 ORACLE_SQL["part_assort"] = f"""
