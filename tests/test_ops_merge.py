@@ -94,3 +94,50 @@ def test_partition_invariance(ray_session):
         ).to_pandas().sort_values("id").reset_index(drop=True)
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("seed", [2, 19, 71])
+def test_matches_duckdb_merge_semantics(ray_session, seed):
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    snap = pd.DataFrame(
+        {"id": np.arange(80), "val": [f"s{i}" for i in range(80)]}
+    )
+    n = 150
+    changes = pd.DataFrame(
+        {
+            "id": rng.integers(0, 110, n),
+            "val": [f"c{i}" for i in range(n)],
+            "op": rng.choice(["upsert", "delete"], n, p=[0.7, 0.3]),
+            "version": rng.permutation(n),  # unique: no tie ambiguity
+        }
+    )
+    got = (
+        apply_changeset(
+            ray.data.from_pandas(snap).repartition(5),
+            ray.data.from_pandas(changes).repartition(3),
+            key="id",
+            num_shards=8,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("snap", snap)
+    con.register("changes", changes)
+    want = con.sql("""
+        WITH last AS (
+            SELECT id, val, op FROM changes
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY version DESC) = 1)
+        SELECT s.id, s.val FROM snap s
+        LEFT JOIN last l ON l.id = s.id WHERE l.id IS NULL
+        UNION ALL
+        SELECT id, val FROM last WHERE op = 'upsert'
+        ORDER BY id
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"id": "int64"}), want.astype({"id": "int64"})
+    )
