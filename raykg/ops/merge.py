@@ -75,3 +75,62 @@ def apply_changeset(
         return last[last[_OP] != "delete"][data_cols]
 
     return sharded_groupby_apply(tagged, [key], resolve, num_shards)
+
+
+def table_diff(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    num_shards: int = 32,
+) -> "ray.data.Dataset":
+    """Row-level diff of two keyed tables: ``(key, status)`` with status
+    in {'only_left', 'only_right', 'changed'}; identical rows are
+    omitted.  The drill-down companion to
+    `ops/profile.table_checksum` — the checksum says WHETHER a copy
+    drifted, the diff says WHERE.
+
+    One key-sharded exchange of side-tagged rows; each shard compares
+    with a single vectorized merge over the non-key columns (string
+    form, the checksum's canonicalization contract).  Keys must be
+    unique per side (primary-key tables)."""
+    cols = [c for c in left.schema().names if c != key]
+    if set(cols) != set(c for c in right.schema().names if c != key):
+        raise ValueError("table_diff requires identical schemas")
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key: df[key]})
+            body = df[cols[0]].map(
+                lambda v: "<null>" if v is None or v != v else str(v)
+            )
+            for c in cols[1:]:
+                body = body + "|" + df[c].map(
+                    lambda v: "<null>" if v is None or v != v else str(v)
+                )
+            out["__body"] = body
+            out["__side"] = np.int8(side)
+            return out
+
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def compare(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        m = l[[key, "__body"]].merge(
+            r[[key, "__body"]], on=key, how="outer", suffixes=("_l", "_r"),
+            indicator=True,
+        )
+        status = np.where(
+            m["_merge"] == "left_only",
+            "only_left",
+            np.where(m["_merge"] == "right_only", "only_right", "changed"),
+        )
+        keep = (m["_merge"] != "both") | (m["__body_l"] != m["__body_r"])
+        out = pd.DataFrame({key: m[key], "status": status})[keep]
+        return out
+
+    return sharded_groupby_apply(tagged, [key], compare, num_shards)

@@ -1799,6 +1799,49 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_orders_diff(sf_dir: str):
+    """Row-level diff of the orders snapshot against its merged
+    successor (`ops/merge.table_diff`): deleted keys surface as
+    only_left, restated keys as changed, inserted keys as only_right —
+    the drill-down companion to the content checksum."""
+    from ..ops.merge import table_diff
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["o_totalprice"], pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    snapshot = orders.map_batches(snap, batch_format="pyarrow")
+    merged = q_orders_merge(sf_dir)
+    out = table_diff(snapshot, merged, key="o_orderkey", num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "status": pa.array(df["status"], type=pa.string()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def _co_order_pairs(sf_dir: str):
     from ..ops.triangles import group_pairs
 
@@ -2248,6 +2291,7 @@ QUERIES: Dict[str, Callable] = {
     "part_assort": q_part_assort,
     "degree_hist": q_degree_hist,
     "orders_merge": q_orders_merge,
+    "orders_diff": q_orders_diff,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3685,6 +3729,16 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["orders_diff"] = """
+    SELECT o_orderkey, 'only_left' AS status FROM orders
+    WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' FROM orders WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'only_right' FROM orders
+    WHERE o_orderkey % 7 = 5
 """
 
 ORACLE_SQL["orders_merge"] = """

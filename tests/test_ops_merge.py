@@ -141,3 +141,29 @@ def test_matches_duckdb_merge_semantics(ray_session, seed):
     pd.testing.assert_frame_equal(
         got.astype({"id": "int64"}), want.astype({"id": "int64"})
     )
+
+
+class TestTableDiff:
+    def test_diff_categories(self, ray_session):
+        from raykg.ops.merge import table_diff
+
+        a = pd.DataFrame({"id": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+        b = pd.DataFrame({"id": [2, 3, 4, 9], "v": ["b", "CHANGED", "d", "i"]})
+        out = table_diff(
+            ray.data.from_pandas(a), ray.data.from_pandas(b), key="id",
+            num_shards=4,
+        ).to_pandas()
+        got = dict(zip(out["id"], out["status"]))
+        assert got == {1: "only_left", 3: "changed", 9: "only_right"}
+
+    def test_identical_tables_empty_diff(self, ray_session):
+        from raykg.ops.merge import table_diff
+
+        a = pd.DataFrame({"id": range(50), "v": [f"x{i}" for i in range(50)],
+                          "w": [None if i % 7 == 0 else i for i in range(50)]})
+        out = table_diff(
+            ray.data.from_pandas(a),
+            ray.data.from_pandas(a.sample(frac=1, random_state=3)),
+            key="id", num_shards=4,
+        ).to_pandas()
+        assert len(out) == 0
