@@ -28,7 +28,7 @@ WindowSpec = Tuple[str, Optional[str], str, object]
 
 _KINDS = {
     "lag", "lead", "row_number", "cumsum", "cummax", "cummin", "delta",
-    "rolling_sum",
+    "rolling_sum", "percent_rank", "ntile",
 }
 
 
@@ -57,6 +57,12 @@ def window_over(
     - ``("rolling_sum", src, out, w)`` — sum of the trailing ``w``-row
       window including the current row (SQL ``ROWS BETWEEN w-1 PRECEDING
       AND CURRENT ROW``); shorter at each key's start, like SQL.
+    - ``("percent_rank", None, out, None)`` — SQL PERCENT_RANK:
+      ``(rank - 1) / (n - 1)``, 0.0 for single-row keys; under this
+      module's total-order contract rank == row_number, and the integer
+      division is the identical double on any engine.
+    - ``("ntile", None, out, k)`` — SQL NTILE(k): the first ``n mod k``
+      buckets get ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
     """
     keys, order_by = list(keys), list(order_by)
     for kind, _src, _out, _p in specs:
@@ -69,6 +75,25 @@ def window_over(
         for kind, src, out, param in specs:
             if kind == "row_number":
                 df[out] = g.cumcount() + 1
+            elif kind == "percent_rank":
+                rn = g.cumcount()
+                n = g[order_by[0]].transform("size")
+                import numpy as np
+
+                df[out] = np.where(n > 1, rn / (n - 1).clip(lower=1), 0.0)
+            elif kind == "ntile":
+                import numpy as np
+
+                k = int(param)
+                rn = (g.cumcount() + 1).to_numpy()
+                n = g[order_by[0]].transform("size").to_numpy()
+                q, r = n // k, n % k
+                big = (q + 1) * r  # rows covered by the larger buckets
+                df[out] = np.where(
+                    rn <= big,
+                    (rn + q) // (q + 1),
+                    np.where(q > 0, r + (rn - big + q - 1) // np.maximum(q, 1), r),
+                ).astype("int64")
             elif kind in ("lag", "lead"):
                 offset, fill = param if isinstance(param, tuple) else (param or 1, None)
                 shifted = g[src].shift(offset if kind == "lag" else -offset)

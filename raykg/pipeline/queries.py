@@ -1799,6 +1799,38 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_order_ranks(sf_dir: str):
+    """PERCENT_RANK + NTILE(4) per priority group over orders —
+    `ops/window.window_over` rank kinds (one key-sharded exchange, one
+    vectorized pass per shard; exact SQL NTILE bucket-size semantics)."""
+    from ..ops.window import window_over
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    out = window_over(
+        orders,
+        keys=["o_orderpriority"],
+        order_by=["o_orderkey"],
+        specs=[("percent_rank", None, "pr", None), ("ntile", None, "t4", 4)],
+        num_shards=16,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], type=pa.string()
+                ),
+                "pr": pa.array(np.round(df["pr"], 8), type=pa.float64()),
+                "t4": pa.array(df["t4"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_orders_diff(sf_dir: str):
     """Row-level diff of the orders snapshot against its merged
     successor (`ops/merge.table_diff`): deleted keys surface as
@@ -2292,6 +2324,7 @@ QUERIES: Dict[str, Callable] = {
     "degree_hist": q_degree_hist,
     "orders_merge": q_orders_merge,
     "orders_diff": q_orders_diff,
+    "order_ranks": q_order_ranks,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3729,6 +3762,15 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["order_ranks"] = """
+    SELECT o_orderkey, o_orderpriority,
+           round(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_orderkey), 8) AS pr,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) AS BIGINT) AS t4
+    FROM orders
 """
 
 ORACLE_SQL["orders_diff"] = """

@@ -196,3 +196,45 @@ class TestOhlc:
             for p, s in [(1, 2), (9, 8)]
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestRankWindows:
+    def test_percent_rank_and_ntile_match_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from raykg.ops.window import window_over
+
+        rng = np.random.default_rng(67)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 100),
+                "i": np.arange(100),
+            }
+        )
+        got = (
+            window_over(
+                ray.data.from_pandas(df).repartition(5),
+                keys=["k"], order_by=["i"],
+                specs=[("percent_rank", None, "pr", None),
+                       ("ntile", None, "t4", 4),
+                       ("ntile", None, "t7", 7)],
+                num_shards=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "i"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql("""
+            SELECT k, i,
+                   PERCENT_RANK() OVER (PARTITION BY k ORDER BY i) AS pr,
+                   NTILE(4) OVER (PARTITION BY k ORDER BY i) AS t4,
+                   NTILE(7) OVER (PARTITION BY k ORDER BY i) AS t7
+            FROM t ORDER BY k, i
+        """).df().reset_index(drop=True)
+        assert got["pr"].tolist() == want["pr"].tolist()
+        assert got["t4"].tolist() == want["t4"].tolist()
+        assert got["t7"].tolist() == want["t7"].tolist()
