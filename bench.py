@@ -172,6 +172,9 @@ def run_bench() -> dict:
     timed("cust_orders_left")
     timed("price_hist")
     timed("tag_lemma")
+    timed("orders_diff")
+    timed("order_ranks")
+    timed("clustering_coef")
 
     headline = timings["triples_scaled"]
     result = {
