@@ -97,16 +97,17 @@ def table_diff(
     if set(cols) != set(c for c in right.schema().names if c != key):
         raise ValueError("table_diff requires identical schemas")
 
+    def canon(s: pd.Series) -> pd.Series:
+        # vectorized string canonicalization (astype(str) is a C loop;
+        # a per-cell .map(lambda) here measured 2x the whole diff time)
+        return s.astype(object).where(s.notna(), "<null>").astype(str)
+
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({key: df[key]})
-            body = df[cols[0]].map(
-                lambda v: "<null>" if v is None or v != v else str(v)
-            )
+            body = canon(df[cols[0]])
             for c in cols[1:]:
-                body = body + "|" + df[c].map(
-                    lambda v: "<null>" if v is None or v != v else str(v)
-                )
+                body = body + "|" + canon(df[c])
             out["__body"] = body
             out["__side"] = np.int8(side)
             return out

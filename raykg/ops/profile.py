@@ -232,7 +232,7 @@ def table_checksum(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         parts = [
-            df[c].map(lambda v: null_token if v is None or v != v else str(v))
+            df[c].astype(object).where(df[c].notna(), null_token).astype(str)
             for c in cols
         ]
         rows = parts[0]
