@@ -62,7 +62,7 @@ class TestWindowOver:
 
     def test_unknown_kind_raises(self):
         with pytest.raises(ValueError, match="unknown window kind"):
-            window_over(self._ds(), ["k"], ["t"], [("ntile", "v", "x", None)])
+            window_over(self._ds(), ["k"], ["t"], [("median", "v", "x", None)])
 
     def test_multi_key_partitioning(self):
         ds = ray.data.from_items(
