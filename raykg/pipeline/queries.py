@@ -1799,6 +1799,47 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_lineitem_wsample(sf_dir: str):
+    """Probability-proportional sampling of lineitem (keep prob =
+    quantity / 50) — `ops/sample.weighted_bernoulli`: the integer
+    comparison h * denom < w * 2^60 IS u < w/denom exactly, so the
+    sampled row set is bit-equal in SQL.  Stateless filter, zero
+    exchanges, retry-reproducible."""
+    from ..ops.sample import weighted_bernoulli
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": pc.add(
+                    pc.multiply(batch["l_orderkey"], pa.scalar(10)),
+                    pc.cast(batch["l_linenumber"], pa.int64()),
+                ),
+                "w": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+
+    out = weighted_bernoulli(
+        li.map_batches(keyed, batch_format="pyarrow"), "k", "w", 50
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "k": pa.array(df["k"], type=pa.int64()),
+                "w": pa.array(df["w"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_order_ranks(sf_dir: str):
     """PERCENT_RANK + NTILE(4) per priority group over orders —
     `ops/window.window_over` rank kinds (one key-sharded exchange, one
@@ -2325,6 +2366,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_merge": q_orders_merge,
     "orders_diff": q_orders_diff,
     "order_ranks": q_order_ranks,
+    "lineitem_wsample": q_lineitem_wsample,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3762,6 +3804,16 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["lineitem_wsample"] = """
+    WITH kw AS (SELECT l_orderkey * 10 + l_linenumber AS k,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem)
+    SELECT k, w FROM kw
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS HUGEINT) * 50
+          < CAST(w AS HUGEINT) * (CAST(1 AS HUGEINT) << 60)
 """
 
 ORACLE_SQL["order_ranks"] = """

@@ -370,3 +370,40 @@ class TestMultimodalStages:
         assert len(out) == 3 * n_videos
         assert set(out["frame_idx"]) == {0, 1, 2}
         assert out["frame"].map(len).eq(16).all()
+
+
+class TestWeightedBernoulli:
+    def test_rates_track_weights_and_sql_identical(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from raykg.ops.sample import weighted_bernoulli, weighted_bernoulli_sql
+
+        rng = np.random.default_rng(73)
+        df = pd.DataFrame(
+            {"id": np.arange(4000), "w": rng.integers(0, 11, 4000)}
+        )
+        got = (
+            weighted_bernoulli(
+                ray.data.from_pandas(df).repartition(5), "id", "w", 10
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        # w=0 never kept; w=10 always kept; w=5 ~half
+        by_w = got.groupby("w").size()
+        n_w = df.groupby("w").size()
+        assert 0 not in by_w.index
+        assert by_w.get(10, 0) == n_w[10]
+        assert abs(by_w[5] / n_w[5] - 0.5) < 0.1
+        con = duckdb.connect()
+        con.register("t", df)
+        want = (
+            con.sql(weighted_bernoulli_sql("t", "id", "w", 10))
+            .df()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert got["id"].tolist() == want["id"].tolist()
