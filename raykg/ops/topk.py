@@ -101,3 +101,42 @@ def dense_rank_global(
         )
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def group_mode(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    value_column: str,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Most frequent ``value_column`` per key group with its count —
+    ties break to the SMALLEST value (deterministic, the SQL
+    ``ORDER BY n DESC, value`` contract).
+
+    Two-phase: per-batch (key, value) count partials bound the exchange
+    to distinct (key, value) pairs per block; one key-sharded fold sums
+    partials and takes the per-key head of a vectorized
+    (n desc, value asc) sort — never a Python call per key."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [value_column], sort=False, as_index=False)
+        out = g.size()
+        return out.rename(columns={"size": "n"})
+
+    parts = ds.select_columns(keys + [value_column]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [value_column], sort=False, as_index=False)[
+            "n"
+        ].sum()
+        g = g.sort_values(
+            keys + ["n", value_column],
+            ascending=[True] * len(keys) + [False, True],
+            kind="stable",
+        )
+        return g.drop_duplicates(keys, keep="first")
+
+    return sharded_groupby_apply(parts, keys, fold, num_shards)

@@ -1799,6 +1799,29 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_user_top_event(sf_dir: str):
+    """Most frequent event type per user (grouped mode, ties to the
+    smaller value) — `ops/topk.group_mode` (per-batch pair-count
+    partials, one key-sharded fold)."""
+    from ..ops.topk import group_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = group_mode(ev, ["user_id"], "event_type", num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"], type=pa.int64()),
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_lineitem_wsample(sf_dir: str):
     """Probability-proportional sampling of lineitem (keep prob =
     quantity / 50) — `ops/sample.weighted_bernoulli`: the integer
@@ -2367,6 +2390,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_diff": q_orders_diff,
     "order_ranks": q_order_ranks,
     "lineitem_wsample": q_lineitem_wsample,
+    "user_top_event": q_user_top_event,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3804,6 +3828,15 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["user_top_event"] = """
+    WITH c AS (SELECT user_id, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) = 1
 """
 
 ORACLE_SQL["lineitem_wsample"] = """

@@ -407,3 +407,36 @@ class TestWeightedBernoulli:
             .reset_index(drop=True)
         )
         assert got["id"].tolist() == want["id"].tolist()
+import numpy as np
+import pandas as pd
+import ray.data
+from raykg.ops.topk import group_mode
+
+def test_mode_with_ties_and_invariance(ray_session):
+    df = pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 4,
+         "v": ["x", "y", "x", "z", "y", "q", "p", "q", "p"]}
+    )
+    out = group_mode(ray.data.from_pandas(df), ["k"], "v", num_shards=4).to_pandas()
+    got = {r.k: (r.v, r.n) for r in out.itertuples()}
+    # a: x=2, y=2 tie -> smallest value 'x'; b: p=2, q=2 -> 'p'
+    assert got == {"a": ("x", 2), "b": ("p", 2)}
+
+    rng = np.random.default_rng(79)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 30, 500).astype(str),
+         "v": rng.choice(list("abcdef"), 500)}
+    )
+    a = group_mode(ray.data.from_pandas(big), ["k"], "v", num_shards=2).to_pandas()
+    b = group_mode(ray.data.from_pandas(big).repartition(9), ["k"], "v",
+                   num_shards=8).to_pandas()
+    pa_ = a.sort_values("k").reset_index(drop=True)
+    pb_ = b.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb_)
+    # matches pandas mode with the same tie rule
+    want = (
+        big.groupby(["k", "v"], as_index=False).size()
+        .sort_values(["k", "size", "v"], ascending=[True, False, True])
+        .drop_duplicates("k")
+    )
+    assert pa_["v"].tolist() == want["v"].tolist()
