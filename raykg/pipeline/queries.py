@@ -1799,6 +1799,36 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_diameter_est(sf_dir: str):
+    """Double-BFS diameter lower bound on the co-order part graph: BFS
+    from part 1 finds the farthest node (ties -> smallest id), a second
+    BFS from there gives the classic 2-sweep eccentricity estimate —
+    pure composition of `ops/bfs.khop_min_hops`.  One row
+    (start, far, ecc1, ecc2).  Hops bounded at 3: the dense co-order
+    graph's diameter is ~2, and the bound keeps the SQL mirror's
+    recursive path enumeration polynomial."""
+    from ..ops.bfs import khop_min_hops
+
+    pairs = _co_order_pairs(sf_dir).materialize()
+    h1 = khop_min_hops(
+        pairs, [1], src="u", dst="v", max_hops=3, directed=False
+    ).to_pandas()
+    ecc1 = int(h1["hops"].max())
+    far = int(h1[h1["hops"] == ecc1]["node"].min())
+    h2 = khop_min_hops(
+        pairs, [far], src="u", dst="v", max_hops=3, directed=False
+    ).to_pandas()
+    ecc2 = int(h2["hops"].max())
+    return pa.table(
+        {
+            "start": pa.array([1], type=pa.int64()),
+            "far": pa.array([far], type=pa.int64()),
+            "ecc1": pa.array([ecc1], type=pa.int64()),
+            "ecc2": pa.array([ecc2], type=pa.int64()),
+        }
+    )
+
+
 def q_user_top_event(sf_dir: str):
     """Most frequent event type per user (grouped mode, ties to the
     smaller value) — `ops/topk.group_mode` (per-batch pair-count
@@ -2391,6 +2421,7 @@ QUERIES: Dict[str, Callable] = {
     "order_ranks": q_order_ranks,
     "lineitem_wsample": q_lineitem_wsample,
     "user_top_event": q_user_top_event,
+    "diameter_est": q_diameter_est,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3828,6 +3859,33 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["diameter_est"] = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT u AS s, v AS d FROM pairs
+          UNION ALL SELECT v, u FROM pairs),
+    r1(node, h) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION ALL
+        SELECT e.d, r1.h + 1 FROM r1 JOIN e ON e.s = r1.node WHERE r1.h < 3),
+    b1 AS (SELECT node, MIN(h) AS h FROM r1 GROUP BY node),
+    s1 AS (SELECT MAX(h) AS ecc1 FROM b1),
+    far AS (SELECT MIN(node) AS far FROM b1
+            WHERE h = (SELECT ecc1 FROM s1)),
+    r2(node, h) AS (
+        SELECT far, 0 FROM far
+        UNION ALL
+        SELECT e.d, r2.h + 1 FROM r2 JOIN e ON e.s = r2.node WHERE r2.h < 3),
+    b2 AS (SELECT node, MIN(h) AS h FROM r2 GROUP BY node)
+    SELECT CAST(1 AS BIGINT) AS start,
+           (SELECT far FROM far) AS far,
+           CAST((SELECT ecc1 FROM s1) AS BIGINT) AS ecc1,
+           CAST(MAX(h) AS BIGINT) AS ecc2
+    FROM b2
 """
 
 ORACLE_SQL["user_top_event"] = """
