@@ -1799,6 +1799,47 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_tag_pivot(sf_dir: str):
+    """Per-turn tag-count matrix (one column per ontology concept) —
+    `ops/reshape.pivot` applied to the mention-count long table with the
+    ontology's pinned category schema."""
+    from ..ops.reshape import pivot
+
+    mc = q_mention_counts(sf_dir)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            batch["conv_id"],
+            pc.cast(batch["turn_idx"], pa.string()),
+            "#",
+        )
+        return pa.table(
+            {"turn_key": key, "tag": batch["tag"],
+             "n_matches": pc.cast(batch["n_matches"], pa.int64())}
+        )
+
+    tags = sorted({t for t, _k, _c in ONTOLOGY})
+    out = pivot(
+        mc.map_batches(keyed, batch_format="pyarrow"),
+        index="turn_key",
+        columns_from="tag",
+        categories=tags,
+        values_from="n_matches",
+        agg="sum",
+        num_shards=16,
+    )
+
+    def typed(df):
+        cols = {"turn_key": pa.array(df["turn_key"], type=pa.string())}
+        for t in tags:
+            cols[t] = pa.array(df[t], type=pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_diameter_est(sf_dir: str):
     """Double-BFS diameter lower bound on the co-order part graph: BFS
     from part 1 finds the farthest node (ties -> smallest id), a second
@@ -2422,6 +2463,7 @@ QUERIES: Dict[str, Callable] = {
     "lineitem_wsample": q_lineitem_wsample,
     "user_top_event": q_user_top_event,
     "diameter_est": q_diameter_est,
+    "tag_pivot": q_tag_pivot,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3859,6 +3901,17 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["tag_pivot"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+    SELECT conv_id || '#' || turn_idx AS turn_key,
+           {", ".join(
+               'CAST(SUM(CASE WHEN tag = ' + repr(t) +
+               ' THEN n_matches ELSE 0 END) AS BIGINT) AS "' + t + '"'
+               for t in sorted({t for t, _k, _c in ONTOLOGY})
+           )}
+    FROM occ GROUP BY conv_id || '#' || turn_idx
 """
 
 ORACLE_SQL["diameter_est"] = """
