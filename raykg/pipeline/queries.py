@@ -1799,6 +1799,43 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_event_deltas(sf_dir: str):
+    """Period-over-period event volume: hourly counts per type with the
+    delta vs the previous hour — `ops/events.tumbling_window` composed
+    with `ops/window.window_over` (the windowed aggregate is
+    key+window-sized, so the second exchange is tiny)."""
+    from ..ops.events import tumbling_window
+    from ..ops.window import window_over
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    hourly = tumbling_window(ev, unit="hour")
+    out = window_over(
+        hourly,
+        keys=["event_type"],
+        order_by=["window_start"],
+        specs=[("delta", "n_events", "delta_n", 0)],
+        num_shards=8,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    df["window_start"], type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(df["n_events"], type=pa.int64()),
+                "delta_n": pa.array(
+                    df["delta_n"].astype("int64"), type=pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_tag_pivot(sf_dir: str):
     """Per-turn tag-count matrix (one column per ontology concept) —
     `ops/reshape.pivot` applied to the mention-count long table with the
@@ -2464,6 +2501,7 @@ QUERIES: Dict[str, Callable] = {
     "user_top_event": q_user_top_event,
     "diameter_est": q_diameter_est,
     "tag_pivot": q_tag_pivot,
+    "event_deltas": q_event_deltas,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3901,6 +3939,18 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["event_deltas"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, window_start, n_events,
+           CAST(n_events - COALESCE(
+               LAG(n_events) OVER (PARTITION BY event_type
+                                   ORDER BY window_start), n_events)
+               AS BIGINT) AS delta_n
+    FROM h
 """
 
 ORACLE_SQL["tag_pivot"] = f"""
