@@ -1799,6 +1799,40 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Exact sufficient statistics for the quantity/price correlation
+    over lineitem — one row (n, sx, sy, sxx, syy, sxy) of int64 sums
+    over integer-quantized values (qty as-is, price in floor dollars):
+    per-batch scalar partials, driver fold; Pearson r derives exactly
+    from the six integers on either engine."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    agg = {
+        k: sum(int(p[k]) for p in parts)
+        for k in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    }
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in agg.items()})
+
+
 def q_event_deltas(sf_dir: str):
     """Period-over-period event volume: hourly counts per type with the
     delta vs the previous hour — `ops/events.tumbling_window` composed
@@ -2502,6 +2536,7 @@ QUERIES: Dict[str, Callable] = {
     "diameter_est": q_diameter_est,
     "tag_pivot": q_tag_pivot,
     "event_deltas": q_event_deltas,
+    "lineitem_corr": q_lineitem_corr,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3939,6 +3974,19 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["lineitem_corr"] = """
+    WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM q
 """
 
 ORACLE_SQL["event_deltas"] = """
