@@ -1799,6 +1799,50 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_event_share(sf_dir: str):
+    """Ratio-to-report: each event type's share of its hour's total
+    volume — hourly counts (tumbling window) + a broadcast of the
+    window totals (window count is time-extent-sized, not corpus-sized);
+    share is an exact integer ratio rounded to 8."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.events import tumbling_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    hourly = tumbling_window(ev, unit="hour").materialize()
+
+    totals = sharded_groupby_apply(
+        hourly.select_columns(["window_start", "n_events"]),
+        ["window_start"],
+        lambda df: df.groupby("window_start", sort=False, as_index=False)[
+            "n_events"
+        ].sum(),
+        8,
+    ).to_pandas()
+    tot_map = dict(zip(totals["window_start"], totals["n_events"]))
+    ref = ray.put(tot_map)
+
+    def attach(df):
+        tm = ray.get(ref)
+        tot = df["window_start"].map(tm).to_numpy(dtype=np.float64)
+        n = df["n_events"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    df["window_start"], type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(
+                    df["n_events"].astype("int64"), type=pa.int64()
+                ),
+                "share": pa.array(np.round(n / tot, 8), type=pa.float64()),
+            }
+        )
+
+    return hourly.map_batches(attach, batch_format="pandas")
+
+
 def q_lineitem_corr(sf_dir: str):
     """Exact sufficient statistics for the quantity/price correlation
     over lineitem — one row (n, sx, sy, sxx, syy, sxy) of int64 sums
@@ -2537,6 +2581,7 @@ QUERIES: Dict[str, Callable] = {
     "tag_pivot": q_tag_pivot,
     "event_deltas": q_event_deltas,
     "lineitem_corr": q_lineitem_corr,
+    "event_share": q_event_share,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -3974,6 +4019,17 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["event_share"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, window_start, n_events,
+           round(CAST(n_events AS DOUBLE)
+                 / SUM(n_events) OVER (PARTITION BY window_start), 8)
+               AS share
+    FROM h
 """
 
 ORACLE_SQL["lineitem_corr"] = """
