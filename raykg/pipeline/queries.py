@@ -1799,6 +1799,80 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_region_rollup(sf_dir: str):
+    """Warehouse chain end-to-end: orders enriched with region via two
+    broadcast dim joins (customer -> nation -> region), then GROUP BY
+    ROLLUP (region, order priority) in exact integer cents —
+    `ops/join.broadcast_join` composed with `ops/rollup.rollup_sum`."""
+    import pyarrow.parquet as pq_mod
+
+    from ..ops.join import broadcast_join
+    from ..ops.rollup import rollup_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).rename_columns(["o_custkey", "c_nationkey"])
+    nat = pq_mod.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).rename_columns(["c_nationkey", "n_regionkey"])
+    reg = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).rename_columns(["n_regionkey", "r_name"])
+    joined = broadcast_join(
+        broadcast_join(
+            broadcast_join(orders, cust, on="o_custkey", how="left"),
+            nat,
+            on="c_nationkey",
+            how="left",
+        ),
+        reg,
+        on="n_regionkey",
+        how="left",
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "r_name": batch["r_name"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["o_totalprice"], pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = rollup_sum(
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["r_name", "o_orderpriority"],
+        "cents",
+        num_shards=8,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "r_name": pa.array(df["r_name"], type=pa.string(),
+                                   from_pandas=True),
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], type=pa.string(), from_pandas=True
+                ),
+                "sum_cents": pa.array(df["sum"], type=pa.int64()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_event_share(sf_dir: str):
     """Ratio-to-report: each event type's share of its hour's total
     volume — hourly counts (tumbling window) + a broadcast of the
@@ -2582,6 +2656,7 @@ QUERIES: Dict[str, Callable] = {
     "event_deltas": q_event_deltas,
     "lineitem_corr": q_lineitem_corr,
     "event_share": q_event_share,
+    "region_rollup": q_region_rollup,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -4019,6 +4094,18 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["region_rollup"] = """
+    SELECT r.r_name, o.o_orderpriority,
+           CAST(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o
+    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, o.o_orderpriority)
 """
 
 ORACLE_SQL["event_share"] = """
