@@ -1799,6 +1799,53 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_value_mad(sf_dir: str):
+    """Median absolute deviation per event type (robust dispersion):
+    two exact discrete-quantile passes — per-key medians broadcast
+    between them (`ops/events.key_quantiles` composed with itself).
+    Discrete quantiles pick actual data values, so both engines agree
+    bit-for-bit with no rounding."""
+    from ..ops.events import key_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    med = key_quantiles(ev, quantiles=(0.5,), num_shards=8).to_pandas()
+    med_map = dict(zip(med["event_type"], med["p50"]))
+    ref = ray.put(med_map)
+
+    def dev(df):
+        import pandas as pd
+
+        m = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value": (df["value"] - df["event_type"].map(m)).abs(),
+            }
+        )
+
+    mad = key_quantiles(
+        ev.map_batches(dev, batch_format="pandas"),
+        quantiles=(0.5,),
+        num_shards=8,
+    )
+
+    def typed(df):
+        m = ray.get(ref)
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "med": pa.array(
+                    df["event_type"].map(m), type=pa.float64()
+                ),
+                "mad": pa.array(df["p50"], type=pa.float64()),
+            }
+        )
+
+    return mad.map_batches(typed, batch_format="pandas")
+
+
 def q_region_rollup(sf_dir: str):
     """Warehouse chain end-to-end: orders enriched with region via two
     broadcast dim joins (customer -> nation -> region), then GROUP BY
@@ -2657,6 +2704,7 @@ QUERIES: Dict[str, Callable] = {
     "lineitem_corr": q_lineitem_corr,
     "event_share": q_event_share,
     "region_rollup": q_region_rollup,
+    "value_mad": q_value_mad,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -4094,6 +4142,16 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["value_mad"] = """
+    WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+          FROM events e JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+           FROM d GROUP BY event_type)
+    SELECT m.event_type, m.med, md.mad FROM m JOIN md USING (event_type)
 """
 
 ORACLE_SQL["region_rollup"] = """
