@@ -1799,6 +1799,58 @@ def q_orders_merge(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_kg_report(sf_dir: str):
+    """KG build report — the post-build sanity table an operator reads
+    first: one row per node type and per edge relation with its count
+    (kind column disambiguates).  Tiny two-sided aggregate over the
+    node/edge outputs; the triples build runs ONCE (materialized) and
+    both sides derive from it — unioning two independent tag-actor
+    pipelines would run two fixed-size pools concurrently."""
+    triples = q_triples(sf_dir).materialize()
+    onto_rows = clean_ontology(ONTOLOGY, has_category=True)
+    nodes = build_nodes(triples, onto_rows)
+    edges = triples_to_edges(triples)
+
+    def node_part(df):
+        import pandas as pd
+
+        g = df.groupby("node_type", sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {"kind": "node", "name": g["node_type"], "n": g["size"]}
+        )
+
+    def edge_part(df):
+        import pandas as pd
+
+        g = df.groupby("rel", sort=False, as_index=False).size()
+        return pd.DataFrame({"kind": "edge", "name": g["rel"], "n": g["size"]})
+
+    from ..ops.agg import sharded_groupby_apply
+
+    both = nodes.map_batches(node_part, batch_format="pandas").union(
+        edges.map_batches(edge_part, batch_format="pandas")
+    )
+    out = sharded_groupby_apply(
+        both,
+        ["kind", "name"],
+        lambda df: df.groupby(["kind", "name"], sort=False, as_index=False)[
+            "n"
+        ].sum(),
+        4,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "kind": pa.array(df["kind"], type=pa.string()),
+                "name": pa.array(df["name"], type=pa.string()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_value_mad(sf_dir: str):
     """Median absolute deviation per event type (robust dispersion):
     two exact discrete-quantile passes — per-key medians broadcast
@@ -2705,6 +2757,7 @@ QUERIES: Dict[str, Callable] = {
     "event_share": q_event_share,
     "region_rollup": q_region_rollup,
     "value_mad": q_value_mad,
+    "kg_report": q_kg_report,
     "hll_custkeys": q_hll_custkeys,
     "conv_text": q_conv_text,
     "conv_json": q_conv_json,
@@ -4142,6 +4195,23 @@ ORACLE_SQL["conv_text"] = f"""
            string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                AS full_text
     FROM t GROUP BY conv_id
+"""
+
+ORACLE_SQL["kg_report"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+    SELECT 'node' AS kind, 'conversation' AS name,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n FROM t
+    UNION ALL SELECT 'node', 'turn', CAST(COUNT(*) AS BIGINT) FROM t
+    UNION ALL SELECT 'node', 'tool',
+           CAST(COUNT(DISTINCT tool) AS BIGINT) FROM t
+           WHERE tool IS NOT NULL
+    UNION ALL SELECT 'node', 'mention', CAST(COUNT(*) AS BIGINT) FROM occ
+    UNION ALL SELECT 'node', 'concept',
+           CAST(COUNT(DISTINCT tag) AS BIGINT) FROM onto
+    UNION ALL SELECT 'edge', 'utters', CAST(COUNT(*) AS BIGINT) FROM t
+    UNION ALL SELECT 'edge', 'used_tool', CAST(COUNT(*) AS BIGINT) FROM t
+           WHERE tool IS NOT NULL
+    UNION ALL SELECT 'edge', 'tagged_as', CAST(COUNT(*) AS BIGINT) FROM occ
 """
 
 ORACLE_SQL["value_mad"] = """
