@@ -45,6 +45,33 @@ def group_topk(
     return sharded_groupby_apply(ds, keys, shard_topk, num_shards=num_shards)
 
 
+def global_topk(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> "ray.data.Dataset":
+    """Global ``ORDER BY value LIMIT k`` WITHOUT a global sort: every block
+    keeps its local top-k (a superset filter — no row that survives the
+    global cut can be outside its block's top-k), then ONE tiny final
+    reduce over the k-per-block partials picks the exact answer.  The
+    exchange is O(k x num_blocks) rows instead of the whole table; ties
+    break by the ``tiebreak`` columns (ascending, deterministic).  Output
+    is a single ordered block."""
+    tiebreak = list(tiebreak)
+    by = [value_column] + tiebreak
+    asc = [not descending] + [True] * len(tiebreak)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="stable").head(k)
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        local, batch_format="pandas", batch_size=None
+    )
+
+
 def dense_rank_global(
     ds: "ray.data.Dataset",
     value_column: str,

@@ -396,3 +396,95 @@ def triangle_counts(
         return g.rename(columns={"n": "n_tri"})
 
     return sharded_groupby_apply(partials, ["node"], total, num_shards)
+
+
+def _coef_kernel(node, ntri, d):
+    """Shared coefficient math — both attach engines call EXACTLY this, so
+    their float results are bit-equal (same double ops in the same order)."""
+    node = np.asarray(node)
+    ntri = np.asarray(ntri, dtype=np.int64)
+    d = np.asarray(d, dtype=np.int64)
+    denom = d * (d - 1)
+    coef = np.where(denom > 0, 2.0 * ntri / np.maximum(denom, 1), 0.0)
+    return pa.table(
+        {
+            "node": pa.array(node, type=pa.int64()),
+            "n_tri": pa.array(ntri, type=pa.int64()),
+            "deg": pa.array(d, type=pa.int64()),
+            "coef": pa.array(np.round(coef, 8), type=pa.float64()),
+        }
+    )
+
+
+def clustering_coefficients(
+    edges: "ray.data.Dataset",
+    u: str = "u",
+    v: str = "v",
+    num_shards: int = 32,
+    broadcast: Optional[bool] = None,
+    broadcast_max_nodes: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Local clustering coefficient per node: ``coef = 2*n_tri /
+    (deg*(deg-1))`` (nodes in no triangle get 0 via the degree table's
+    left side; the ratio is an exact integer ratio so the division is the
+    same double on both engines).
+
+    Engine gate (the house pattern — pagerank/components/walks):
+    ``broadcast=True`` ships the node-sized triangle-count map once via
+    ``ray.put`` and every degree batch attaches with a ``searchsorted``;
+    above ``broadcast_max_nodes`` nodes the map stops being
+    worker-heap-safe and a bucketed LEFT hash join (`ops/join.py`)
+    attaches it with one node-sharded exchange instead.  ``None`` decides
+    by counting the materialized degree table.  Engines are pinned
+    bit-equal by test (`tests/test_ops_triangles.py`)."""
+    from .join import bucketed_hash_join
+
+    canon = canonical_edges(edges, u, v, num_shards).materialize()
+    tri = triangle_counts(canon, num_shards=num_shards).materialize()
+    deg = _degrees(canon, num_shards).materialize()
+
+    if broadcast is None:
+        broadcast = deg.count() <= broadcast_max_nodes
+
+    if broadcast:
+        tri_tabs = [
+            t for t in ray.get(list(tri.to_arrow_refs())) if t.num_rows
+        ]
+        tri_map = (
+            pa.concat_tables(tri_tabs)
+            if tri_tabs
+            else pa.table(
+                {"node": pa.array([], type=pa.int64()),
+                 "n_tri": pa.array([], type=pa.int64())}
+            )
+        )
+        tn = tri_map["node"].to_numpy(zero_copy_only=False)
+        tc = tri_map["n_tri"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tn, kind="stable")
+        ref = ray.put((tn[order], tc[order]))
+
+        def attach(df: pd.DataFrame) -> pa.Table:
+            ns, cs = ray.get(ref)
+            node = df["node"].to_numpy()
+            if len(ns):
+                pos = np.minimum(np.searchsorted(ns, node), len(ns) - 1)
+                ntri = np.where(ns[pos] == node, cs[pos], 0).astype(np.int64)
+            else:
+                ntri = np.zeros(len(node), dtype=np.int64)
+            return _coef_kernel(node, ntri, df["deg"].to_numpy())
+
+        return deg.map_batches(attach, batch_format="pandas")
+
+    joined = bucketed_hash_join(deg, tri, on="node", num_buckets=num_shards, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        ntri = (
+            pc.fill_null(batch["n_tri"], 0).to_numpy(zero_copy_only=False)
+            if "n_tri" in batch.schema.names
+            else np.zeros(len(node), dtype=np.int64)
+        )
+        return _coef_kernel(node, ntri, d)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -194,9 +194,12 @@ def q_co_mentions(sf_dir: str):
 
 def q_hub_nodes(sf_dir: str):
     """Top-10 hub nodes by out-degree over distinct KG edges — sharded
-    degree count + tiny global sort; ties broken by node id."""
+    degree count + per-block partial top-10 + one tiny final reduce
+    (`ops/topk.global_topk`; no global sort of the node-degree table);
+    ties broken by node id."""
     from ..ops.agg import sharded_groupby_apply
     from ..ops.setops import distinct_rows
+    from ..ops.topk import global_topk
 
     e = distinct_rows(
         q_edges(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], num_shards=16
@@ -218,10 +221,12 @@ def q_hub_nodes(sf_dir: str):
             }
         )
 
-    return (
-        deg.map_batches(typed, batch_format="pandas")
-        .sort(["out_degree", "src"], descending=[True, False])
-        .limit(10)
+    return global_topk(
+        deg.map_batches(typed, batch_format="pandas"),
+        "out_degree",
+        k=10,
+        descending=True,
+        tiebreak=["src"],
     )
 
 
@@ -536,10 +541,13 @@ def q_dedup_keep_first(sf_dir: str):
 
 
 def q_top_tags(sf_dir: str):
-    """Top-3 concepts by mention count — sort/limit/top-k coverage.
-    Deterministic tie-break on tag."""
+    """Top-3 concepts by mention count — sort/limit/top-k coverage via
+    `ops/topk.global_topk` (per-block partial top-3 + one tiny final
+    reduce, no global sort).  Deterministic tie-break on tag."""
+    from ..ops.topk import global_topk
+
     scores = concept_scores(_mentions(sf_dir)).select_columns(["tag", "n_mentions"])
-    return scores.sort(["n_mentions", "tag"], descending=[True, False]).limit(3)
+    return global_topk(scores, "n_mentions", k=3, descending=True, tiebreak=["tag"])
 
 
 def q_token_counts(sf_dir: str):
@@ -1318,53 +1326,15 @@ def q_tag_assoc(sf_dir: str):
 
 
 def q_clustering_coef(sf_dir: str):
-    """Local clustering coefficient per part — composes the triangle
-    engine with the degree table: coef = 2*n_tri / (deg*(deg-1)),
-    rounded to 8 (an exact integer ratio, so the division is the same
-    double on both engines).  One broadcast degree attach on the
-    node-sized triangle output; nodes in no triangle get coef 0 via the
-    degree table's left side."""
-    from ..ops.agg import sharded_groupby_apply
-    from ..ops.triangles import _degrees, canonical_edges, triangle_counts
+    """Local clustering coefficient per part —
+    `ops/triangles.clustering_coefficients`: the triangle engine composed
+    with the degree table, coef = 2*n_tri / (deg*(deg-1)) rounded to 8.
+    The triangle-count attach is threshold-gated like every other graph
+    engine: broadcast below `broadcast_max_nodes`, bucketed LEFT hash
+    join above it, pinned bit-equal by test."""
+    from ..ops.triangles import clustering_coefficients
 
-    pairs = _co_order_pairs(sf_dir)
-    canon = canonical_edges(pairs, num_shards=32).materialize()
-    tri = triangle_counts(canon, num_shards=32).materialize()
-    deg = _degrees(canon, 32).materialize()
-
-    tri_tabs = [
-        t for t in ray.get(list(tri.to_arrow_refs())) if t.num_rows
-    ]
-    tri_map = (
-        pa.concat_tables(tri_tabs) if tri_tabs
-        else pa.table({"node": [], "n_tri": []})
-    )
-    tn = tri_map["node"].to_numpy(zero_copy_only=False)
-    tc = tri_map["n_tri"].to_numpy(zero_copy_only=False)
-    order = np.argsort(tn, kind="stable")
-    ref = ray.put((tn[order], tc[order]))
-
-    def attach(df):
-        ns, cs = ray.get(ref)
-        node = df["node"].to_numpy()
-        if len(ns):
-            pos = np.minimum(np.searchsorted(ns, node), len(ns) - 1)
-            ntri = np.where(ns[pos] == node, cs[pos], 0).astype(np.int64)
-        else:
-            ntri = np.zeros(len(node), dtype=np.int64)
-        d = df["deg"].to_numpy().astype(np.int64)
-        denom = d * (d - 1)
-        coef = np.where(denom > 0, 2.0 * ntri / np.maximum(denom, 1), 0.0)
-        return pa.table(
-            {
-                "node": pa.array(node, type=pa.int64()),
-                "n_tri": pa.array(ntri, type=pa.int64()),
-                "deg": pa.array(d, type=pa.int64()),
-                "coef": pa.array(np.round(coef, 8), type=pa.float64()),
-            }
-        )
-
-    return deg.map_batches(attach, batch_format="pandas")
+    return clustering_coefficients(_co_order_pairs(sf_dir), num_shards=32)
 
 
 def q_part_walks(sf_dir: str):
@@ -1723,13 +1693,10 @@ def q_hll_custkeys(sf_dir: str):
     return hll_registers(orders, "o_custkey")
 
 
-def q_orders_merge(sf_dir: str):
-    """CDC merge: apply a deterministic changeset (delete keys % 7 == 0,
-    restate keys % 7 == 3, insert shifted new keys from % 7 == 5) to the
-    orders snapshot — `ops/merge.py`, one key-sharded exchange resolving
-    last-version-wins upsert/delete semantics."""
-    from ..ops.merge import apply_changeset
-
+def _orders_cdc(sf_dir: str):
+    """(snapshot, changes) for the CDC queries: the orders snapshot in
+    integer cents plus a deterministic changeset (delete keys % 7 == 0,
+    restate keys % 7 == 3, insert shifted new keys from % 7 == 5)."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
@@ -1783,6 +1750,17 @@ def q_orders_merge(sf_dir: str):
         return pd.concat(out, ignore_index=True)
 
     chg = snapshot.map_batches(changes, batch_format="pandas")
+    return snapshot, chg
+
+
+def q_orders_merge(sf_dir: str):
+    """CDC merge: apply a deterministic changeset (delete keys % 7 == 0,
+    restate keys % 7 == 3, insert shifted new keys from % 7 == 5) to the
+    orders snapshot — `ops/merge.py`, one key-sharded exchange resolving
+    last-version-wins upsert/delete semantics."""
+    from ..ops.merge import apply_changeset
+
+    snapshot, chg = _orders_cdc(sf_dir)
     out = apply_changeset(snapshot, chg, key="o_orderkey", num_shards=16)
 
     def typed(df):
@@ -2135,19 +2113,40 @@ def q_diameter_est(sf_dir: str):
     pure composition of `ops/bfs.khop_min_hops`.  One row
     (start, far, ecc1, ecc2).  Hops bounded at 3: the dense co-order
     graph's diameter is ~2, and the bound keeps the SQL mirror's
-    recursive path enumeration polynomial."""
+    recursive path enumeration polynomial.
+
+    The hop tables are node-sized, so they never reach the driver: each
+    BFS folds to (eccentricity, argmin node at eccentricity) via per-batch
+    partials — the driver sees O(num_blocks) rows, then two ints."""
     from ..ops.bfs import khop_min_hops
 
+    def _ecc_argmin(hops_ds) -> tuple:
+        """(max hops, min node among rows at max hops) without pulling the
+        node-sized hop table: one partial row per batch, tiny driver fold."""
+
+        def part(batch: pa.Table) -> pa.Table:
+            h = batch["hops"].to_numpy(zero_copy_only=False)
+            n = batch["node"].to_numpy(zero_copy_only=False)
+            if len(h) == 0:
+                return pa.table(
+                    {"ecc": pa.array([], type=pa.int64()),
+                     "node": pa.array([], type=pa.int64())}
+                )
+            m = h.max()
+            return pa.table(
+                {"ecc": pa.array([int(m)], type=pa.int64()),
+                 "node": pa.array([int(n[h == m].min())], type=pa.int64())}
+            )
+
+        parts = hops_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        ecc = int(parts["ecc"].max())
+        return ecc, int(parts[parts["ecc"] == ecc]["node"].min())
+
     pairs = _co_order_pairs(sf_dir).materialize()
-    h1 = khop_min_hops(
-        pairs, [1], src="u", dst="v", max_hops=3, directed=False
-    ).to_pandas()
-    ecc1 = int(h1["hops"].max())
-    far = int(h1[h1["hops"] == ecc1]["node"].min())
-    h2 = khop_min_hops(
-        pairs, [far], src="u", dst="v", max_hops=3, directed=False
-    ).to_pandas()
-    ecc2 = int(h2["hops"].max())
+    h1 = khop_min_hops(pairs, [1], src="u", dst="v", max_hops=3, directed=False)
+    ecc1, far = _ecc_argmin(h1)
+    h2 = khop_min_hops(pairs, [far], src="u", dst="v", max_hops=3, directed=False)
+    ecc2, _ = _ecc_argmin(h2)
     return pa.table(
         {
             "start": pa.array([1], type=pa.int64()),
@@ -2256,35 +2255,16 @@ def q_order_ranks(sf_dir: str):
 
 def q_orders_diff(sf_dir: str):
     """Row-level diff of the orders snapshot against its merged
-    successor (`ops/merge.table_diff`): deleted keys surface as
+    successor — the FUSED `ops/merge.apply_changeset_diff`: merge
+    resolution and keyed diff both shard on o_orderkey, so one exchange
+    does both (the unfused composition paid two all-to-alls over the
+    same rows; pinned equal by test).  Deleted keys surface as
     only_left, restated keys as changed, inserted keys as only_right —
     the drill-down companion to the content checksum."""
-    from ..ops.merge import table_diff
+    from ..ops.merge import apply_changeset_diff
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
-    )
-
-    def snap(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "o_orderkey": batch["o_orderkey"],
-                "o_orderstatus": batch["o_orderstatus"],
-                "cents": pc.cast(
-                    pc.round(
-                        pc.multiply(batch["o_totalprice"], pa.scalar(100.0))
-                    ),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    snapshot = orders.map_batches(snap, batch_format="pyarrow")
-    merged = q_orders_merge(sf_dir)
-    out = table_diff(snapshot, merged, key="o_orderkey", num_shards=16)
+    snapshot, chg = _orders_cdc(sf_dir)
+    out = apply_changeset_diff(snapshot, chg, key="o_orderkey", num_shards=16)
 
     def typed(df):
         return pa.table(

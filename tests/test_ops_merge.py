@@ -167,3 +167,91 @@ class TestTableDiff:
             key="id", num_shards=4,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestFusedChangesetDiff:
+    def _mk(self, seed):
+        rng = np.random.default_rng(seed)
+        snap = pd.DataFrame(
+            {"id": np.arange(120),
+             "val": [f"s{i}" for i in range(120)],
+             "w": [None if i % 9 == 0 else i for i in range(120)]}
+        )
+        n = 200
+        changes = pd.DataFrame(
+            {
+                "id": rng.integers(0, 160, n),
+                "val": [f"c{i}" for i in range(n)],
+                "w": rng.integers(0, 50, n),
+                "op": rng.choice(["upsert", "delete"], n, p=[0.7, 0.3]),
+                "version": rng.permutation(n),
+            }
+        )
+        return snap, changes
+
+    @pytest.mark.parametrize("seed", [3, 41])
+    def test_fused_equals_composition(self, ray_session, seed):
+        from raykg.ops.merge import (
+            apply_changeset, apply_changeset_diff, table_diff,
+        )
+
+        snap, changes = self._mk(seed)
+        s = ray.data.from_pandas(snap).repartition(4)
+        c = ray.data.from_pandas(changes).repartition(3)
+        merged = apply_changeset(s, c, key="id", num_shards=8)
+        want = (
+            table_diff(s, merged, key="id", num_shards=8)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        got = (
+            apply_changeset_diff(s, c, key="id", num_shards=8)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"id": "int64"}), want.astype({"id": "int64"})
+        )
+
+    def test_diff_statuses(self, ray_session):
+        from raykg.ops.merge import apply_changeset_diff
+
+        snap = pd.DataFrame({"id": [1, 2, 3, 4], "val": ["a", "b", "c", "d"]})
+        changes = pd.DataFrame(
+            {
+                "id": [1, 2, 2, 9],
+                "val": [None, "B", "b2", "i"],
+                "op": ["delete", "upsert", "upsert", "upsert"],
+                "version": [1, 2, 1, 1],
+            }
+        )
+        out = apply_changeset_diff(
+            ray.data.from_pandas(snap), ray.data.from_pandas(changes),
+            key="id", num_shards=4,
+        ).to_pandas()
+        got = dict(zip(out["id"], out["status"]))
+        assert got == {1: "only_left", 2: "changed", 9: "only_right"}
+
+
+def test_version_ties_deterministic(ray_session):
+    """Equal versions resolve by (op, body), never by input order: upsert
+    outranks delete, then the lexicographically greatest body wins —
+    stable across repartitionings/shufflings of the change feed."""
+    snap = pd.DataFrame({"id": [1, 2], "val": ["a", "b"]})
+    changes = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "val": ["zz", "aa", None, "kk"],
+            "op": ["upsert", "upsert", "delete", "upsert"],
+            "version": [5, 5, 7, 7],
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        out = apply_changeset(
+            ray.data.from_pandas(snap),
+            ray.data.from_pandas(changes.sample(frac=1, random_state=parts)).repartition(parts),
+            key="id",
+            num_shards=4,
+        ).to_pandas()
+        outs.append(dict(zip(out["id"], out["val"])))
+    # id 1: greatest body 'zz'; id 2: upsert beats delete at equal version
+    assert outs[0] == outs[1] == {1: "zz", 2: "kk"}

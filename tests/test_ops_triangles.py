@@ -118,3 +118,34 @@ def test_broadcast_edges_rejects_string_ids(ray_session):
     # auto mode silently falls back to the sharded closure
     got = _counts(triangle_counts(ds, num_shards=2))
     assert got == {}
+
+
+def test_clustering_coef_engines_pinned_equal(ray_session):
+    from raykg.ops.triangles import clustering_coefficients
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, size=(120, 2))
+        if a != b
+    ]
+    a = (
+        clustering_coefficients(_ds(edges), num_shards=4, broadcast=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        clustering_coefficients(_ds(edges), num_shards=4, broadcast=False)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # bit-equal, not almost-equal: both engines run the same float kernel
+    pd.testing.assert_frame_equal(a, b)
+    # spot semantics: coef = 2*tri/(deg*(deg-1)) and 0 for triangle-free
+    tri = _brute(edges)
+    for _, row in a.iterrows():
+        want = 2.0 * tri.get(row["node"], 0) / max(row["deg"] * (row["deg"] - 1), 1)
+        assert abs(row["coef"] - round(want, 8)) < 1e-12
+        assert row["n_tri"] == tri.get(row["node"], 0)
