@@ -517,6 +517,61 @@ def q_tag_lemma(sf_dir: str):
     )
 
 
+def _tag_lemma_injected(sf_dir: str, language: str, forms, keyword: str,
+                        tag: str, category: str):
+    """Shared harness for the non-English lemma-mode oracles: every
+    'customer' token is replaced by an inflected form (by turn_idx % 3)
+    and the ontology carries only the base form — matches exist ONLY if
+    the language's lookup table maps the inflections back.  Same design
+    as q_tag_lemma; the injection rule IS the oracle."""
+    from .tag import extract_mention_counts
+
+    forms_arr = np.array(forms)
+
+    def inflect(batch: pa.Table) -> pa.Table:
+        turn = np.asarray(batch["turn_idx"].to_pylist())
+        fs = forms_arr[turn % 3]
+        text = batch["text"].to_pylist()
+        out = [
+            t.replace("customer", f) if t is not None else None
+            for t, f in zip(text, fs)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            pa.array(out, type=pa.string()),
+        )
+
+    ds = read_transcripts(sf_dir).map_batches(inflect, batch_format="pyarrow")
+    return extract_mention_counts(
+        ds,
+        [(tag, keyword, category)],
+        _cfg(language=language, lemmatization=True,
+             category_column="category"),
+    )
+
+
+def q_tag_lemma_nl(sf_dir: str):
+    """Dutch lemma-mode matching: paradigm-table depth in a second
+    language family (round-2 verdict item 2) — gewerkt/werkt/werkten all
+    lemmatize to 'werken' through the generated nl table.  (The form
+    'werkte' is deliberately NOT used: the reference's own matrix pins it
+    to identity — see REFERENCE_FIXTURE_PINS.)"""
+    return _tag_lemma_injected(
+        sf_dir, "nl", ["gewerkt", "werkt", "werkten"], "werken", "Werk",
+        "actie",
+    )
+
+
+def q_tag_lemma_sv(sf_dir: str):
+    """Swedish lemma-mode matching through the generated sv table:
+    arbetade/arbetat/arbetar -> 'arbeta'."""
+    return _tag_lemma_injected(
+        sf_dir, "sv", ["arbetade", "arbetat", "arbetar"], "arbeta",
+        "Arbete", "handling",
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -2759,6 +2814,8 @@ QUERIES: Dict[str, Callable] = {
     "tag_overlap": q_tag_overlap,
     "tag_casefold": q_tag_casefold,
     "tag_lemma": q_tag_lemma,
+    "tag_lemma_nl": q_tag_lemma_nl,
+    "tag_lemma_sv": q_tag_lemma_sv,
     "tag_diacritics": q_tag_diacritics,
     "distinct_langs": q_distinct_langs,
     "dedup_exact": q_dedup_exact,
@@ -3011,6 +3068,34 @@ ORACLE_SQL: Dict[str, str] = {
                CASE WHEN turn_idx % 3 = 0 THEN 'worked'
                     WHEN turn_idx % 3 = 1 THEN 'working'
                     ELSE 'works' END AS keyword,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM occ
+    """,
+    "tag_lemma_nl": f"""
+        WITH {_T_CTE},
+        occ AS (SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(text, '\\bcustomer\\b'))
+                           AS n_matches
+                FROM t
+                WHERE regexp_matches(text, '\\bcustomer\\b'))
+        SELECT conv_id, turn_idx, 'Werk' AS tag,
+               CASE WHEN turn_idx % 3 = 0 THEN 'gewerkt'
+                    WHEN turn_idx % 3 = 1 THEN 'werkt'
+                    ELSE 'werkten' END AS keyword,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM occ
+    """,
+    "tag_lemma_sv": f"""
+        WITH {_T_CTE},
+        occ AS (SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(text, '\\bcustomer\\b'))
+                           AS n_matches
+                FROM t
+                WHERE regexp_matches(text, '\\bcustomer\\b'))
+        SELECT conv_id, turn_idx, 'Arbete' AS tag,
+               CASE WHEN turn_idx % 3 = 0 THEN 'arbetade'
+                    WHEN turn_idx % 3 = 1 THEN 'arbetat'
+                    ELSE 'arbetar' END AS keyword,
                CAST(n_matches AS BIGINT) AS n_matches
         FROM occ
     """,

@@ -224,3 +224,35 @@ def test_lemma_table_depth(language, form, lemma):
     from raykg.core.lemma import Lemmatizer
 
     assert Lemmatizer(language).lemma(form) == lemma
+
+
+def test_lemma_table_depth_floor():
+    """Every lookup language the reference supports
+    (language_support.py:88-130) ships a paradigm-derived table with at
+    least 300 entries — no fixture-only stub tables (round-2 verdict:
+    20 of 28 languages held <= 4 entries)."""
+    from raykg.core.lemma import LOOKUP_LEMMA_LANGUAGES, load_lemma_table
+
+    shallow = {
+        lang: n
+        for lang in sorted(LOOKUP_LEMMA_LANGUAGES)
+        if (n := len(load_lemma_table(lang))) < 300
+    }
+    assert not shallow, f"languages below the 300-entry floor: {shallow}"
+
+
+def test_lemma_reference_parity_pins():
+    """The reference's own lemmatization matrix shows these forms
+    lemmatizing to THEMSELVES (reference test_lemmatization.py:10-56);
+    the paradigm generators must never shadow them."""
+    from raykg.core.lemma import Lemmatizer
+
+    for lang, form in [("nl", "werkte"), ("tl", "nagtrabaho"),
+                       ("mk", "работел"), ("el", "δούλεψε"),
+                       ("nb", "jobbet"), ("fa", "کرد"), ("bn", "করছে")]:
+        assert Lemmatizer(lang).lemma(form) == form, (lang, form)
+    # ...while the surrounding paradigm still lemmatizes normally
+    assert Lemmatizer("nl").lemma("gewerkt") == "werken"
+    assert Lemmatizer("nl").lemma("werkten") == "werken"
+    assert Lemmatizer("sv").lemma("arbetade") == "arbeta"
+    assert Lemmatizer("mk").lemma("работела") == "работи"
