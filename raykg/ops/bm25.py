@@ -23,11 +23,16 @@ Global scalars N (doc count) and avgdl (mean token length) are two
 driver-side floats from a one-pass partial reduce.
 
 Determinism: ``rational_idf=True`` (default) scores with
-``(N - df + 0.5) / (df + 0.5)`` instead of the usual ``ln`` of it —
-same ordering for df < N, but built purely from IEEE-exact ``+ - * /``
-so a SQL oracle reproduces scores bit-for-bit before rounding (libm
-``log`` rounding is engine-dependent; see `ops/tfidf.py` for the same
-trade).  ``rational_idf=False`` gives the textbook formula.
+``(N - df + 0.5) / (df + 0.5)`` instead of the usual ``ln`` of it,
+built purely from IEEE-exact ``+ - * /`` so a SQL oracle reproduces
+scores bit-for-bit before rounding (libm ``log`` rounding is
+engine-dependent; see `ops/tfidf.py` for the same trade).  Ordering
+caveat: dropping the log is order-preserving PER TERM (it is monotone
+in df), so single-term rankings match textbook BM25 exactly — but
+multi-term totals weight rare terms more heavily than log idf would,
+so multi-term rankings can deviate from conventional BM25.  Pass
+``rational_idf=False`` for the textbook formula where parity with
+standard BM25 ranking matters more than a bit-exact oracle.
 """
 from __future__ import annotations
 

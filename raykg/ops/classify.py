@@ -8,7 +8,10 @@ map against the broadcast centroid matrix.  All arithmetic is integer:
   `ops/pca.covariance_fixedpoint`),
 - a class centroid is the element-wise ``floor(sum / n)`` (an s/n
   rational is never within 1/n of a wrong integer, so the double
-  division + floor is the true floor — deterministic on both engines),
+  division + floor is the true floor — deterministic on both engines;
+  valid while ``|class sum| < 2^53`` so the double is exact, i.e.
+  n per class below ~2^32 at the 2^20 quantization scale — beyond
+  that, compute the fold with Python integer division on the driver),
 - a prediction is ``argmin_c  sum_i (q_i - c_i)^2`` with ties to the
   smaller class label, all in int64.
 

@@ -232,12 +232,26 @@ def _distinct_pairs(
     return sharded_groupby_apply(pairs, ["id_a", "id_b"], combine, num_shards=num_shards)
 
 
-def _candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
-    """Distinct ids appearing in the candidate pair set.
+def _candidate_ids(
+    pairs: "ray.data.Dataset", max_broadcast: Optional[int] = None
+) -> tuple:
+    """``(n_candidates, ids-or-None)`` — distinct ids in the candidate
+    pair set.
 
-    The ONLY driver-side materialization in the near-dup family: an int64
-    array of near-dup-volume size (ids, never rows/bodies), broadcast via
-    ``ray.put`` to prune the payload pass."""
+    The distinct set is computed DISTRIBUTED (per-batch unique partials,
+    one id-sharded dedup); only its COUNT always reaches the driver.  The
+    id array itself comes back (sorted, for the ``ray.put`` broadcast
+    prune) only when the count is at most ``max_broadcast``
+    (`_BROADCAST_MAX_DOCS`), so the driver-side footprint is bounded by
+    the same threshold that gates the payload joins.  Above it — the
+    adversarial-dup-density regime where near-dup volume approaches
+    corpus volume — callers get ``None`` and must skip the prune filter
+    and run the bucketed joins; nothing id-shaped ever materializes on
+    the driver."""
+    from .agg import sharded_groupby_apply
+
+    if max_broadcast is None:
+        max_broadcast = _BROADCAST_MAX_DOCS
 
     def ids_of(batch: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
@@ -245,12 +259,29 @@ def _candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
         )
         return pa.table({"cid": pc.unique(both)})
 
-    ids: set = set()
-    for b in pairs.map_batches(ids_of, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        ids.update(b["cid"].to_pylist())
-    return np.asarray(sorted(ids), dtype=np.int64)
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("cid")
+
+    distinct = sharded_groupby_apply(
+        pairs.map_batches(ids_of, batch_format="pyarrow"),
+        ["cid"],
+        dedup,
+        num_shards=64,
+    ).materialize()
+    n = distinct.count()
+    if n > max_broadcast:
+        return n, None
+    tabs = [
+        t for t in ray.get(list(distinct.to_arrow_refs())) if t.num_rows
+    ]
+    if not tabs:
+        return 0, np.zeros(0, dtype=np.int64)
+    ids = np.sort(
+        np.concatenate(
+            [t["cid"].to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.int64)
+    )
+    return n, ids
 
 
 # above this many candidate docs the payload side stops being broadcastable
@@ -514,8 +545,8 @@ def jaccard_verify(
     # the pair set is consumed twice (id extraction + join); materialize so
     # the upstream LSH pipeline runs once — it is candidate-volume sized
     pairs = pairs.materialize()
-    ids = _candidate_ids(pairs)
-    if not len(ids):
+    n_cand, ids = _candidate_ids(pairs)
+    if n_cand == 0:
         return ray.data.from_pandas(
             pd.DataFrame(
                 {
@@ -525,11 +556,17 @@ def jaccard_verify(
                 }
             )
         )
-    ids_ref = ray.put(ids)
+    # ids is None above _BROADCAST_MAX_DOCS candidates: no prune filter
+    # (candidates ~ corpus in that regime, so the filter saves nothing)
+    # and the payload joins below run bucketed instead of broadcast
+    ids_ref = ray.put(ids) if ids is not None else None
 
     def shingles_of(batch: pa.Table) -> pa.Table:
-        wanted = pa.array(ray.get(ids_ref), type=batch[id_column].type)
-        keep = batch.filter(pc.is_in(batch[id_column], value_set=wanted))
+        if ids_ref is not None:
+            wanted = pa.array(ray.get(ids_ref), type=batch[id_column].type)
+            keep = batch.filter(pc.is_in(batch[id_column], value_set=wanted))
+        else:
+            keep = batch
         out_ids: List[int] = []
         out_sets: List[List[int]] = []
         for i, t in zip(keep[id_column].to_pylist(), keep[text_column].to_pylist()):
@@ -550,7 +587,7 @@ def jaccard_verify(
         id_column,
         "sh",
         num_buckets=num_buckets,
-        n_candidate_docs=len(ids),
+        n_candidate_docs=n_cand,
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -981,8 +1018,8 @@ def embedding_near_pairs(
         bands, id_column=id_column, max_bucket_members=max_bucket_members,
         distinct=False,
     ).materialize()
-    ids = _candidate_ids(cand)
-    if not len(ids):
+    n_cand, ids = _candidate_ids(cand)
+    if n_cand == 0:
         return ray.data.from_pandas(
             pd.DataFrame(
                 {
@@ -992,9 +1029,12 @@ def embedding_near_pairs(
                 }
             )
         )
-    ids_ref = ray.put(ids)
+    # ids is None above _BROADCAST_MAX_DOCS: skip the prune, go bucketed
+    ids_ref = ray.put(ids) if ids is not None else None
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
+        if ids_ref is None:
+            return batch.select([id_column, embedding_column])
         wanted = pa.array(ray.get(ids_ref), type=batch[id_column].type)
         return batch.filter(pc.is_in(batch[id_column], value_set=wanted)).select(
             [id_column, embedding_column]
@@ -1007,7 +1047,7 @@ def embedding_near_pairs(
         id_column,
         embedding_column,
         num_buckets=32,
-        n_candidate_docs=len(ids),
+        n_candidate_docs=n_cand,
     )
 
     def verify(batch: pa.Table) -> pa.Table:

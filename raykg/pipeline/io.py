@@ -213,28 +213,60 @@ def read_jsonl(
     return ds
 
 
-def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> int:
-    """Write one ``shard-*.jsonl`` file per block; returns row count.
-    Shard naming is content-addressed (md5 of the shard bytes) so a retry
-    of a failed task overwrites its own partial file instead of appending
-    a duplicate."""
+def _encode_jsonl(batch: pa.Table) -> bytes:
+    buf = "\n".join(
+        json.dumps(rec, ensure_ascii=False, sort_keys=True, default=str)
+        for rec in batch.to_pylist()
+    )
+    return (buf + "\n").encode("utf-8") if buf else b""
+
+
+def _write_shards(ds: "ray.data.Dataset", out_dir: str, ext: str,
+                  encode, max_in_flight: int = 64) -> int:
+    """Stream the dataset's blocks to ``shard-<ordinal>-<md5>.<ext>``
+    files via one Ray write task per block.
+
+    Shard names mix a DETERMINISTIC per-run block ordinal with the
+    content hash: the ordinal makes names unique even when two distinct
+    blocks hold byte-identical content (a pure content-addressed name
+    silently collapsed them — row count said N, disk held N-k), while
+    the hash keeps a retried task overwriting its own partial file (Ray
+    re-executes a failed write task with the same block and the driver
+    never re-issues an ordinal).  Blocks stream through
+    ``iter_internal_ref_bundles`` with ``max_in_flight`` write tasks
+    outstanding, so the pipeline keeps its backpressure and the driver
+    holds refs, never data."""
+    import ray as _ray
+
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        buf = "\n".join(
-            json.dumps(rec, ensure_ascii=False, sort_keys=True, default=str)
-            for rec in batch.to_pylist()
-        )
-        data = (buf + "\n").encode("utf-8") if buf else b""
-        name = hashlib.md5(data).hexdigest()[:16]
-        tmp = os.path.join(out_dir, f".shard-{name}.tmp")
+    @_ray.remote
+    def write_block(block, ordinal: int) -> int:
+        tab = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        data = encode(tab)
+        name = f"shard-{ordinal:06d}-{hashlib.md5(data).hexdigest()[:8]}"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
         with open(tmp, "wb") as f:
             f.write(data)
-        os.replace(tmp, os.path.join(out_dir, f"shard-{name}.jsonl"))
-        return pa.Table.from_pydict({"rows": pa.array([batch.num_rows], type=pa.int64())})
+        os.replace(tmp, os.path.join(out_dir, f"{name}.{ext}"))
+        return tab.num_rows
 
-    counts = ds.map_batches(write_block, batch_format="pyarrow")
-    return int(counts.sum("rows") or 0)
+    futures, rows, ordinal = [], 0, 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            futures.append(write_block.remote(ref, ordinal))
+            ordinal += 1
+            if len(futures) >= max_in_flight:
+                done, futures = _ray.wait(futures, num_returns=1)
+                rows += sum(_ray.get(done))
+    rows += sum(_ray.get(futures))
+    return int(rows)
+
+
+def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> int:
+    """Write one ``shard-*.jsonl`` file per block; returns row count.
+    Naming/retry contract in :func:`_write_shards`."""
+    return _write_shards(ds, out_dir, "jsonl", _encode_jsonl)
 
 
 def read_csv(
@@ -249,28 +281,18 @@ def read_csv(
     return ds
 
 
-def write_csv(ds: "ray.data.Dataset", out_dir: str) -> int:
-    """Write one ``shard-*.csv`` file per block via Arrow's CSV writer
-    (vectorized, no per-row Python); content-addressed shard names make
-    task retries idempotent, same contract as :func:`write_jsonl`."""
+def _encode_csv(batch: pa.Table) -> bytes:
+    import io as _io
+
     import pyarrow.csv as pacsv
 
-    os.makedirs(out_dir, exist_ok=True)
+    sink = _io.BytesIO()
+    pacsv.write_csv(batch, sink)
+    return sink.getvalue()
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        import io as _io
 
-        sink = _io.BytesIO()
-        pacsv.write_csv(batch, sink)
-        data = sink.getvalue()
-        name = hashlib.md5(data).hexdigest()[:16]
-        tmp = os.path.join(out_dir, f".shard-{name}.tmp")
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, os.path.join(out_dir, f"shard-{name}.csv"))
-        return pa.Table.from_pydict(
-            {"rows": pa.array([batch.num_rows], type=pa.int64())}
-        )
-
-    counts = ds.map_batches(write_block, batch_format="pyarrow")
-    return int(counts.sum("rows") or 0)
+def write_csv(ds: "ray.data.Dataset", out_dir: str) -> int:
+    """Write one ``shard-*.csv`` file per block via Arrow's CSV writer
+    (vectorized, no per-row Python); naming/retry contract in
+    :func:`_write_shards`."""
+    return _write_shards(ds, out_dir, "csv", _encode_csv)

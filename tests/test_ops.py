@@ -63,6 +63,54 @@ class TestDedup:
         assert j[(0, 1)] == 1.0
         assert j[(0, 4)] == 0.0
 
+
+    def test_candidate_ids_gate_paths_pinned_equal(self, monkeypatch):
+        """Above _BROADCAST_MAX_DOCS candidates the verify path must skip
+        the driver-side id array entirely (ids=None, bucketed joins) and
+        still produce the identical pair set."""
+        import raykg.ops.dedup as dd
+
+        kwargs = dict(threshold=0.5, concurrency=1)
+        want = (
+            minhash_lsh_pairs(docs_ds(DUP_ROWS), **kwargs)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        n, ids = dd._candidate_ids(
+            docs_ds(pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3]}))
+        )
+        assert n == 3 and list(ids) == [0, 1, 3]
+        monkeypatch.setattr(dd, "_BROADCAST_MAX_DOCS", 1)
+        n2, ids2 = dd._candidate_ids(
+            docs_ds(pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3]}))
+        )
+        assert n2 == 3 and ids2 is None  # distributed-only path engaged
+        got = (
+            minhash_lsh_pairs(docs_ds(DUP_ROWS), **kwargs)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_embedding_near_gate_paths_pinned_equal(self, monkeypatch):
+        import raykg.ops.dedup as dd
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(6, 8))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append({"doc_id": i, "embedding": v.tolist()})
+            rows.append({"doc_id": 100 + i,
+                         "embedding": (v + rng.normal(scale=1e-3, size=8)).tolist()})
+        want = (
+            embedding_near_pairs(docs_ds(rows), id_column="doc_id", threshold=0.99)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        monkeypatch.setattr(dd, "_BROADCAST_MAX_DOCS", 1)
+        got = (
+            embedding_near_pairs(docs_ds(rows), id_column="doc_id", threshold=0.99)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
     def test_ngram_jaccard_pairs_exact_recall(self):
         # inverted index: every pair with jaccard >= t surfaces, none below
         out = ngram_jaccard_pairs(docs_ds(DUP_ROWS), threshold=0.2).to_pandas()

@@ -321,3 +321,36 @@ class TestCsvIO:
         write_csv(ray.data.from_pandas(df), str(out))
         back = read_csv(str(out), columns=["a", "b"]).to_pandas()
         assert sorted(back.columns) == ["a", "b"]
+
+
+class TestShardNameCollisions:
+    def test_identical_blocks_both_written(self, tmp_path, ray_session):
+        """Two byte-identical blocks must produce two shard files and the
+        full row count — a pure content-addressed shard name silently
+        collapsed them (round-2 advice)."""
+        import pandas as pd
+
+        from raykg.pipeline.io import read_jsonl, write_jsonl
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["same", "rows"]})
+        ds = ray.data.from_pandas(df).union(ray.data.from_pandas(df))
+        out = tmp_path / "dupblocks"
+        assert write_jsonl(ds, str(out)) == 4
+        shards = sorted(out.glob("shard-*.jsonl"))
+        assert len(shards) == 2
+        # ordinal prefix differs, content hash suffix identical
+        assert {p.name.split("-")[2] for p in shards} == {shards[0].name.split("-")[2]}
+        back = read_jsonl([str(p) for p in shards]).to_pandas()
+        assert len(back) == 4
+
+    def test_csv_identical_blocks_both_written(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from raykg.pipeline.io import read_csv, write_csv
+
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        ds = ray.data.from_pandas(df).union(ray.data.from_pandas(df))
+        out = tmp_path / "dupcsv"
+        assert write_csv(ds, str(out)) == 4
+        assert len(sorted(out.glob("shard-*.csv"))) == 2
+        assert len(read_csv(str(out)).to_pandas()) == 4
