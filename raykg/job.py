@@ -41,7 +41,11 @@ def build_graph(
     import os
 
     from .core.ontology import clean_ontology
-    from .pipeline.graph import build_nodes, concept_scores, extract_triples
+    from .pipeline.graph import (
+        build_nodes,
+        concept_scores,
+        triples_from_mentions,
+    )
     from .pipeline.io import PartitionedWriter
     from .pipeline.tag import extract_mentions
 
@@ -56,15 +60,19 @@ def build_graph(
     )
     report: dict = {"out_dir": out_dir, "tables": {}}
 
-    triples = extract_triples(transcripts, ontology, config)
-    w_edges = PartitionedWriter(os.path.join(out_dir, "edges"), num_partitions)
-    s = w_edges.write(triples, key_column="conv_id", resume=resume, fingerprint=fingerprint)
-    report["tables"]["edges"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
-
+    # ONE matcher pass: mentions are extracted and persisted first, then
+    # edges derive from the written mentions table plus a text-free
+    # (conv_id, turn_idx, tool) projection — the dominant stage (string
+    # matching over every turn) never runs twice per corpus.
     mentions = extract_mentions(transcripts, ontology, config)
     w_m = PartitionedWriter(os.path.join(out_dir, "mentions"), num_partitions)
     s = w_m.write(mentions, key_column="conv_id", resume=resume, fingerprint=fingerprint)
     report["tables"]["mentions"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
+
+    triples = triples_from_mentions(w_m.read(), transcripts)
+    w_edges = PartitionedWriter(os.path.join(out_dir, "edges"), num_partitions)
+    s = w_edges.write(triples, key_column="conv_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["edges"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
 
     if isinstance(ontology, list) and ontology and hasattr(ontology[0], "tag"):
         onto_rows = ontology

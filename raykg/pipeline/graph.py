@@ -335,6 +335,119 @@ def _batch_nodes(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(out, schema=NODE_SCHEMA)
 
 
+def triples_from_mentions(
+    mentions: "ray.data.Dataset",
+    transcripts_meta: "ray.data.Dataset",
+    conv_column: str = "conv_id",
+    turn_column: str = "turn_idx",
+    tool_column: str = "tool",
+    include_structural: bool = True,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Triples derived from an EXISTING mentions table plus a text-free
+    metadata pass — so the matcher (the job's dominant cost) runs once per
+    corpus, not once for edges and again for mentions.
+
+    - ``tagged_as``: the per-turn distinct (tag, keyword) set of the
+      mentions table (per-batch dedup bounds the exchange, one sharded
+      distinct makes it globally exact — mentions of one turn may span
+      blocks after a partitioned write/read round trip).
+    - ``utters`` / ``used_tool``: vectorized Arrow kernels over a
+      (conv_id, turn_idx, tool) projection of the transcripts — columns
+      only, the text never leaves storage.
+
+    Pinned equal to :func:`extract_triples` output by test
+    (tests/test_pipeline.py)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.setops import distinct_rows
+
+    def tag_kw_triples(batch: pa.Table) -> pa.Table:
+        conv = batch[conv_column]
+        conv = conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv
+        turn = batch[turn_column]
+        turn = turn.combine_chunks() if isinstance(turn, pa.ChunkedArray) else turn
+        tid = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), "#")
+        subj = pc.binary_join_element_wise(tid, batch["keyword"], "#")
+        tags = batch["tag"]
+        tags = tags.combine_chunks() if isinstance(tags, pa.ChunkedArray) else tags
+        obj = pc.binary_join_element_wise(pa.array(["concept:"] * len(tags)), tags, "")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                subj,
+                pa.array(np.full(n, "tagged_as"), type=pa.string()),
+                obj,
+                conv,
+                pc.cast(turn, pa.int32()),
+                pa.array(np.ones(n), type=pa.float64()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    tagged = distinct_rows(
+        mentions.select_columns([conv_column, turn_column, "tag", "keyword"]),
+        [conv_column, turn_column, "tag", "keyword"],
+        num_shards=num_shards,
+    ).map_batches(tag_kw_triples, batch_format="pyarrow")
+
+    if not include_structural:
+        return tagged
+
+    def structural(batch: pa.Table) -> pa.Table:
+        conv = batch[conv_column]
+        conv = conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv
+        turn = batch[turn_column]
+        turn = turn.combine_chunks() if isinstance(turn, pa.ChunkedArray) else turn
+        turn = pc.cast(turn, pa.int32())
+        tid = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), "#")
+        n = batch.num_rows
+        parts = [
+            pa.Table.from_arrays(
+                [
+                    conv,
+                    pa.array(np.full(n, "utters"), type=pa.string()),
+                    tid,
+                    conv,
+                    turn,
+                    pa.array(np.ones(n), type=pa.float64()),
+                ],
+                schema=TRIPLE_SCHEMA,
+            )
+        ]
+        if tool_column in batch.schema.names:
+            tool = batch[tool_column]
+            tool = tool.combine_chunks() if isinstance(tool, pa.ChunkedArray) else tool
+            mask = pc.fill_null(
+                pc.and_kleene(pc.is_valid(tool), pc.not_equal(tool, "")), False
+            )
+            if pc.any(mask).as_py():
+                m = pc.sum(pc.cast(mask, pa.int64())).as_py()
+                parts.append(
+                    pa.Table.from_arrays(
+                        [
+                            tid.filter(mask),
+                            pa.array(np.full(m, "used_tool"), type=pa.string()),
+                            pc.cast(tool.filter(mask), pa.string()),
+                            conv.filter(mask),
+                            turn.filter(mask),
+                            pa.array(np.ones(m), type=pa.float64()),
+                        ],
+                        schema=TRIPLE_SCHEMA,
+                    )
+                )
+        return pa.concat_tables(parts)
+
+    cols = [conv_column, turn_column]
+    if tool_column in transcripts_meta.schema().names:
+        cols.append(tool_column)
+    struct = transcripts_meta.select_columns(cols).map_batches(
+        structural, batch_format="pyarrow"
+    )
+    return tagged.union(struct)
+
+
 def build_nodes(
     triples: "ray.data.Dataset", ontology_rows=None
 ) -> "ray.data.Dataset":

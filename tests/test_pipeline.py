@@ -354,3 +354,32 @@ class TestShardNameCollisions:
         assert write_csv(ds, str(out)) == 4
         assert len(sorted(out.glob("shard-*.csv"))) == 2
         assert len(read_csv(str(out)).to_pandas()) == 4
+
+
+def test_triples_from_mentions_pinned_to_extract_triples(ray_session):
+    """The job's one-matcher-pass edge derivation must emit exactly the
+    triple set the direct TripleActor pass emits (row-set equality)."""
+    import pandas as pd
+
+    from raykg.pipeline.graph import extract_triples, triples_from_mentions
+    from raykg.pipeline.queries import ONTOLOGY, _cfg
+    from raykg.pipeline.tag import extract_mentions
+    from raykg.pipeline.transcripts import read_transcripts
+
+    sf = "/root/testdata/sf0.001"
+    cfg = _cfg(category_column="category")
+    ds = read_transcripts(sf)
+    want = (
+        extract_triples(ds, ONTOLOGY, cfg)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    mentions = extract_mentions(ds, ONTOLOGY, cfg)
+    got = (
+        triples_from_mentions(mentions, ds)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
