@@ -75,6 +75,16 @@ def unique_list(seq: Sequence) -> List:
     return [x for x in seq if not (x in seen or seen.add(x))]
 
 
+def truncate_text_list(texts: Sequence[str], num_characters: int = 140) -> List[str]:
+    """Truncate each string to ``num_characters`` with an ``(...)`` marker —
+    the reference's log-hygiene helper for error messages that quote
+    documents (cleaning_utils.py:24-40, used at spacy_tokenizer.py:428)."""
+    return [
+        t[:num_characters] + " (...)" if len(t) > num_characters else t
+        for t in texts
+    ]
+
+
 def generate_unique(name: str, existing: Sequence[str], prefix: str | None = None) -> str:
     """Schema-collision-safe naming (cleaning_utils.py:60-81)."""
     base = f"{prefix}_{name}" if prefix else name

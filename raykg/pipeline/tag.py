@@ -198,7 +198,18 @@ class TagActor:
         # single-tokenization fast path (falls back to the reference
         # sentencize->normalize->tokenize flow per sentence when
         # normalization is not the identity)
-        return process_document(matcher, text)
+        try:
+            return process_document(matcher, text)
+        except Exception as e:
+            # the reference quotes the offending docs TRUNCATED in its
+            # tokenization-error message (spacy_tokenizer.py:428,
+            # cleaning_utils.py:24-40) — same log-hygiene contract here
+            from ..core.format import truncate_text_list
+
+            raise type(e)(
+                f"Tokenization error: {e} for document(s): "
+                f"'{truncate_text_list([text or ''])}'"
+            ) from e
 
     def _batch_tag_counts(self, texts, langs):
         """Per row: list of (tag, category, keyword, occurrence_count).

@@ -121,3 +121,37 @@ def test_unique_helpers():
     assert unique_list(["b", "a", "b", "c"]) == ["b", "a", "c"]
     assert generate_unique("tag", ["tag", "tag_1"]) == "tag_2"
     assert generate_unique("tag", ["x"]) == "tag"
+
+
+def test_truncate_text_list():
+    """Reference cleaning_utils.py:24-40 semantics: strings over the limit
+    get cut and marked with ' (...)'; shorter ones pass through."""
+    from raykg.core.format import truncate_text_list
+
+    long = "x" * 200
+    out = truncate_text_list(["short", long], num_characters=140)
+    assert out[0] == "short"
+    assert out[1] == "x" * 140 + " (...)"
+    assert truncate_text_list([]) == []
+
+
+def test_oversize_document_error_quotes_truncated_text():
+    """The per-document tokenization error must quote the doc TRUNCATED
+    (reference spacy_tokenizer.py:428), never the full 10^7-char body."""
+    import pytest
+
+    from raykg.core.ontology import OntologyRow
+    from raykg.pipeline.config import PipelineConfig
+    from raykg.pipeline.tag import TagActor
+
+    actor = TagActor(
+        [OntologyRow("T", "word")],
+        PipelineConfig(language="en", category_column=None),
+    )
+    actor._get_matcher("en").tokenizer.max_num_characters = 50
+    with pytest.raises(ValueError) as ei:
+        actor._doc_mentions("word " * 100, "en")
+    msg = str(ei.value)
+    assert "Tokenization error" in msg and "(...)" in msg
+    # the quoted doc is cut at 140 chars, not the full body
+    assert len(msg) < 400
