@@ -175,6 +175,10 @@ def run_bench() -> dict:
     timed("orders_diff")
     timed("order_ranks")
     timed("clustering_coef")
+    # round-3 session additions
+    timed("tag_lemma_nl")
+    timed("hub_nodes")
+    timed("diameter_est", consume=len)
 
     headline = timings["triples_scaled"]
     result = {
