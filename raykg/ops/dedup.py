@@ -259,6 +259,19 @@ def _candidate_ids(
         )
         return pa.table({"cid": pc.unique(both)})
 
+    # callers pass a MATERIALIZED pair set, so count() is metadata-only;
+    # <= 2 x pair rows bounds the distinct id count, so under the
+    # broadcast bound the per-batch unique partials stream straight to
+    # the driver (the sharded distinct below would be a pure-overhead
+    # exchange at this volume — it cost minhash_pairs ~70% at sf0.1)
+    if 2 * pairs.count() <= max_broadcast:
+        id_set: set = set()
+        for b in pairs.map_batches(ids_of, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            id_set.update(b["cid"].to_pylist())
+        return len(id_set), np.asarray(sorted(id_set), dtype=np.int64)
+
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates("cid")
 
