@@ -183,13 +183,82 @@ class PartitionedWriter:
                 json.dump({"num_partitions": num_partitions, "key_column": key_column}, f)
         return result.sort_values("part").reset_index(drop=True)
 
-    def read(self) -> "ray.data.Dataset":
-        """Read back every complete partition."""
-        paths = [
-            os.path.join(self._part_dir(p), "data.parquet")
-            for p in sorted(self.done_partitions())
-        ]
+    def read(self, partitions: Optional[Set[int]] = None) -> "ray.data.Dataset":
+        """Read back every complete partition (or only ``partitions`` —
+        partition pruning at the read, no post-filter).  Partitions whose
+        manifest records zero rows (emptied by an incremental refresh)
+        have no data file and are skipped."""
+        done = self.done_partitions()
+        if partitions is not None:
+            done &= {int(p) for p in partitions}
+        paths = []
+        for p in sorted(done):
+            with open(self.manifest_path(p)) as f:
+                if json.load(f).get("rows", 0) == 0:
+                    continue
+            paths.append(os.path.join(self._part_dir(p), "data.parquet"))
         return ray.data.read_parquet(paths)
+
+    # -- incremental maintenance ---------------------------------------------
+
+    def invalidate(self, partitions) -> None:
+        """Remove the manifests of ``partitions`` so the next resume-write
+        recomputes exactly them.  Only the manifest goes (atomically, one
+        unlink each); the stale data file stays until its replacement is
+        renamed over it, so a crash between invalidate and rewrite leaves
+        the partition marked incomplete — never half-new."""
+        for p in partitions:
+            path = self.manifest_path(int(p))
+            if os.path.exists(path):
+                os.remove(path)
+
+    def refresh(
+        self,
+        ds: "ray.data.Dataset",
+        key_column: str,
+        partitions,
+        fingerprint: str = "",
+    ) -> pd.DataFrame:
+        """Recompute ONLY ``partitions`` from ``ds``: invalidate them, prune
+        the input to rows hashing into them (a vectorized mask BEFORE any
+        exchange — at 10^12 turns an update touching 0.1% of conversations
+        reads 0.1% of partitions' worth of work, not the corpus), and
+        resume-write (complete partitions are skipped as usual)."""
+        import pyarrow.compute as pc
+
+        from ..ops.hashing import bucket_column
+
+        parts = sorted(int(p) for p in partitions)
+        self.invalidate(parts)
+        want = pa.array(parts, type=pa.int32())
+        num_partitions = self.num_partitions
+
+        def keep(batch: pa.Table) -> pa.Table:
+            pcol = bucket_column(batch[key_column], num_partitions, stable_str=True)
+            return batch.filter(pc.is_in(pcol, value_set=want))
+
+        filtered = ds.map_batches(keep, batch_format="pyarrow")
+        summary = self.write(filtered, key_column, resume=True, fingerprint=fingerprint)
+        # a refreshed partition that received NO rows (all of its keys were
+        # deleted upstream) still becomes COMPLETE: stale data out, a
+        # zero-row manifest in — read() skips it, a later resume keeps it
+        for p in parts:
+            if not os.path.exists(self.manifest_path(p)):
+                pdir = self._part_dir(p)
+                os.makedirs(pdir, exist_ok=True)
+                data_path = os.path.join(pdir, "data.parquet")
+                if os.path.exists(data_path):
+                    os.remove(data_path)
+                mtmp = os.path.join(pdir, ".manifest.json.tmp")
+                with open(mtmp, "w") as f:
+                    json.dump(
+                        {"part": p, "status": "complete", "rows": 0,
+                         "n_keys": 0, "content_md5": None, "columns": [],
+                         "fingerprint": fingerprint},
+                        f,
+                    )
+                os.replace(mtmp, self.manifest_path(p))
+        return summary
 
 
 # --- JSONL source/sink -------------------------------------------------------

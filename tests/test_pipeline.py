@@ -383,3 +383,86 @@ def test_triples_from_mentions_pinned_to_extract_triples(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_update_graph_incremental_equals_rebuild(tmp_path, ray_session):
+    """Incremental maintenance: change one conversation, delete another,
+    add a third — update_graph recomputes only their hash partitions and
+    the final tables row-set-equal a from-scratch build on the new input."""
+    import pandas as pd
+
+    from raykg.job import build_graph, update_graph
+    from raykg.pipeline.queries import ONTOLOGY, _cfg
+    from raykg.pipeline.transcripts import read_transcripts
+
+    cfg = _cfg(category_column="category")
+    base = read_transcripts("/root/testdata/sf0.001").to_pandas()
+    convs = sorted(base["conv_id"].unique())
+    changed, deleted, added = convs[0], convs[1], "conv_brand_new"
+
+    cur = base[base["conv_id"] != deleted].copy()
+    cur.loc[cur["conv_id"] == changed, "text"] = "customer replied to customer"
+    new_rows = base[base["conv_id"] == convs[2]].copy()
+    new_rows["conv_id"] = added
+    cur = pd.concat([cur, new_rows], ignore_index=True)
+
+    out_inc = tmp_path / "inc"
+    out_full = tmp_path / "full"
+    build_graph(ray.data.from_pandas(base), ONTOLOGY, cfg, str(out_inc),
+                num_partitions=8)
+    rep = update_graph(ray.data.from_pandas(cur), ONTOLOGY, cfg, str(out_inc),
+                       [changed, deleted, added], num_partitions=8)
+    assert 1 <= len(rep["updated_partitions"]) <= 3
+    build_graph(ray.data.from_pandas(cur), ONTOLOGY, cfg, str(out_full),
+                num_partitions=8)
+
+    from raykg.pipeline.io import PartitionedWriter
+
+    for tab, parts, key in (("mentions", 8, "conv_id"), ("edges", 8, "conv_id"),
+                            ("nodes", 2, "node_id"), ("concept_scores", 1, "tag")):
+        a = (PartitionedWriter(str(out_inc / tab), parts).read().to_pandas())
+        b = (PartitionedWriter(str(out_full / tab), parts).read().to_pandas())
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=tab)
+
+
+def test_refresh_recomputes_only_target_partitions(tmp_path, ray_session):
+    import glob
+    import json as _json
+
+    import pandas as pd
+
+    from raykg.ops.hashing import partition_of
+    from raykg.pipeline.io import PartitionedWriter
+
+    df = pd.DataFrame({"k": [f"key{i}" for i in range(40)],
+                       "v": list(range(40))})
+    w = PartitionedWriter(str(tmp_path / "t"), 4)
+    w.write(ray.data.from_pandas(df), key_column="k")
+    md5s = {p: _json.load(open(m))["content_md5"]
+            for p, m in enumerate(sorted(glob.glob(str(tmp_path / "t/part=*/manifest.json"))))}
+
+    # keys of partition 2 get new values; other partitions' files must not move
+    target = 2
+    df2 = df.copy()
+    mask = df2["k"].map(lambda k: partition_of(k, 4)) == target
+    assert mask.any()
+    df2.loc[mask, "v"] += 1000
+    w.refresh(ray.data.from_pandas(df2), "k", [target])
+    for p, m in enumerate(sorted(glob.glob(str(tmp_path / "t/part=*/manifest.json")))):
+        new = _json.load(open(m))["content_md5"]
+        assert (new != md5s[p]) == (p == target), p
+    back = w.read().to_pandas().sort_values("k").reset_index(drop=True)
+    want = df2.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["k", "v"]], want, check_dtype=False)
+
+    # delete EVERY key of partition 2: it must become complete-and-empty
+    df3 = df2[~mask]
+    w.refresh(ray.data.from_pandas(df3), "k", [target])
+    man = _json.load(open(w.manifest_path(target)))
+    assert man["status"] == "complete" and man["rows"] == 0
+    assert w.read().to_pandas()["k"].map(
+        lambda k: partition_of(k, 4)
+    ).ne(target).all()
