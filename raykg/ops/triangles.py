@@ -225,9 +225,16 @@ def triangle_counts(
     broadcast_max_nodes: int = 2_000_000,
     broadcast_edges: Optional[bool] = None,
     broadcast_max_edges: int = 50_000_000,
+    already_canonical: bool = False,
 ) -> "ray.data.Dataset":
     """Per-node triangle participation counts ``(node, n_tri)`` — only
     nodes in at least one triangle appear.
+
+    ``already_canonical=True`` promises ``edges`` is a MATERIALIZED
+    distinct undirected (u < v) edge table (e.g. `canonical_edges`
+    output) and skips the canonicalization exchange — composites that
+    share the canonical table (`clustering_coefficients`) save one
+    all-to-all.
 
     ``broadcast_degrees`` picks the orientation engine: ``True`` ships
     the ``(node, deg)`` arrays once via ``ray.put`` (right whenever the
@@ -246,7 +253,11 @@ def triangle_counts(
     path when the edge set itself cannot fit a worker heap).  ``None``
     auto-picks: integer node ids < 2^32 and ≤ ``broadcast_max_edges``
     edges → broadcast.  Engines are pinned equal by test."""
-    canon = canonical_edges(edges, u, v, num_shards).materialize()
+    canon = (
+        edges
+        if already_canonical
+        else canonical_edges(edges, u, v, num_shards).materialize()
+    )
     degrees = _degrees(canon, num_shards)
 
     if broadcast_degrees is None:
@@ -440,7 +451,9 @@ def clustering_coefficients(
     from .join import bucketed_hash_join
 
     canon = canonical_edges(edges, u, v, num_shards).materialize()
-    tri = triangle_counts(canon, num_shards=num_shards).materialize()
+    tri = triangle_counts(
+        canon, num_shards=num_shards, already_canonical=True
+    ).materialize()
     deg = _degrees(canon, num_shards).materialize()
 
     if broadcast is None:
