@@ -2580,15 +2580,18 @@ _TR_VOICELESS = set("fstkçşhp")
 
 
 def build_tr() -> dict:
+    # LEMMA CONVENTION: the verb STEM, not the infinitive — the
+    # reference's own matrix maps çalıştı -> çalış
+    # (test_lemmatization.py), i.e. the spaCy tr lookup convention.
     t: dict = {}
     for inf, stem, past3, prog3 in TR_VERBS:
-        add(t, stem, inf)
-        add(t, past3, inf)
-        add(t, prog3, inf)
+        add(t, inf, stem)
+        add(t, past3, stem)
+        add(t, prog3, stem)
         for f in _tr_past_persons(past3):
-            add(t, f, inf)
+            add(t, f, stem)
         for f in _tr_prog_persons(prog3):
-            add(t, f, inf)
+            add(t, f, stem)
         # negative stem + infinitive-as-noun forms skipped (conservative)
     for noun, cls in TR_NOUNS:
         back = cls == "a"

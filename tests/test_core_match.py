@@ -256,3 +256,8 @@ def test_lemma_reference_parity_pins():
     assert Lemmatizer("nl").lemma("werkten") == "werken"
     assert Lemmatizer("sv").lemma("arbetade") == "arbeta"
     assert Lemmatizer("mk").lemma("работела") == "работи"
+    # Turkish lemma convention is the STEM (reference: çalıştı -> çalış),
+    # never the -mak/-mek infinitive
+    tr = Lemmatizer("tr").table
+    assert tr["geldi"] == "gel" and tr["gitmek"] == "git"
+    assert all(not v.endswith(("mak", "mek")) for v in tr.values())
