@@ -45,6 +45,7 @@ def build_graph(
         build_nodes,
         concept_scores,
         triples_from_mentions,
+        with_node_part_key,
     )
     from .pipeline.io import PartitionedWriter
     from .pipeline.tag import extract_mentions
@@ -80,9 +81,20 @@ def build_graph(
         onto_rows = clean_ontology(
             list(ontology), has_category=config.has_category
         )
-    nodes = build_nodes(w_edges.read(), onto_rows)
+    # nodes route by SOURCE conversation (conv-prefixed node ids) with one
+    # shared global partition for tool/concept rows — the layout that lets
+    # update_graph refresh exactly the changed conversations' node rows.
+    # The fingerprint carries a layout tag so a resume over a pre-v2 output
+    # recomputes instead of silently mixing partition schemes.
+    nodes = with_node_part_key(build_nodes(w_edges.read(), onto_rows))
     w_n = PartitionedWriter(os.path.join(out_dir, "nodes"), max(num_partitions // 4, 1))
-    s = w_n.write(nodes, key_column="node_id", resume=resume, fingerprint=fingerprint)
+    s = w_n.write(
+        nodes,
+        key_column="node_part_key",
+        resume=resume,
+        fingerprint=fingerprint + "|nodes_v2",
+        drop_key_column=True,
+    )
     report["tables"]["nodes"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
 
     scores = concept_scores(w_m.read())
@@ -127,10 +139,13 @@ def update_graph(
       partitions with a vectorized conv-hash mask BEFORE the matcher —
       an update touching 0.1% of conversations runs the expensive stage
       over ~0.1% of the corpus.
-    - ``nodes`` and ``concept_scores`` aggregate ACROSS conversations
-      (not conv-local), so they rebuild from the updated on-disk
-      mentions/edges tables — inputs already orders of magnitude
-      smaller than the corpus.
+    - ``nodes`` are conv-routed (nodes_v2 layout), so only the changed
+      conversations' node partitions plus the single global partition
+      (tool/concept rows) refresh — from output-sized edge-table scans,
+      never the corpus.
+    - ``concept_scores`` aggregates ACROSS conversations, so it rebuilds
+      from the updated on-disk mentions table (one column-pruned read +
+      a concept-sized reduce).
 
     Deleted conversations: include their ids in ``changed_conv_ids``;
     their partitions recompute from the current table (which no longer
@@ -139,12 +154,17 @@ def update_graph(
     Returns the same report shape as :func:`build_graph`."""
     import os
 
+    import ray
+
     from .core.ontology import clean_ontology
     from .ops.hashing import partition_of
     from .pipeline.graph import (
+        NODE_GLOBAL_PART_KEY,
         build_nodes,
         concept_scores,
+        tool_nodes_from_edges,
         triples_from_mentions,
+        with_node_part_key,
     )
     from .pipeline.io import PartitionedWriter
     from .pipeline.tag import extract_mentions
@@ -188,18 +208,62 @@ def update_graph(
     s = w_edges.refresh(triples, "conv_id", parts, fingerprint=fingerprint)
     report["tables"]["edges"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
 
-    # cross-conversation derived tables: full rebuild from the (small)
-    # updated on-disk tables
     if isinstance(ontology, list) and ontology and hasattr(ontology[0], "tag"):
         onto_rows = ontology
     else:
         onto_rows = clean_ontology(
             list(ontology), has_category=config.has_category
         )
-    nodes = build_nodes(w_edges.read(), onto_rows)
+    # nodes are conv-routed (build_graph's nodes_v2 layout), so the update
+    # touches exactly the changed conversations' node partitions plus the
+    # one global partition (tool/concept rows, tool set may shrink/grow):
+    #   - conv-local node rows rebuild from the edge table FILTERED to the
+    #     convs hashing into the affected node partitions (an output-sized
+    #     scan with an early vectorized mask — never the corpus/matcher)
+    #   - the global partition rebuilds from a 2-column pred-filtered scan
     w_n = PartitionedWriter(os.path.join(out_dir, "nodes"), max(num_partitions // 4, 1))
-    w_n.invalidate(range(w_n.num_partitions))
-    s = w_n.write(nodes, key_column="node_id", resume=False, fingerprint=fingerprint)
+    n_fp = fingerprint + "|nodes_v2"
+    p_nodes = w_n.num_partitions
+    n_parts = sorted(
+        {partition_of(str(c), p_nodes) for c in changed_conv_ids}
+        | {partition_of(NODE_GLOBAL_PART_KEY, p_nodes)}
+    )
+    want_n = pa.array(n_parts, type=pa.int32())
+
+    def keep_node_convs(batch: pa.Table) -> pa.Table:
+        pcol = bucket_column(batch["conv_id"], p_nodes, stable_str=True)
+        return batch.filter(pc.is_in(pcol, value_set=want_n))
+
+    conv_nodes = build_nodes(
+        w_edges.read().map_batches(keep_node_convs, batch_format="pyarrow"),
+        None,  # concept rows belong to the global partition below
+    )
+
+    def drop_global_types(batch: pa.Table) -> pa.Table:
+        keep_mask = pc.invert(
+            pc.is_in(batch["node_type"], value_set=pa.array(["tool", "concept"]))
+        )
+        return batch.filter(keep_mask)
+
+    conv_nodes = conv_nodes.map_batches(drop_global_types, batch_format="pyarrow")
+    global_nodes = tool_nodes_from_edges(w_edges.read())
+    if onto_rows:
+        from .pipeline.graph import NODE_SCHEMA, _uniq_tags, concept_id
+
+        concept_rows = pa.Table.from_pydict(
+            {
+                "node_id": [concept_id(r.tag) for r in _uniq_tags(onto_rows)],
+                "node_type": ["concept"] * len(_uniq_tags(onto_rows)),
+                "label": [r.tag for r in _uniq_tags(onto_rows)],
+                "category": [r.category for r in _uniq_tags(onto_rows)],
+            },
+            schema=NODE_SCHEMA,
+        )
+        global_nodes = global_nodes.union(ray.data.from_arrow(concept_rows))
+    nodes = with_node_part_key(conv_nodes.union(global_nodes))
+    s = w_n.refresh(
+        nodes, "node_part_key", n_parts, fingerprint=n_fp, drop_key_column=True
+    )
     report["tables"]["nodes"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
 
     scores = concept_scores(w_m.read())

@@ -448,6 +448,79 @@ def triples_from_mentions(
     return tagged.union(struct)
 
 
+NODE_GLOBAL_PART_KEY = "__kg_global__"
+
+
+def with_node_part_key(nodes: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Append ``node_part_key``: the routing key that makes the node table
+    INCREMENTALLY maintainable.  conversation/turn/mention node ids are
+    conv-prefixed ('conv', 'conv#turn', 'conv#turn#kw'), so those rows
+    route by their source conversation — a changed conv maps to an exact
+    node-partition set; the cross-conversation node types (tool, concept)
+    route to one shared ``__kg_global__`` partition that every update
+    rebuilds from a column-pruned scan (their cardinality is tool/ontology
+    sized, not corpus sized).
+
+    Assumes conv_ids do not contain ``#`` — the id separator the whole
+    node-id scheme is built on (`turn_id`)."""
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch["node_id"]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        types = batch["node_type"]
+        conv = pc.list_element(pc.split_pattern(ids, "#"), 0)
+        key = pc.if_else(
+            pc.is_in(types, value_set=pa.array(["tool", "concept"])),
+            pa.scalar(NODE_GLOBAL_PART_KEY),
+            conv,
+        )
+        return batch.append_column("node_part_key", key)
+
+    return nodes.map_batches(add, batch_format="pyarrow")
+
+
+def tool_nodes_from_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The global tool-node rows from a column-pruned scan of the edge
+    table: distinct ``obj`` of ``used_tool`` edges (tool cardinality —
+    tiny — is the exchange volume after per-batch dedup)."""
+    from ..ops.setops import distinct_rows
+
+    def just_tools(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(batch["pred"], "used_tool")
+        return pa.table({"obj": batch["obj"].filter(keep)})
+
+    tools = distinct_rows(
+        edges.select_columns(["pred", "obj"]).map_batches(
+            just_tools, batch_format="pyarrow"
+        ),
+        ["obj"],
+        num_shards=16,
+    )
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        obj = batch["obj"]
+        obj = obj.combine_chunks() if isinstance(obj, pa.ChunkedArray) else obj
+        n = len(obj)
+        return pa.Table.from_arrays(
+            [
+                pc.binary_join_element_wise(
+                    pa.array(["tool:"] * n), obj, ""
+                ),
+                pa.array(["tool"] * n, type=pa.string()),
+                pc.cast(obj, pa.string()),
+                pa.nulls(n, type=pa.string()),
+            ],
+            schema=NODE_SCHEMA,
+        )
+
+    return tools.map_batches(to_nodes, batch_format="pyarrow")
+
+
 def build_nodes(
     triples: "ray.data.Dataset", ontology_rows=None
 ) -> "ray.data.Dataset":

@@ -95,13 +95,17 @@ class PartitionedWriter:
         key_column: str = "conv_id",
         resume: bool = True,
         fingerprint: str = "",
+        drop_key_column: bool = False,
     ) -> pd.DataFrame:
         """Hash-partition by ``key_column`` and write one parquet + manifest
         per partition; returns the manifest summary as a small DataFrame.
 
         With ``resume=True``, rows in already-complete partitions are dropped
         *before* the shuffle (and callers that can push the filter to the
-        read should do so via ``done_partitions()``).
+        read should do so via ``done_partitions()``).  With
+        ``drop_key_column=True`` the key is a ROUTING-ONLY helper column
+        and is removed from the written data (callers whose partition key
+        is derived, e.g. the node table's source-conv key).
         """
         num_partitions = self.num_partitions
         with_part = add_partition_column(ds, key_column, num_partitions)
@@ -129,7 +133,9 @@ class PartitionedWriter:
             part = int(g["part"][0].as_py())
             pdir = part_dir_fmt(part)
             os.makedirs(pdir, exist_ok=True)
-            data = g.drop_columns(["part"])
+            data = g.drop_columns(
+                ["part", key_column] if drop_key_column else ["part"]
+            )
             tmp = os.path.join(pdir, ".data.parquet.tmp")
             final = os.path.join(pdir, "data.parquet")
             with pq.ParquetWriter(tmp, data.schema) as writer:
@@ -218,6 +224,7 @@ class PartitionedWriter:
         key_column: str,
         partitions,
         fingerprint: str = "",
+        drop_key_column: bool = False,
     ) -> pd.DataFrame:
         """Recompute ONLY ``partitions`` from ``ds``: invalidate them, prune
         the input to rows hashing into them (a vectorized mask BEFORE any
@@ -238,7 +245,10 @@ class PartitionedWriter:
             return batch.filter(pc.is_in(pcol, value_set=want))
 
         filtered = ds.map_batches(keep, batch_format="pyarrow")
-        summary = self.write(filtered, key_column, resume=True, fingerprint=fingerprint)
+        summary = self.write(
+            filtered, key_column, resume=True, fingerprint=fingerprint,
+            drop_key_column=drop_key_column,
+        )
         # a refreshed partition that received NO rows (all of its keys were
         # deleted upstream) still becomes COMPLETE: stale data out, a
         # zero-row manifest in — read() skips it, a later resume keeps it
