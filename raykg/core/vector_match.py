@@ -2,21 +2,33 @@
 
 The general path tokenizes row by row in Python.  For the overwhelmingly
 common large-corpus shape — ASCII text whose tokens are plain alphanumeric
-words separated by single spaces — matching is expressible entirely in
-Arrow/numpy batch kernels:
+words separated by single spaces — a token-sequence match IS a byte-substring
+match at space boundaries, so matching runs directly on the Arrow string
+column's data buffer with numpy kernels and never tokenizes at all:
 
-    pc.ascii_lower (if ignore_case) -> pc.split_pattern(" ")
-      -> list_flatten + dictionary_encode      (one pass, zero Python strings
-                                                except the tiny per-batch vocab)
-      -> LUT remap: vocab index -> pattern-token id
-      -> per-pattern hits via shifted equality on the flat id array
-      -> per-row counts via bincount on the row-id array
+    zero-copy view of the concatenated row bytes + the offsets array
+      -> (if ignore_case) branchless ASCII lower in one vector pass
+      -> per pattern: candidate positions where byte[pos] == pattern[0],
+         narrowed by vectorized equality on the remaining pattern bytes
+      -> boundary check (space or row edge on both sides) + same-row check
+         via searchsorted on the row-offsets array
+      -> per-row counts via bincount
+
+This replaced an earlier split_pattern + dictionary_encode + shifted-equality
+design: the byte kernel skips the per-batch tokenize/vocab build entirely
+(~2x on the triple-build hot stage) and is pinned equal to the general
+per-row engine by the fuzz suite (tests/test_vector_match.py).
 
 Eligibility is per row (``isascii`` + alnum-and-space only + whole text is
 one sentence) so mixed batches split into a vectorized majority and a
-general-path remainder with identical semantics.  Lemma mode always takes
-the general path; category (longest-match) mode is vectorizable only when
-no two patterns share a token (overlaps impossible), checked at build time.
+general-path remainder with identical semantics.  Because eligible rows are
+single-space separated alnum words with no leading/trailing space, a byte
+match bounded by spaces/row edges and contained in one row is exactly a
+token-sequence match — including overlapping self-matches, which the
+all-matches mode counts and which the candidate scan also finds.  Lemma mode
+always takes the general path; category (longest-match) mode is vectorizable
+only when no two patterns share a token (overlaps impossible), checked at
+build time.
 
 Used by the count/rollup/triple stages, which need (pattern -> occurrence
 count) per row but not character offsets.
@@ -60,7 +72,8 @@ class VectorizedExactMatcher:
                     self.mode_ok = False
                     break
                 seen.update(toks)
-        # token text -> dense id over all pattern tokens
+        # token text -> dense id over all pattern tokens (used only for the
+        # mode_ok disjointness check above and kept for introspection)
         self.token_ids: Dict[str, int] = {}
         self.pattern_id_seqs: List[Tuple[int, ...]] = []
         for toks in matcher.pattern_tokens:
@@ -69,6 +82,18 @@ class VectorizedExactMatcher:
                 tid = self.token_ids.setdefault(t, len(self.token_ids))
                 seq.append(tid)
             self.pattern_id_seqs.append(tuple(seq))
+        # the byte form each pattern takes inside an eligible row: tokens
+        # joined by the single space eligible rows guarantee.  Non-ASCII
+        # pattern bytes simply never match an (all-ASCII) eligible row.
+        self.pattern_bytes: List[bytes] = [
+            " ".join(toks).encode("utf-8") for toks in matcher.pattern_tokens
+        ]
+        # 256-entry LUT of the patterns' first bytes: ONE vectorized pass
+        # finds every candidate start for every pattern at once
+        self.first_byte_lut = np.zeros(256, dtype=bool)
+        for pb in self.pattern_bytes:
+            if pb:
+                self.first_byte_lut[pb[0]] = True
 
     # -- row eligibility ----------------------------------------------------
 
@@ -79,7 +104,9 @@ class VectorizedExactMatcher:
         """True where the row is simple: ASCII alnum words separated by
         single spaces (no punctuation -> no sentence boundaries, no affix
         tokenization).  Accepts a pyarrow Array (vectorized RE2 check, no
-        per-row Python strings) or a Python sequence."""
+        per-row Python strings) or a Python sequence.  (A numpy byte-LUT
+        variant was measured here and lost to RE2: the per-row segment
+        reductions cost more than the single regex pass.)"""
         if isinstance(texts, (pa.Array, pa.ChunkedArray)):
             if isinstance(texts, pa.ChunkedArray):
                 texts = texts.combine_chunks()
@@ -111,15 +138,83 @@ class VectorizedExactMatcher:
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int64),
         )
-        if n == 0 or not self.pattern_id_seqs:
+        if n == 0 or not self.pattern_bytes:
             return empty
+
+        if isinstance(texts, pa.ChunkedArray):
+            arr = texts.combine_chunks()
+        elif isinstance(texts, pa.Array):
+            arr = texts
+        else:
+            arr = pa.array(texts, type=pa.string())
+
+        # zero-copy view of the concatenated row bytes + per-row bounds
+        dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=dt)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        base = int(offs[0])
+        starts = offs[:-1] - base
+        ends = offs[1:] - base
+        total = int(ends[-1])
+        data_buf = arr.buffers()[2]
+        if data_buf is None or total == 0:
+            return empty
+        buf = np.frombuffer(data_buf, dtype=np.uint8)[base : base + total]
+        if self.ignore_case:
+            low = np.where((buf >= 65) & (buf <= 90), buf + 32, buf)
+        else:
+            low = buf
+        T = total
+
+        # ONE pass finds the candidate starts for every pattern: positions at
+        # a token start (row start, or preceded by a space — spaces are only
+        # ever intra-row since eligible rows never start/end with one) whose
+        # byte is some pattern's first byte.  Everything after is
+        # proportional to the candidate count, not the buffer length.
+        tok_start = np.empty(T, dtype=bool)
+        tok_start[0] = True
+        np.equal(low[:-1], 32, out=tok_start[1:])
+        # starts<T: an empty trailing row has start==T (out of bounds); an
+        # empty mid-batch row's start is the next row's start — already a
+        # genuine token start
+        tok_start[starts[starts < T]] = True
+        cand_all = np.nonzero(self.first_byte_lut[low] & tok_start)[0]
+        if not len(cand_all):
+            return empty
+        b0 = low[cand_all]
+
         rows_out: List[np.ndarray] = []
         pids_out: List[np.ndarray] = []
         counts_out: List[np.ndarray] = []
-        for pid, rows, per_row in self._pattern_row_counts(texts):
-            rows_out.append(rows)
-            pids_out.append(np.full(len(rows), pid, dtype=np.int64))
-            counts_out.append(per_row)
+        for pid, pb in enumerate(self.pattern_bytes):
+            L = len(pb)
+            if L == 0 or L > T:
+                continue
+            cand = cand_all[b0 == pb[0]]
+            if L > 1:
+                cand = cand[cand <= T - L]
+                for k in range(1, L):
+                    if not len(cand):
+                        break
+                    cand = cand[low[cand + k] == pb[k]]
+            if not len(cand):
+                continue
+            row = np.searchsorted(ends, cand, side="right")
+            # right boundary: a space or the row's own edge, with the whole
+            # match inside one row (rows abut directly in the buffer); the
+            # left boundary is the tok_start filter above
+            e = cand + L
+            row_end = ends[row]
+            at_e = low[np.minimum(e, T - 1)]
+            ok = (e == row_end) | ((e < row_end) & (at_e == 32))
+            if not ok.any():
+                continue
+            per_row = np.bincount(row[ok], minlength=n)
+            hit_rows = np.nonzero(per_row)[0]
+            rows_out.append(hit_rows.astype(np.int64))
+            pids_out.append(np.full(len(hit_rows), pid, dtype=np.int64))
+            counts_out.append(per_row[hit_rows].astype(np.int64))
         if not rows_out:
             return empty
         return (
@@ -127,52 +222,6 @@ class VectorizedExactMatcher:
             np.concatenate(pids_out),
             np.concatenate(counts_out),
         )
-
-    def _pattern_row_counts(self, texts):
-        """Yield (pid, rows_with_hits, counts_per_those_rows)."""
-        n = len(texts)
-        if isinstance(texts, pa.ChunkedArray):
-            arr = texts.combine_chunks()
-        elif isinstance(texts, pa.Array):
-            arr = texts
-        else:
-            arr = pa.array(texts, type=pa.string())
-        if self.ignore_case:
-            arr = pc.ascii_lower(arr)
-        toks = pc.split_pattern(arr, " ")
-        flat = pc.list_flatten(toks)
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        enc = pc.dictionary_encode(flat)
-        # map the (tiny) per-batch vocabulary to pattern-token ids once
-        vocab = enc.dictionary.to_pylist() if isinstance(enc, pa.DictionaryArray) else enc.combine_chunks().dictionary.to_pylist()
-        lut = np.full(len(vocab), -1, dtype=np.int64)
-        tid_of = self.token_ids
-        for vi, v in enumerate(vocab):
-            tid = tid_of.get(v)
-            if tid is not None:
-                lut[vi] = tid
-        indices = (
-            enc.indices if isinstance(enc, pa.DictionaryArray) else enc.combine_chunks().indices
-        ).to_numpy(zero_copy_only=False)
-        ids = lut[indices]  # -1 = token not in any pattern
-
-        for pid, seq in enumerate(self.pattern_id_seqs):
-            L = len(seq)
-            if len(ids) < L:
-                continue
-            mask = ids[: len(ids) - L + 1] == seq[0]
-            for k in range(1, L):
-                mask &= ids[k : len(ids) - L + 1 + k] == seq[k]
-            if L > 1:
-                # a hit must not cross a row boundary
-                mask &= row_id[: len(ids) - L + 1] == row_id[L - 1 :]
-            if not mask.any():
-                continue
-            rows = row_id[: len(ids) - L + 1][mask]
-            per_row = np.bincount(rows, minlength=n)
-            hit_rows = np.nonzero(per_row)[0]
-            yield pid, hit_rows.astype(np.int64), per_row[hit_rows].astype(np.int64)
 
     def batch_counts(self, texts) -> List[Dict[int, int]]:
         """Per eligible row: {pattern_id: occurrence count} (dict form of

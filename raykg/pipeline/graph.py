@@ -110,16 +110,29 @@ class TripleActor(MentionActor):
         tid = pc.binary_join_element_wise(conv_col, pc.cast(turn_col, pa.string()), "#")
         parts = []
 
+        # constant pred/weight columns: build once per actor at a growing
+        # high-water length and zero-copy slice per batch (np.full of Python
+        # strings re-encoded every call measured ~10% of the whole stage)
+        consts = getattr(self, "_const_cols", None)
+        if consts is None:
+            consts = self._const_cols = {}
+
+        def const_col(key, m, make):
+            arr = consts.get(key)
+            if arr is None or len(arr) < m:
+                arr = consts[key] = make(max(m, 2 * len(arr) if arr is not None else m))
+            return arr.slice(0, m)
+
         def triple_table(subj, pred, obj, conv, turn):
             m = len(subj)
             return pa.Table.from_arrays(
                 [
                     subj,
-                    pa.array(np.full(m, pred), type=pa.string()),
+                    const_col(pred, m, lambda k: pa.array(np.full(k, pred), type=pa.string())),
                     obj,
                     conv,
                     turn,
-                    pa.array(np.ones(m), type=pa.float64()),
+                    const_col("__w1", m, lambda k: pa.array(np.ones(k), type=pa.float64())),
                 ],
                 schema=TRIPLE_SCHEMA,
             )

@@ -160,3 +160,29 @@ def test_fuzz_repeated_word_keywords_no_category():
     fast = vm.batch_counts(texts)
     for i, t in enumerate(texts):
         assert resolved_counts(m, fast[i]) == slow_counts(m, t), t
+
+
+def test_byte_kernel_edges():
+    # hazards specific to the byte-buffer kernel: a keyword inside a longer
+    # word, matches that would span row boundaries in the concatenated
+    # buffer, empty rows (incl. trailing), sliced/offset arrays, and
+    # large_string input
+    onto = clean_ontology([("Engine", "spark", "tech"), ("B", "ab", "x")], True)
+    m = compile_matcher(onto, "en", MatchConfig(), True)
+    vm = VectorizedExactMatcher(m)
+    out = vm.batch_counts(["ab", "", "drab spark sparkle", ""])
+    assert out[0] == {1: 1}
+    assert out[2] == {0: 1}  # not "drab"/"sparkle" substrings
+    assert out[1] == {} and out[3] == {}
+    # row-boundary span: rows "x spa" + "rk y" abut as "x spark y" in the
+    # concatenated buffer, so a naive byte scan would see "spark"; the
+    # same-row check must reject it
+    rows, pids, counts = vm.batch_hits(["x spa", "rk y"])
+    assert len(rows) == 0
+    # sliced array with non-zero offset + large_string agree with lists
+    arr = pa.array(["pad", "spark ab", "ab spark spark"], type=pa.string())
+    sl = arr.slice(1, 2)
+    got = vm.batch_counts(sl)
+    assert got == vm.batch_counts(["spark ab", "ab spark spark"])
+    ls = pa.array(["spark ab"], type=pa.large_string())
+    assert vm.batch_counts(ls) == vm.batch_counts(["spark ab"])
