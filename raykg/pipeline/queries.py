@@ -871,35 +871,65 @@ def q_simhash_pairs(sf_dir: str):
 
 EMB_PLANT_OFFSET = 1_000_000
 EMB_PLANT_EPS = 0.05
+SEMDEDUP_K = 8  # seed count for the semantic-dedup clustering
+
+
+def _with_planted(batch: pa.Table) -> pa.Table:
+    """Augment an embeddings batch with DETERMINISTIC planted near-dups
+    (e'[i] = e[i] + 0.05*e[(i%d)+1], vec_id + 1e6) — the raw table is random
+    gaussian with max pairwise cosine ~0.51, so without planting every
+    near-dup query over it is vacuous.  The derivation is SQL-expressible,
+    so oracles rebuild the identical augmented table; planted pairs sit at
+    cosine ~0.9987, far above the 0.9 thresholds."""
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    e = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    pert = e + EMB_PLANT_EPS * np.roll(e, -1, axis=1)
+    out_ids = np.concatenate([ids, ids + EMB_PLANT_OFFSET])
+    out_e = np.concatenate([e, pert])
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(out_ids, type=pa.int64()),
+            "embedding": pa.array(out_e.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
 
 
 def q_embedding_near(sf_dir: str):
-    """Embedding near-dup pairs over the embeddings table augmented with
-    DETERMINISTIC planted near-duplicates (e'[i] = e[i] + 0.05*e[(i%d)+1],
-    vec_id + 1e6) so the query is non-vacuous — the raw table is random
-    gaussian with max pairwise cosine ~0.51.  The same derivation is
-    SQL-expressible, so the DuckDB oracle computes brute-force cosine over
-    the identical augmented table; planted pairs sit at cosine ~0.9987,
-    far above the 0.9 threshold, and multi-table LSH recall at that cosine
-    is 1 - 8.5e-10 per pair."""
-
-    def with_planted(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        e = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        pert = e + EMB_PLANT_EPS * np.roll(e, -1, axis=1)
-        out_ids = np.concatenate([ids, ids + EMB_PLANT_OFFSET])
-        out_e = np.concatenate([e, pert])
-        return pa.Table.from_pydict(
-            {
-                "vec_id": pa.array(out_ids, type=pa.int64()),
-                "embedding": pa.array(out_e.tolist(), type=pa.list_(pa.float64())),
-            }
-        )
-
+    """Embedding near-dup pairs over the planted-dup-augmented embeddings
+    table (see _with_planted); the DuckDB oracle computes brute-force cosine
+    over the identical augmented table, and multi-table LSH recall at the
+    planted cosine ~0.9987 is 1 - 8.5e-10 per pair."""
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(with_planted, batch_format="pyarrow")
+    ).map_batches(_with_planted, batch_format="pyarrow")
     return dedup_ops.embedding_near_pairs(emb, threshold=0.9)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (cluster the embedding space, drop
+    near-identical members within each cluster) over the same planted-dup
+    augmented table as embedding_near.  Clustering is the deterministic
+    spherical assignment to the first SEMDEDUP_K base vectors (row-group
+    filter pushdown reads ONLY those K rows on the driver; at real scale the
+    seeds would come from ops.kmeans.fit_distributed — assignment and the
+    within-cluster pass are identical either way).  Each planted copy lands
+    in its source's cluster at cosine ~0.9987 and is dropped as dominated;
+    the oracle mirrors assignment (row_number over cosine DESC, sid) and the
+    dominance rule (EXISTS earlier same-cluster row with cosine >= 0.9)
+    exactly."""
+    import pyarrow.parquet as pq
+
+    seeds_tab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", SEMDEDUP_K)],
+    )
+    sdf = seeds_tab.to_pandas().sort_values("vec_id")
+    seeds = np.array(sdf["embedding"].tolist(), dtype=np.float64)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_with_planted, batch_format="pyarrow")
+    return dedup_ops.semantic_dedup(emb, seeds, threshold=0.9)
 
 
 def q_media_features(sf_dir: str):
@@ -2841,6 +2871,7 @@ QUERIES: Dict[str, Callable] = {
     "ngram_top": q_ngram_top,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
+    "semdedup": q_semdedup,
     "media_features": q_media_features,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -3390,6 +3421,34 @@ ORACLE_SQL: Dict[str, str] = {
 # ann_ivf probes every list (nprobe = nlist), so IVF output is exactly the
 # brute-force top-k — same oracle
 ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+# semdedup: same augmented table as embedding_near; cluster = nearest of the
+# first K base vectors by cosine (ties -> smaller sid, mirrored by the
+# row_number ORDER BY); kept = no earlier same-cluster row at cosine >= 0.9.
+# Assignment argmax parity is safe: seed-cosine gaps on gaussian data are
+# O(0.01+) vs ~1e-15 float-summation-order noise, and the 0.9 threshold sits
+# between the planted ~0.9987 and the ~0.51 random ceiling.
+ORACLE_SQL["semdedup"] = f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pert AS (SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id,
+                    list_transform(generate_series(1, len(e)),
+                                   i -> e[i] + {EMB_PLANT_EPS} * e[(i % len(e)) + 1]) AS e
+             FROM base),
+    all_e AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM pert),
+    seeds AS (SELECT vec_id AS sid, e AS se FROM base WHERE vec_id < {SEMDEDUP_K}),
+    scored AS (SELECT a.vec_id, a.e, s.sid,
+                      row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY list_cosine_similarity(a.e, s.se) DESC, s.sid) AS rn
+               FROM all_e a CROSS JOIN seeds s),
+    assigned AS (SELECT vec_id, e, sid AS cluster FROM scored WHERE rn = 1),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM assigned a JOIN assigned b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.e, b.e) >= 0.9)
+    SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assigned v LEFT JOIN dropped d USING (vec_id)
+"""
 
 # native DuckDB ASOF LEFT JOIN — identical backward semantics
 ORACLE_SQL["asof_clicks"] = """

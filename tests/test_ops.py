@@ -14,6 +14,7 @@ from raykg.ops.dedup import (
     jaccard_verify,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_near_pairs,
 )
 from raykg.ops.multimodal import MediaFeatureActor, documents_to_media, extract_media_features
@@ -289,6 +290,54 @@ class TestDedup:
         out = embedding_near_pairs(docs_ds(rows), threshold=0.99).to_pandas()
         pairs = set(zip(out["id_a"], out["id_b"]))
         assert {(0, 1), (2, 3), (4, 5), (6, 7)} <= pairs
+
+    def test_semantic_dedup_matches_bruteforce(self):
+        # random vectors + planted near-dups; pin (cluster, kept) against an
+        # in-Python brute force of the documented semantics (argmax-cosine
+        # assignment, dominance by ANY earlier same-cluster row)
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 12)
+        vecs = np.concatenate([base, base[:15] + 0.01 * rng.randn(15, 12)])
+        ids = np.concatenate([np.arange(40), 1000 + np.arange(15)])
+        seeds = base[:4]
+        rows = [{"vec_id": int(i), "embedding": v.tolist()} for i, v in zip(ids, vecs)]
+        out = (
+            semantic_dedup(docs_ds(rows), seeds, threshold=0.95, num_shards=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        en = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+        sn = seeds / np.linalg.norm(seeds, axis=1)[:, None]
+        cl = np.argmax(en @ sn.T, axis=1)
+        order = np.argsort(ids)
+        exp_rows = []
+        for j in order:
+            dominated = any(
+                ids[i] < ids[j] and cl[i] == cl[j] and en[i] @ en[j] >= 0.95
+                for i in order
+            )
+            exp_rows.append((ids[j], cl[j], 0 if dominated else 1))
+        got = list(zip(out["vec_id"], out["cluster"], out["kept"]))
+        assert got == exp_rows
+        # every planted copy shares its source's cluster and is dropped
+        planted = out[out["vec_id"] >= 1000]
+        assert (planted["kept"] == 0).all()
+
+    def test_semantic_dedup_member_cap(self):
+        # above the cap only the cap-many smallest-id rows dominate: with a
+        # cluster of 4 near-identical vectors and cap=2, rows 1..3 are all
+        # dominated by row 0 (in the prefix); a cap that excluded the only
+        # dominator would keep everything
+        v = np.array([1.0, 0.0, 0.0, 0.0])
+        rows = [
+            {"vec_id": i, "embedding": (v + 1e-6 * np.arange(4) * i).tolist()}
+            for i in range(4)
+        ]
+        out = semantic_dedup(
+            docs_ds(rows), v[None, :], threshold=0.99, max_cluster_members=2
+        ).to_pandas().sort_values("vec_id")
+        assert out["kept"].tolist() == [1, 0, 0, 0]
 
 
 @pytest.mark.usefixtures("ray_session")
