@@ -179,6 +179,7 @@ def run_bench() -> dict:
     timed("tag_lemma_nl")
     timed("hub_nodes")
     timed("diameter_est", consume=len)
+    timed("semdedup")
 
     headline = timings["triples_scaled"]
     result = {
