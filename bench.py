@@ -180,6 +180,7 @@ def run_bench() -> dict:
     timed("hub_nodes")
     timed("diameter_est", consume=len)
     timed("semdedup")
+    timed("entity_resolve")
 
     headline = timings["triples_scaled"]
     result = {

@@ -932,6 +932,44 @@ def q_semdedup(sf_dir: str):
     return dedup_ops.semantic_dedup(emb, seeds, threshold=0.9)
 
 
+ENT_PLANT_OFFSET = 10_000_000
+
+
+def q_entity_resolve(sf_dir: str):
+    """Blocked fuzzy entity resolution over part names augmented with
+    DETERMINISTIC planted typos (drop the 6th character, id + 1e7 — min
+    name length in the table is 7, and dropping PAST the 4-char block
+    prefix keeps the typo inside its source's block).  Identical labels
+    collapse through the label-distinct stage; the typo variants attach
+    at Levenshtein distance 1.  The oracle mirrors every stage — lower()
+    normalization, min-id label representative, prefix-4 blocking,
+    levenshtein <= 2 pairs, recursive-CTE components, singleton
+    fallback to own representative."""
+    from raykg.ops import entity as entity_ops
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def with_typos(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["p_partkey"].to_pylist(), dtype=np.int64)
+        names = batch["p_name"].to_pylist()
+        typos = [s[:5] + s[6:] for s in names]
+        return pa.table(
+            {
+                "ent_id": pa.array(
+                    np.concatenate([ids, ids + ENT_PLANT_OFFSET]), type=pa.int64()
+                ),
+                "label": pa.array(names + typos, type=pa.string()),
+            }
+        )
+
+    ents = parts.map_batches(with_typos, batch_format="pyarrow")
+    return entity_ops.resolve_entities(
+        ents, id_column="ent_id", label_column="label", block_prefix=4, max_dist=2
+    )
+
+
 def q_media_features(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -2872,6 +2910,7 @@ QUERIES: Dict[str, Callable] = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_near": q_embedding_near,
     "semdedup": q_semdedup,
+    "entity_resolve": q_entity_resolve,
     "media_features": q_media_features,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -3448,6 +3487,31 @@ ORACLE_SQL["semdedup"] = f"""
     SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
     FROM assigned v LEFT JOIN dropped d USING (vec_id)
+"""
+
+# entity_resolve: full mirror of the blocked-ER stages — planted-typo
+# augmentation (drop char 6), lower() normalization, min-id label
+# representative, prefix-4 block + levenshtein<=2 pairs over DISTINCT
+# labels, recursive-CTE min-label components, singletons -> own rep.
+ORACLE_SQL["entity_resolve"] = f"""
+    WITH RECURSIVE e0 AS (
+        SELECT p_partkey AS ent_id, lower(p_name) AS nm FROM part
+        UNION ALL
+        SELECT p_partkey + {ENT_PLANT_OFFSET},
+               lower(substr(p_name, 1, 5) || substr(p_name, 7)) FROM part),
+    lab AS (SELECT nm, MIN(ent_id) AS rep FROM e0 GROUP BY nm),
+    p AS (SELECT LEAST(a.rep, b.rep) AS ra, GREATEST(a.rep, b.rep) AS rb
+          FROM lab a JOIN lab b
+            ON substr(a.nm, 1, 4) = substr(b.nm, 1, 4)
+           AND a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 2),
+    e AS (SELECT ra AS src, rb AS dst FROM p UNION SELECT rb, ra FROM p),
+    cc(node, label) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node),
+    rc AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node)
+    SELECT e0.ent_id, CAST(COALESCE(rc.cl, lab.rep) AS BIGINT) AS canonical_id
+    FROM e0 JOIN lab USING (nm) LEFT JOIN rc ON rc.node = lab.rep
 """
 
 # native DuckDB ASOF LEFT JOIN — identical backward semantics

@@ -341,6 +341,96 @@ class TestDedup:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestEntityResolve:
+    def test_bounded_levenshtein(self):
+        import itertools
+
+        from raykg.ops.entity import bounded_levenshtein
+
+        # pin against a plain full DP over a brute-force corpus
+        def full(a, b):
+            la, lb = len(a), len(b)
+            d = [[0] * (lb + 1) for _ in range(la + 1)]
+            for i in range(la + 1):
+                d[i][0] = i
+            for j in range(lb + 1):
+                d[0][j] = j
+            for i in range(1, la + 1):
+                for j in range(1, lb + 1):
+                    d[i][j] = min(
+                        d[i - 1][j] + 1,
+                        d[i][j - 1] + 1,
+                        d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return d[la][lb]
+
+        words = ["", "a", "ab", "abc", "acb", "abcd", "xabc", "kitten", "sitting"]
+        for a, b in itertools.product(words, words):
+            t = full(a, b)
+            for k in range(4):
+                got = bounded_levenshtein(a, b, k)
+                assert got == t if t <= k else got == k + 1
+
+    def test_resolve_entities_matches_bruteforce(self):
+        from raykg.ops.entity import bounded_levenshtein, resolve_entities
+
+        rows = [
+            {"ent_id": 0, "label": "Acme Corp"},
+            {"ent_id": 1, "label": "acme corp"},   # case variant of 0
+            {"ent_id": 2, "label": "acme  corp"},  # 1 edit from 0
+            {"ent_id": 3, "label": "Acme Group"},  # 4 edits: separate
+            {"ent_id": 4, "label": "Bolt Inc"},
+            {"ent_id": 5, "label": "bolt inc."},   # 1 edit from 4
+            {"ent_id": 6, "label": "Bolt Inc"},    # exact dup of 4
+            {"ent_id": 7, "label": "zeta"},        # singleton
+            {"ent_id": 8, "label": "zeta"},        # exact dup of 7
+        ]
+        out = (
+            resolve_entities(docs_ds(rows), num_shards=3)
+            .to_pandas()
+            .sort_values("ent_id")
+            .reset_index(drop=True)
+        )
+        # brute force of the documented semantics
+        import itertools
+
+        nms = {r["ent_id"]: r["label"].lower() for r in rows}
+        reps: dict = {}
+        for i, nm in sorted(nms.items()):
+            reps.setdefault(nm, i)
+        parent = {r: r for r in reps.values()}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for (na, ra), (nb, rb) in itertools.combinations(sorted(reps.items()), 2):
+            if na[:4] == nb[:4] and bounded_levenshtein(na, nb, 2) <= 2:
+                x, y = find(ra), find(rb)
+                if x != y:
+                    parent[max(x, y)] = min(x, y)
+        expected = [(i, find(reps[nm])) for i, nm in sorted(nms.items())]
+        assert list(zip(out["ent_id"], out["canonical_id"])) == expected
+        # the clusters the fixture was built to produce
+        canon = dict(zip(out["ent_id"], out["canonical_id"]))
+        assert canon[0] == canon[1] == canon[2] == 0
+        assert canon[3] == 3
+        assert canon[4] == canon[5] == canon[6] == 4
+        assert canon[7] == canon[8] == 7
+
+    def test_resolve_entities_no_pairs(self):
+        from raykg.ops.entity import resolve_entities
+
+        rows = [
+            {"ent_id": 10, "label": "alpha"},
+            {"ent_id": 11, "label": "bravo"},
+        ]
+        out = resolve_entities(docs_ds(rows), num_shards=2).to_pandas()
+        assert sorted(zip(out["ent_id"], out["canonical_id"])) == [(10, 10), (11, 11)]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
     def test_topk_cosine_matches_numpy(self):
         emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
