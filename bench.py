@@ -181,6 +181,7 @@ def run_bench() -> dict:
     timed("diameter_est", consume=len)
     timed("semdedup")
     timed("entity_resolve")
+    timed("bpe_pairs")
 
     headline = timings["triples_scaled"]
     result = {

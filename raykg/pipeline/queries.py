@@ -970,6 +970,19 @@ def q_entity_resolve(sf_dir: str):
     )
 
 
+def q_bpe_pairs(sf_dir: str):
+    """BPE vocabulary-induction pair statistics: global adjacent-character
+    pair counts over \\S+ words of the documents corpus (round 0 of BPE
+    training; `ops/bpe.bpe_train` iterates merges over the word-frequency
+    table, pinned by unit test).  The per-batch kernel is a vectorized
+    uint32-codepoint pass; the oracle mirrors word extraction and per-word
+    substr pairs exactly."""
+    from raykg.ops import bpe as bpe_ops
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_ops.pair_counts(docs)
+
+
 def q_media_features(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -2911,6 +2924,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_near": q_embedding_near,
     "semdedup": q_semdedup,
     "entity_resolve": q_entity_resolve,
+    "bpe_pairs": q_bpe_pairs,
     "media_features": q_media_features,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -3512,6 +3526,17 @@ ORACLE_SQL["entity_resolve"] = f"""
     rc AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node)
     SELECT e0.ent_id, CAST(COALESCE(rc.cl, lab.rep) AS BIGINT) AS canonical_id
     FROM e0 JOIN lab USING (nm) LEFT JOIN rc ON rc.node = lab.rep
+"""
+
+# bpe_pairs: per-word adjacent character pairs — identical to the engine's
+# whitespace-masked codepoint-pair pass (pairs never straddle \S+ words)
+ORACLE_SQL["bpe_pairs"] = r"""
+    WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+               FROM documents),
+    p AS (SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b
+          FROM w, unnest(generate_series(1, len(word) - 1)) AS t(i))
+    SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY 1, 2
 """
 
 # native DuckDB ASOF LEFT JOIN — identical backward semantics

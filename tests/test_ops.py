@@ -431,6 +431,77 @@ class TestEntityResolve:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBpe:
+    def test_pair_counts_matches_bruteforce(self):
+        from collections import Counter
+
+        from raykg.ops.bpe import pair_counts
+        from raykg.ops.text import WORD_RE
+
+        rows = [
+            {"text": "low lower  lowest\tlow"},
+            {"text": "new newer newest 😀😀ab"},
+            {"text": ""},
+            {"text": "a"},
+        ]
+        out = pair_counts(docs_ds(rows), num_shards=3).to_pandas()
+        exp: Counter = Counter()
+        for r in rows:
+            for w in WORD_RE.findall(r["text"]):
+                for i in range(len(w) - 1):
+                    exp[(w[i], w[i + 1])] += 1
+        got = {(a, b): int(c) for a, b, c in zip(out["sym_a"], out["sym_b"], out["cnt"])}
+        assert got == dict(exp)
+
+    def test_bpe_train_matches_reference(self):
+        from collections import Counter
+
+        from raykg.ops.bpe import bpe_train
+        from raykg.ops.text import WORD_RE
+
+        texts = [
+            "low low low low low",
+            "lower lower newest newest",
+            "newest newest newest newest widest",
+            "widest widest low lower",
+        ]
+        rows = [{"text": t} for t in texts]
+        got = bpe_train(docs_ds(rows), num_merges=6, num_shards=3)
+
+        # pure-Python reference BPE over the word-frequency table with the
+        # same deterministic tie-break (count DESC, sym_a, sym_b)
+        freqs: Counter = Counter()
+        for t in texts:
+            freqs.update(WORD_RE.findall(t))
+        vocab = {w: list(w) for w in freqs}
+        exp = []
+        for rank in range(6):
+            pc: Counter = Counter()
+            for w, f in freqs.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if c < 2:
+                break
+            exp.append((rank, a, b, c))
+            for w in vocab:
+                s, out_s, i = vocab[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out_s.append(a + b)
+                        i += 2
+                    else:
+                        out_s.append(s[i])
+                        i += 1
+                vocab[w] = out_s
+        assert got == exp
+        assert len(got) == 6  # the fixture has at least 6 productive merges
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
     def test_topk_cosine_matches_numpy(self):
         emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
