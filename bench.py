@@ -182,6 +182,7 @@ def run_bench() -> dict:
     timed("semdedup")
     timed("entity_resolve")
     timed("bpe_pairs")
+    timed("concept_trends")
 
     headline = timings["triples_scaled"]
     result = {

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -968,6 +969,78 @@ def q_entity_resolve(sf_dir: str):
     return entity_ops.resolve_entities(
         ents, id_column="ent_id", label_column="label", block_prefix=4, max_dist=2
     )
+
+
+def q_concept_trends(sf_dir: str):
+    """Temporal KG: per-(concept, 10-second window) mention volumes with
+    integer-exact trend flags.  The mention actor passes the turn's event
+    time through (``extra_columns=("ts",)`` — no downstream join to recover
+    turn metadata), a per-batch pre-aggregated (tag, window) exchange forms
+    window counts, and a tiny per-tag second exchange flags each window:
+    ``above_mean`` iff cnt * n_windows > total (all-integer, no float mean)
+    and ``is_peak`` iff cnt equals the tag's max window count."""
+    from raykg.ops.agg import sharded_groupby_apply
+    from .tag import extract_mention_counts
+
+    counts = extract_mention_counts(
+        read_transcripts(sf_dir), ONTOLOGY, _cfg(), extra_columns=("ts",)
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // 10_000_000  # 10-second windows, epoch-relative
+        df = pd.DataFrame(
+            {
+                "tag": batch["tag"].to_pylist(),
+                "window_id": win,
+                "cnt": batch["n_matches"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["tag", "window_id"], sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def win_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["tag", "window_id"], sort=False)["cnt"].sum().reset_index()
+
+    wins = sharded_groupby_apply(
+        counts.map_batches(bucket, batch_format="pyarrow"),
+        ["tag", "window_id"],
+        win_sum,
+        num_shards=8,
+    )
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("tag", sort=False):
+            total = int(g["cnt"].sum())
+            n = len(g)
+            mx = int(g["cnt"].max())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "tag": g["tag"],
+                        "window_id": g["window_id"].astype("int64"),
+                        "cnt": g["cnt"].astype("int64"),
+                        "above_mean": (g["cnt"] * n > total).astype("int64"),
+                        "is_peak": (g["cnt"] == mx).astype("int64"),
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "tag": pd.Series(dtype="object"),
+                    "window_id": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "above_mean": pd.Series(dtype="int64"),
+                    "is_peak": pd.Series(dtype="int64"),
+                }
+            )
+        )
+
+    return sharded_groupby_apply(wins, ["tag"], flags, num_shards=4)
 
 
 def q_bpe_pairs(sf_dir: str):
@@ -2925,6 +2998,7 @@ QUERIES: Dict[str, Callable] = {
     "semdedup": q_semdedup,
     "entity_resolve": q_entity_resolve,
     "bpe_pairs": q_bpe_pairs,
+    "concept_trends": q_concept_trends,
     "media_features": q_media_features,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -3537,6 +3611,28 @@ ORACLE_SQL["bpe_pairs"] = r"""
           FROM w, unnest(generate_series(1, len(word) - 1)) AS t(i))
     SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS cnt
     FROM p GROUP BY 1, 2
+"""
+
+# concept_trends: the _OCC_CTE matcher mirror carrying ts, 10-second
+# epoch-us windows, and the integer-exact flags (cnt*n > total; cnt == max)
+ORACLE_SQL["concept_trends"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE},
+    occ AS (SELECT t.ts, onto.tag,
+                   len(regexp_extract_all(t.text, '\\b' || onto.keyword || '\\b'))
+                       AS n_matches
+            FROM t, onto
+            WHERE regexp_matches(t.text, '\\b' || onto.keyword || '\\b')),
+    w AS (SELECT tag, epoch_us(ts) // 10000000 AS window_id,
+                 CAST(SUM(n_matches) AS BIGINT) AS cnt
+          FROM occ GROUP BY 1, 2),
+    tot AS (SELECT tag, SUM(cnt) AS total, COUNT(*) AS n_windows,
+                   MAX(cnt) AS mx
+            FROM w GROUP BY tag)
+    SELECT w.tag, CAST(w.window_id AS BIGINT) AS window_id, w.cnt,
+           CAST(CASE WHEN w.cnt * tot.n_windows > tot.total THEN 1 ELSE 0 END
+                AS BIGINT) AS above_mean,
+           CAST(CASE WHEN w.cnt = tot.mx THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+    FROM w JOIN tot USING (tag)
 """
 
 # native DuckDB ASOF LEFT JOIN — identical backward semantics

@@ -83,9 +83,12 @@ class _MentionCountActorBody:
         langs = m._row_languages(batch)
         convs = batch[m.conv_column].to_pylist()
         turns = batch[m.turn_column].to_pylist()
+        extras = getattr(m, "extra_columns", ())
+        extra_vals = {c: batch[c].to_pylist() for c in extras}
         out = {"conv_id": [], "turn_idx": [], "tag": [], "keyword": [], "n_matches": []}
+        out_extra: Dict[str, list] = {c: [] for c in extras}
         per_row = m._batch_tag_counts(texts, langs)
-        for conv, turn, row in zip(convs, turns, per_row):
+        for i, (conv, turn, row) in enumerate(zip(convs, turns, per_row)):
             counts: Dict[tuple, int] = {}
             for tag, _cat, kw, cnt in row:
                 counts[(tag, kw)] = counts.get((tag, kw), 0) + cnt
@@ -95,15 +98,18 @@ class _MentionCountActorBody:
                 out["tag"].append(tag)
                 out["keyword"].append(kw)
                 out["n_matches"].append(n)
-        return pa.Table.from_pydict(
-            {
-                "conv_id": pa.array(out["conv_id"], type=pa.string()),
-                "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
-                "tag": pa.array(out["tag"], type=pa.string()),
-                "keyword": pa.array(out["keyword"], type=pa.string()),
-                "n_matches": pa.array(out["n_matches"], type=pa.int64()),
-            }
-        )
+                for c in extras:
+                    out_extra[c].append(extra_vals[c][i])
+        cols = {
+            "conv_id": pa.array(out["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
+            "tag": pa.array(out["tag"], type=pa.string()),
+            "keyword": pa.array(out["keyword"], type=pa.string()),
+            "n_matches": pa.array(out["n_matches"], type=pa.int64()),
+        }
+        for c in extras:
+            cols[c] = pa.array(out_extra[c], type=batch.schema.field(c).type)
+        return pa.Table.from_pydict(cols)
 
 
 class _DocTagsActorBody:
@@ -329,10 +335,15 @@ class MentionActor(TagActor):
     graph layer consumes — no input-row duplication, only matches."""
 
     def __init__(self, ontology, config: PipelineConfig,
-                 conv_column: str = "conv_id", turn_column: str = "turn_idx"):
+                 conv_column: str = "conv_id", turn_column: str = "turn_idx",
+                 extra_columns: Sequence[str] = ()):
         super().__init__(ontology, config)
         self.conv_column = conv_column
         self.turn_column = turn_column
+        # per-turn attribute passthrough (e.g. event time for temporal KG
+        # queries): each emitted mention row copies its turn's value, so no
+        # downstream join is needed to recover turn metadata
+        self.extra_columns = tuple(extra_columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.config.text_column].to_pylist()
@@ -367,7 +378,7 @@ class DocTagsActor(_DocTagsActorBody, MentionActor):
 
 
 def _mention_stage(actor_cls, ds, ontology, config, conv_column="conv_id",
-                   turn_column="turn_idx"):
+                   turn_column="turn_idx", extra_columns=()):
     ref = _broadcast_ontology(ontology, config)
     return ds.map_batches(
         actor_cls,
@@ -376,6 +387,7 @@ def _mention_stage(actor_cls, ds, ontology, config, conv_column="conv_id",
             "config": config,
             "conv_column": conv_column,
             "turn_column": turn_column,
+            "extra_columns": tuple(extra_columns),
         },
         batch_format="pyarrow",
         batch_size=config.batch_size,
