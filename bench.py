@@ -183,6 +183,7 @@ def run_bench() -> dict:
     timed("entity_resolve")
     timed("bpe_pairs")
     timed("concept_trends")
+    timed("communities")
 
     headline = timings["triples_scaled"]
     result = {

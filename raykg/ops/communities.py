@@ -1,0 +1,158 @@
+"""Community detection — synchronous majority label propagation.
+
+Connected components (`ops/components.py`) answers "which nodes touch at
+all"; community detection answers "which nodes cluster densely" — for a KG,
+concept neighborhoods / topic groups.  Classic async label propagation
+(Raghavan et al. 2007) is visit-order dependent; this is the SYNCHRONOUS,
+fixed-round variant with a deterministic tie-break, so the result is
+partition-invariant and a DuckDB oracle can unroll the rounds exactly:
+
+- labels init to the node's own id;
+- one round: ``label(v) <- argmax_l |{u in N(v) : label(u) = l}|``, ties
+  resolved to the SMALLEST label, all nodes updated simultaneously;
+- a fixed ``rounds`` count (like the BFS/Bellman-Ford/k-core families,
+  bounded iterations keep it SQL-mirrorable).
+
+Scale shape: the distinct symmetric edge list is materialized once (one
+exchange, edge-volume sized); each round is one label attach (broadcast
+lookup under ``_BROADCAST_MAX_LABELS`` nodes, bucketed hash join above —
+the same threshold-gated house pattern as components/pagerank/walks) plus
+one edge-volume exchange sharded by destination, whose in-shard kernel is
+one vectorized pandas groupby-count + drop_duplicates.  Nothing
+node- or edge-sized ever lands on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .agg import sharded_groupby_apply
+
+_BROADCAST_MAX_LABELS = 2_000_000
+
+
+def label_propagation(
+    pairs: "ray.data.Dataset",
+    id_a: str = "u",
+    id_b: str = "v",
+    rounds: int = 2,
+    num_shards: int = 32,
+    num_buckets: int = 32,
+    max_broadcast_nodes: int | None = None,
+) -> "ray.data.Dataset":
+    """(u, v) pair Dataset -> (node, community) after ``rounds`` synchronous
+    majority-label updates (module docstring)."""
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[id_a].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch[id_b].to_pylist(), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "s": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "d": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["s", "d"])
+
+    # distinct edges, materialized once and reused every round (pair sources
+    # like group_pairs emit one copy per co-occurrence group)
+    edges = sharded_groupby_apply(
+        pairs.map_batches(symmetrize, batch_format="pyarrow"),
+        ["s", "d"],
+        distinct,
+        num_shards=num_shards,
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        s = batch["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"node": pa.array(s, type=pa.int64()), "label": pa.array(s, type=pa.int64())}
+        )
+
+    def distinct_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["node"])
+
+    labels = sharded_groupby_apply(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["node"],
+        distinct_nodes,
+        num_shards=num_shards,
+    )
+
+    def mode_per_node(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["node", "nb_label"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .sort_values(
+                ["node", "c", "nb_label"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .drop_duplicates("node")
+        )
+        return pd.DataFrame(
+            {
+                "node": g["node"].to_numpy(dtype=np.int64),
+                "label": g["nb_label"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    bcast_max = _BROADCAST_MAX_LABELS if max_broadcast_nodes is None else max_broadcast_nodes
+    for _ in range(rounds):
+        labels = labels.materialize()  # consumed by the attach below
+        n_nodes = labels.count()
+        if n_nodes <= bcast_max:
+            refs = labels.to_arrow_refs()
+            cache: dict = {}
+
+            def attach(batch: pa.Table, refs=refs, cache=cache) -> pa.Table:
+                if "lut" not in cache:
+                    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+                    full = pa.concat_tables(tabs)
+                    k = full["node"].combine_chunks().to_numpy(zero_copy_only=False)
+                    v = full["label"].combine_chunks().to_numpy(zero_copy_only=False)
+                    order = np.argsort(k)
+                    cache["lut"] = (k[order], v[order])
+                k, v = cache["lut"]
+                s = batch["s"].combine_chunks().to_numpy(zero_copy_only=False)
+                # every s is a node (labels were initialized from edge
+                # endpoints and every round relabels every node)
+                lab = v[np.searchsorted(k, s)]
+                return pa.Table.from_pydict(
+                    {
+                        "node": batch["d"],
+                        "nb_label": pa.array(lab, type=pa.int64()),
+                    }
+                )
+
+            relabeled = edges.map_batches(attach, batch_format="pyarrow")
+        else:
+            from .join import bucketed_hash_join
+
+            renamed = labels.map_batches(
+                lambda b: b.rename_columns(["s", "s_label"]),
+                batch_format="pyarrow",
+            )
+            joined = bucketed_hash_join(edges, renamed, on="s", num_buckets=num_buckets)
+            relabeled = joined.map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {"node": b["d"], "nb_label": b["s_label"]}
+                ),
+                batch_format="pyarrow",
+            )
+
+        labels = sharded_groupby_apply(
+            relabeled, ["node"], mode_per_node, num_shards=num_shards
+        )
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "community"]), batch_format="pyarrow"
+    )

@@ -1765,6 +1765,16 @@ def q_part_kcore(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def q_communities(sf_dir: str):
+    """Synchronous majority label propagation (2 fixed rounds,
+    deterministic smallest-label tie-break) over the co-order part graph
+    — `ops/communities.label_propagation`; the oracle unrolls both rounds
+    as window-ranked mode CTEs."""
+    from ..ops.communities import label_propagation
+
+    return label_propagation(_co_order_pairs(sf_dir), rounds=2, num_shards=32)
+
+
 def q_embed_quant(sf_dir: str):
     """Symmetric int8 embedding quantization in long form (id, i, code,
     absmax) — `ops/pca.quantize_embeddings` (stateless vectorized map,
@@ -2999,6 +3009,7 @@ QUERIES: Dict[str, Callable] = {
     "entity_resolve": q_entity_resolve,
     "bpe_pairs": q_bpe_pairs,
     "concept_trends": q_concept_trends,
+    "communities": q_communities,
     "media_features": q_media_features,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -4367,6 +4378,37 @@ def _kcore_sql(k: int, rounds: int) -> str:
 
 
 ORACLE_SQL["part_kcore"] = _kcore_sql(k=80, rounds=2)
+
+
+def _label_prop_sql(rounds: int) -> str:
+    """Unrolled synchronous majority label propagation over the co-order
+    part graph — one window-ranked mode CTE per round, mirroring
+    `ops/communities.label_propagation` (count DESC, smallest label)."""
+    ctes = [
+        """pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        "e AS (SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        """lp0 AS (SELECT node, node AS label FROM
+                   (SELECT u AS node FROM pairs UNION SELECT v FROM pairs))""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""lp{r} AS (SELECT node, nb_label AS label FROM (
+                SELECT e.d AS node, l.label AS nb_label, count(*) AS c,
+                       row_number() OVER (PARTITION BY e.d
+                           ORDER BY count(*) DESC, l.label) AS rn
+                FROM e JOIN lp{r - 1} l ON l.node = e.s
+                GROUP BY e.d, l.label) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f" SELECT node, CAST(label AS BIGINT) AS community FROM lp{rounds}"
+    )
+
+
+ORACLE_SQL["communities"] = _label_prop_sql(rounds=2)
 
 ORACLE_SQL["embed_quant"] = """
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
