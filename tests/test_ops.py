@@ -419,6 +419,70 @@ class TestEntityResolve:
         assert canon[4] == canon[5] == canon[6] == 4
         assert canon[7] == canon[8] == 7
 
+    def test_bounded_levenshtein_fuzz(self):
+        from raykg.ops.entity import bounded_levenshtein
+
+        def full(a, b):
+            la, lb = len(a), len(b)
+            d = list(range(lb + 1))
+            for i in range(1, la + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, lb + 1):
+                    prev, d[j] = d[j], min(
+                        d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                    )
+            return d[lb]
+
+        rng = np.random.RandomState(13)
+        alphabet = "abc"  # tiny alphabet -> near matches are common
+        for _ in range(300):
+            a = "".join(rng.choice(list(alphabet), rng.randint(0, 9)))
+            b = "".join(rng.choice(list(alphabet), rng.randint(0, 9)))
+            t = full(a, b)
+            for k in (0, 1, 2, 3):
+                got = bounded_levenshtein(a, b, k)
+                assert got == (t if t <= k else k + 1), (a, b, k)
+
+    def test_resolve_entities_fuzz_vs_union_find(self):
+        from raykg.ops.entity import bounded_levenshtein, resolve_entities
+
+        rng = np.random.RandomState(5)
+        alphabet = list("abXY")
+        rows = [
+            {
+                "ent_id": i,
+                "label": "".join(rng.choice(alphabet, rng.randint(4, 8))),
+            }
+            for i in range(80)
+        ]
+        out = (
+            resolve_entities(docs_ds(rows), num_shards=4, block_prefix=2, max_dist=1)
+            .to_pandas()
+            .sort_values("ent_id")
+        )
+        nms = {r["ent_id"]: r["label"].lower() for r in rows}
+        reps: dict = {}
+        for i, nm in sorted(nms.items()):
+            reps.setdefault(nm, i)
+        parent = {r: r for r in reps.values()}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        import itertools
+
+        for (na, ra), (nb, rb) in itertools.combinations(sorted(reps.items()), 2):
+            if na[:2] == nb[:2] and bounded_levenshtein(na, nb, 1) <= 1:
+                x, y = find(ra), find(rb)
+                if x != y:
+                    parent[max(x, y)] = min(x, y)
+        expected = [(i, find(reps[nm])) for i, nm in sorted(nms.items())]
+        assert list(zip(out["ent_id"], out["canonical_id"])) == expected
+        # sanity: the tiny alphabet actually produced non-singleton clusters
+        assert len(set(dict(expected).values())) < len(rows)
+
     def test_resolve_entities_no_pairs(self):
         from raykg.ops.entity import resolve_entities
 
@@ -445,6 +509,28 @@ class TestBpe:
             {"text": "a"},
         ]
         out = pair_counts(docs_ds(rows), num_shards=3).to_pandas()
+        exp: Counter = Counter()
+        for r in rows:
+            for w in WORD_RE.findall(r["text"]):
+                for i in range(len(w) - 1):
+                    exp[(w[i], w[i + 1])] += 1
+        got = {(a, b): int(c) for a, b, c in zip(out["sym_a"], out["sym_b"], out["cnt"])}
+        assert got == dict(exp)
+
+    def test_pair_counts_fuzz(self):
+        from collections import Counter
+
+        from raykg.ops.bpe import pair_counts
+        from raykg.ops.text import WORD_RE
+
+        rng = np.random.RandomState(21)
+        # include unicode whitespace, emoji, and CJK in the alphabet
+        alphabet = list("ab1.#") + ["😀", "界", "\t", " ", "\n", " ", "　"]
+        rows = [
+            {"text": "".join(rng.choice(alphabet, rng.randint(0, 60)))}
+            for _ in range(40)
+        ]
+        out = pair_counts(docs_ds(rows), num_shards=4).to_pandas()
         exp: Counter = Counter()
         for r in rows:
             for w in WORD_RE.findall(r["text"]):
