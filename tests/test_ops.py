@@ -272,6 +272,30 @@ class TestDedup:
         kept = dedup_survivors(corpus, connected_components(pairs)).to_pandas()
         assert sorted(kept["doc_id"]) == [1, 10, 20, 99]
 
+    def test_connected_components_bsp_matches_fast_path(self):
+        # small_graph_max_edges=0 forces the BSP min-label loop; both
+        # engines must emit the identical (doc_id, min-id cluster) table —
+        # seeded random graph with chains, cliques, and self-loops
+        from raykg.ops.components import connected_components
+
+        rng = np.random.RandomState(17)
+        a = rng.randint(0, 60, 120)
+        b = rng.randint(0, 60, 120)
+        pairs = docs_ds(pd.DataFrame({"id_a": a, "id_b": b}))
+        fast = (
+            connected_components(pairs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            connected_components(pairs, small_graph_max_edges=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, bsp)
+
     def test_simhash_near_pairs(self):
         out = simhash_near_pairs(docs_ds(DUP_ROWS), max_hamming=3).to_pandas()
         pairs = set(zip(out["id_a"], out["id_b"]))
