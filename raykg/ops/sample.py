@@ -20,6 +20,7 @@ from typing import Dict
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 
 
@@ -183,3 +184,49 @@ def weighted_bernoulli_sql(
                           1, 15)) AS BIGINT) AS HUGEINT) * {weight_denom}
           < CAST({weight_column} AS HUGEINT) * (CAST(1 AS HUGEINT) << 60)
     """
+
+
+def group_quantile_filter(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    q: float,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Keep rows whose value is >= the group's discrete ``q``-quantile —
+    the per-language quality gate of a corpus-prep pipeline ("drop the
+    shortest quartile of each language's documents").
+
+    Two passes over the house shapes: (1) exact per-group quantile_disc
+    through the sharded aggregation (``ops/events.key_quantiles``), whose
+    result is GROUP-CARDINALITY-sized (languages/tenants — bounded by
+    construction, so collecting it to the driver and re-broadcasting is a
+    lookup-table broadcast, not a data-sized pull); (2) one streaming
+    filter ``map_batches`` with a per-batch merge against the broadcast
+    thresholds.  Integer values compare exactly against the float
+    threshold (a quantile_disc threshold IS one of the values), so the
+    kept set hash-matches DuckDB's ``quantile_disc`` oracle bit-for-bit.
+    """
+    from .events import key_quantiles
+
+    name = f"p{round(q * 100):d}"
+    thr = key_quantiles(
+        ds.select_columns([group_column, value_column]),
+        key_column=group_column,
+        value_column=value_column,
+        quantiles=(q,),
+        num_shards=num_shards,
+    ).to_pandas()
+    lut = dict(zip(thr[group_column], thr[name]))
+    lut_ref = ray.put(lut)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        groups = batch[group_column].to_pylist()
+        vals = batch[value_column].to_numpy(zero_copy_only=False)
+        thr_v = np.fromiter(
+            (table.get(g, np.inf) for g in groups), dtype=np.float64, count=len(groups)
+        )
+        return batch.filter(pa.array(vals >= thr_v))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -2909,6 +2909,81 @@ def q_mix_langs(sf_dir: str):
     return mix_weighted(docs, MIX_WEIGHTS)
 
 
+KG_NEG_K = 4
+
+
+def q_kg_negatives(sf_dir: str):
+    """Filtered corrupt-tail negative samples for KG-embedding training:
+    per positive mention triple, up to K deterministic negatives drawn by
+    the md5 contract from the (broadcast, ontology-sized) concept
+    vocabulary — one streaming map_batches, zero shuffle
+    (`ops/negatives.py`)."""
+    from ..ops.negatives import corrupt_tail_negatives
+    from .tag import extract_mention_counts
+
+    mentions = extract_mention_counts(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+    return corrupt_tail_negatives(
+        mentions, [t for t, _, _ in ONTOLOGY], k=KG_NEG_K
+    )
+
+
+def q_neighbor_mean(sf_dir: str):
+    """One GNN message-passing layer over the co-order part graph: per
+    part, the neighbor count and exact integer floor-mean of the
+    neighbors' p_size — bucketed hash join (two large sides) + sharded
+    groupby, two exchanges total (`ops/gnn.py`)."""
+    from ..ops.gnn import neighbor_feature_mean
+    from ..ops.triangles import canonical_edges, group_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = canonical_edges(group_pairs(li, "l_orderkey", "l_partkey", num_shards=32))
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+
+    import pyarrow.compute as pc
+
+    def as_feat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pc.cast(batch["p_partkey"], pa.int64()),
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+            }
+        )
+
+    out = neighbor_feature_mean(
+        edges, parts.map_batches(as_feat, batch_format="pyarrow"), feat_col="p_size"
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(batch["node"], pa.int64()),
+                "n_nbrs": pc.cast(batch["n_nbrs"], pa.int64()),
+                "mean_feat": pc.cast(batch["mean_feat"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+QUALITY_GATE_Q = 0.25
+
+
+def q_quality_gate(sf_dir: str):
+    """Per-language quality gate: drop each language's shortest quartile
+    (n_chars below the per-lang discrete p25) — exact two-pass
+    quantile-threshold filter (`ops/sample.py:group_quantile_filter`)."""
+    from ..ops.sample import group_quantile_filter
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return group_quantile_filter(docs, "lang", "n_chars", QUALITY_GATE_Q)
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -3032,6 +3107,9 @@ QUERIES: Dict[str, Callable] = {
     "dedup_substring": q_dedup_substring,
     "pack_docs": q_pack_docs,
     "mix_langs": q_mix_langs,
+    "kg_negatives": q_kg_negatives,
+    "neighbor_mean": q_neighbor_mean,
+    "quality_gate": q_quality_gate,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -4840,4 +4918,46 @@ ORACLE_SQL["incr_new_docs"] = f"""
             WHERE doc_id >= {INCR_INC_MIN})
     SELECT doc_id, lang FROM inc
     WHERE h NOT IN (SELECT h FROM prior)
+"""
+
+ORACLE_SQL["kg_negatives"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    concepts AS (SELECT DISTINCT tag FROM onto),
+    ranked AS (SELECT tag,
+                      CAST(row_number() OVER (ORDER BY tag) - 1 AS BIGINT) AS r
+               FROM concepts),
+    pos AS (SELECT conv_id || '#' || turn_idx || '#' || keyword AS subj,
+                   'concept:' || tag AS pos_obj
+            FROM occ),
+    cand AS (SELECT subj, pos_obj, CAST(g.j AS BIGINT) AS j,
+                    (('0x' || substr(md5(subj || '|' || CAST(g.j AS VARCHAR)),
+                                     1, 15))::BIGINT
+                     % (SELECT COUNT(*) FROM concepts)) AS r
+             FROM pos, range(0, {KG_NEG_K}) AS g(j))
+    SELECT cand.subj, 'tagged_as' AS pred, cand.pos_obj,
+           'concept:' || ranked.tag AS neg_obj, cand.j
+    FROM cand JOIN ranked USING (r)
+    WHERE 'concept:' || ranked.tag <> cand.pos_obj
+"""
+
+ORACLE_SQL["neighbor_mean"] = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT u AS s, v AS d FROM pairs
+          UNION ALL SELECT v, u FROM pairs)
+    SELECT e.s AS node, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+           CAST(SUM(p.p_size) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS mean_feat
+    FROM e JOIN part p ON p.p_partkey = e.d
+    GROUP BY e.s
+"""
+
+ORACLE_SQL["quality_gate"] = f"""
+    WITH thr AS (SELECT lang, quantile_disc(n_chars, {QUALITY_GATE_Q}) AS q
+                 FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN thr USING (lang)
+    WHERE d.n_chars >= thr.q
 """
