@@ -363,3 +363,67 @@ def ohlc_window(
         fold,
         num_shards,
     )
+
+
+def retention_cohorts(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Weekly retention-cohort matrix: users grouped by first-active week,
+    counted in every later week they return.
+
+    Output ``(cohort_week, week_offset, n_users)`` — cohort_week is the
+    user's first active epoch-week (``days_since_1970 // 7``, exact
+    integer arithmetic both engines), week_offset its distance from each
+    active week, n_users the distinct users in that cell.
+
+    One user-sharded exchange does all the per-user work (min week + the
+    distinct (user, week) set live in the same shard), emitting per-shard
+    PARTIAL cell counts; the final fold is a bounded-cardinality groupby
+    (weeks x weeks cells, independent of user count) — the classic
+    pre-aggregate-then-small-exchange shape.  Per-batch (user, week)
+    dedup bounds the exchange volume at one row per active user-week.
+    """
+    from .agg import sharded_groupby_apply
+
+    def to_user_week(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        days = pc.cast(pc.cast(batch[ts_col], pa.date32()), pa.int32())
+        week = pc.cast(pc.floor(pc.divide(pc.cast(days, pa.float64()), 7.0)), pa.int64())
+        t = pa.table({user_col: batch[user_col], "w": week})
+        # per-batch dedup: bounds the exchange at one row per user-week
+        return t.group_by([user_col, "w"]).aggregate([])
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([user_col, "w"])
+        w0 = df.groupby(user_col, sort=False)["w"].transform("min")
+        cells = pd.DataFrame({"cohort_week": w0, "week_offset": df["w"] - w0})
+        out = cells.groupby(["cohort_week", "week_offset"], sort=False).size()
+        return out.rename("n_users").reset_index()
+
+    partials = sharded_groupby_apply(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            to_user_week, batch_format="pyarrow"
+        ),
+        [user_col],
+        per_shard,
+        num_shards=num_shards,
+    )
+    out = partials.groupby(["cohort_week", "week_offset"]).sum("n_users")
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        name = "sum(n_users)" if "sum(n_users)" in batch.column_names else "n_users"
+        return pa.table(
+            {
+                "cohort_week": pc.cast(batch["cohort_week"], pa.int64()),
+                "week_offset": pc.cast(batch["week_offset"], pa.int64()),
+                "n_users": pc.cast(batch[name], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")

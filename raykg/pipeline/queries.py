@@ -2984,6 +2984,30 @@ def q_quality_gate(sf_dir: str):
     return group_quantile_filter(docs, "lang", "n_chars", QUALITY_GATE_Q)
 
 
+def q_retention(sf_dir: str):
+    """Weekly retention-cohort matrix over the events table: one
+    user-sharded exchange + a bounded (weeks x weeks) final fold
+    (`ops/events.py:retention_cohorts`)."""
+    from ..ops.events import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
+def q_doc_tree(sf_dir: str):
+    """Subtree (n_leaves, total n_chars) per node of the radix-10 doc-id
+    hierarchy — computable-parent rollup, flat ancestor expansion +
+    one exchange (`ops/rollup.py:hierarchy_rollup`)."""
+    from ..ops.rollup import hierarchy_rollup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return hierarchy_rollup(docs, "doc_id", "n_chars", base=10)
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -3110,6 +3134,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_negatives": q_kg_negatives,
     "neighbor_mean": q_neighbor_mean,
     "quality_gate": q_quality_gate,
+    "retention": q_retention,
+    "doc_tree": q_doc_tree,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -4960,4 +4986,27 @@ ORACLE_SQL["quality_gate"] = f"""
     SELECT d.doc_id, d.lang, d.n_chars
     FROM documents d JOIN thr USING (lang)
     WHERE d.n_chars >= thr.q
+"""
+
+
+ORACLE_SQL["retention"] = """
+    WITH uw AS (SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+                FROM events),
+    first AS (SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id)
+    SELECT CAST(w0 AS BIGINT) AS cohort_week,
+           CAST(uw.w - w0 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["doc_tree"] = """
+    WITH RECURSIVE anc AS (
+        SELECT doc_id AS node, n_chars FROM documents
+        UNION ALL
+        SELECT node // 10, n_chars FROM anc WHERE node > 0)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_leaves,
+           CAST(SUM(n_chars) AS BIGINT) AS total
+    FROM anc GROUP BY node
 """

@@ -1,0 +1,100 @@
+"""Unit tests: weekly retention cohorts and the radix hierarchy rollup."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raykg.ops.events import retention_cohorts
+from raykg.ops.rollup import hierarchy_rollup
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_cohorts_hand_checked():
+    # week 0 = 1970-01-01..07 (day//7): u1 active weeks 0 and 2,
+    # u2 weeks 0 only (two events same week dedup), u3 week 2 only
+    ts = pd.to_datetime(
+        [
+            "1970-01-02",  # u1 w0
+            "1970-01-16",  # u1 w2
+            "1970-01-03",  # u2 w0
+            "1970-01-05",  # u2 w0 (dup week)
+            "1970-01-17",  # u3 w2
+        ]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 1, 2, 2, 3], "ts": ts})
+    )
+    out = (
+        retention_cohorts(ds, num_shards=4)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "cohort_week": [0, 0, 2],
+            "week_offset": [0, 2, 0],
+            "n_users": [2, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hierarchy_rollup_hand_checked():
+    # ids 0, 7, 23, 234: ancestor chains 0; 7,0; 23,2,0; 234,23,2,0
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 7, 23, 234], type=pa.int64()),
+                "val": pa.array([1, 10, 100, 1000], type=pa.int64()),
+            }
+        )
+    )
+    out = (
+        hierarchy_rollup(ds, "doc_id", "val", base=10, num_shards=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "node": [0, 2, 7, 23, 234],
+            "n_leaves": [4, 2, 1, 2, 1],
+            "total": [1111, 1100, 10, 1100, 1000],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hierarchy_rollup_matches_duckdb_recursive():
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {"doc_id": rng.randint(0, 100000, 300), "val": rng.randint(1, 50, 300)}
+    )
+    got = (
+        hierarchy_rollup(ray.data.from_pandas(df), "doc_id", "val", num_shards=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT doc_id AS node, val FROM t
+            UNION ALL
+            SELECT node // 10, val FROM anc WHERE node > 0)
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_leaves,
+               CAST(SUM(val) AS BIGINT) AS total
+        FROM anc GROUP BY node ORDER BY node
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
