@@ -184,6 +184,12 @@ def run_bench() -> dict:
     timed("bpe_pairs")
     timed("concept_trends")
     timed("communities")
+    timed("kg_negatives")
+    timed("neighbor_mean")
+    timed("quality_gate")
+    timed("retention")
+    timed("doc_tree")
+    timed("node_ids")
 
     headline = timings["triples_scaled"]
     result = {

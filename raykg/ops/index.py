@@ -1,0 +1,68 @@
+"""Dense global row numbering (``zipWithIndex``).
+
+KG-embedding trainers consume integer entity ids, not strings: the node
+table needs a dense, deterministic ``0..N-1`` numbering before it can feed
+an embedding matrix.  Ray Data has no ``zipWithIndex``; this implements it
+as the standard two-phase scheme:
+
+1. (optional) ``ds.sort(key)`` — Ray's range-partitioned sort leaves the
+   materialized blocks in global key order;
+2. one driver-side pass over the BLOCK METADATA ONLY (a row count per
+   block — O(num_blocks), no row data) computes each block's starting
+   offset, then one raw Ray task per block appends ``offset + arange(n)``.
+
+This is the repo's documented raw-``ray.remote`` exception: the Dataset
+API cannot express "my global position" because no batch knows its
+block's rank.  Everything stays zero-copy — blocks are consumed and
+re-emitted as Arrow via ``from_arrow_refs`` and only int64 offsets cross
+the driver.
+
+Determinism contract: with ``sort_key`` given and unique, the numbering
+equals SQL ``row_number() OVER (ORDER BY key) - 1`` (binary string
+collation both engines).  Without a key the numbering follows the input's
+block order — stable for a deterministic upstream plan, but not an
+oracle-checkable total order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+def _with_offset(block, offset: int, id_col: str):
+    from ray.data.block import BlockAccessor
+
+    t = BlockAccessor.for_block(block).to_arrow()
+    ids = pa.array(np.arange(offset, offset + t.num_rows), type=pa.int64())
+    return t.append_column(id_col, ids)
+
+
+def zip_with_index(
+    ds: "ray.data.Dataset",
+    sort_key: Optional[str] = None,
+    id_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Append a dense int64 ``id_col`` numbering rows ``0..N-1`` in
+    ``sort_key`` order (or input block order if no key)."""
+    if sort_key is not None:
+        ds = ds.sort(sort_key)
+    m = ds.materialize()
+    refs, counts = [], []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            counts.append(meta.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)]) if counts else []
+    out = [
+        _with_offset.remote(r, int(o), id_col) for r, o in zip(refs, offsets)
+    ]
+    if not out:
+        return m
+    return ray.data.from_arrow_refs(out)

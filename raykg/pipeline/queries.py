@@ -3008,6 +3008,16 @@ def q_doc_tree(sf_dir: str):
     return hierarchy_rollup(docs, "doc_id", "n_chars", base=10)
 
 
+def q_node_ids(sf_dir: str):
+    """Dense 0..N-1 entity numbering of the KG node table in node_id
+    order — the embedding-trainer handoff (`ops/index.py:zip_with_index`,
+    the documented raw-task exception: block offsets from metadata only)."""
+    from ..ops.index import zip_with_index
+
+    nodes = q_nodes(sf_dir).select_columns(["node_id", "node_type"])
+    return zip_with_index(nodes, sort_key="node_id", id_col="rank")
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -3136,6 +3146,7 @@ QUERIES: Dict[str, Callable] = {
     "quality_gate": q_quality_gate,
     "retention": q_retention,
     "doc_tree": q_doc_tree,
+    "node_ids": q_node_ids,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -5009,4 +5020,11 @@ ORACLE_SQL["doc_tree"] = """
     SELECT node, CAST(COUNT(*) AS BIGINT) AS n_leaves,
            CAST(SUM(n_chars) AS BIGINT) AS total
     FROM anc GROUP BY node
+"""
+
+
+ORACLE_SQL["node_ids"] = f"""
+    SELECT node_id, node_type,
+           CAST(row_number() OVER (ORDER BY node_id) - 1 AS BIGINT) AS "rank"
+    FROM ({ORACLE_SQL["nodes"]}) AS n
 """

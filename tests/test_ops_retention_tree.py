@@ -98,3 +98,22 @@ def test_hierarchy_rollup_matches_duckdb_recursive():
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zip_with_index_matches_row_number():
+    import numpy as np
+
+    from raykg.ops.index import zip_with_index
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {"k": ["n%05d" % v for v in rng.permutation(2000)], "x": rng.randint(0, 9, 2000)}
+    )
+    ds = ray.data.from_pandas([df.iloc[i : i + 100] for i in range(0, 2000, 100)])
+    out = zip_with_index(ds, sort_key="k").to_pandas().sort_values("rank")
+    assert out["rank"].tolist() == list(range(2000))
+    assert out.k.tolist() == sorted(df.k.tolist())  # == row_number ORDER BY k
+    # payload column rides along untouched
+    orig = df.set_index("k")["x"]
+    assert (out.set_index("k")["x"] == orig.loc[out.k].values).all()
