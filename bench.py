@@ -190,6 +190,7 @@ def run_bench() -> dict:
     timed("retention")
     timed("doc_tree")
     timed("node_ids")
+    timed("hist_quantiles")
 
     headline = timings["triples_scaled"]
     result = {

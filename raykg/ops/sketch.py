@@ -289,3 +289,94 @@ def hll_oracle_sql(table: str, column: str) -> str:
            FROM parts)
     SELECT idx, CAST(MAX(rho) AS BIGINT) AS rho FROM rr GROUP BY idx
     """
+
+
+def histogram_quantiles(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    quantiles=(0.5, 0.9, 0.99),
+    scale: int = 16,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Mergeable histogram-quantile sketch — the bounded-memory companion
+    to ``ops/events.key_quantiles`` for keys whose VALUE VOLUME exceeds a
+    worker's heap (that function's documented limit).
+
+    Values are binned at ``bin = floor(value * scale)`` with ``scale`` a
+    power of two (the multiply is exact in doubles — the repo's
+    fixed-point idiom), per-batch partials pre-count ``(key, bin)`` pairs,
+    and ONE key-sharded exchange of BIN COUNTS (volume O(distinct bins),
+    not O(rows)) folds them; the reported quantile is the lower edge
+    ``bin / scale`` of the first bin whose cumulative count reaches
+    ``ceil(q * n)`` — within 1/scale of the exact quantile_disc, fully
+    deterministic, and mirrored bit-for-bit by a SQL window cumsum (same
+    double ``q * n`` both engines).
+    """
+    import pyarrow as pa
+
+    from .agg import sharded_groupby_apply
+
+    qs = list(quantiles)
+    names = [f"p{round(q * 100):d}" for q in qs]
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        binned = pc.cast(
+            pc.floor(pc.multiply(pc.cast(batch[value_column], pa.float64()),
+                                 float(scale))),
+            pa.int64(),
+        )
+        t = pa.table({key_column: batch[key_column], "bin": binned})
+        return t.group_by([key_column, "bin"]).aggregate([("bin", "count")]).rename_columns(
+            [key_column, "bin", "c"]
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key_column, sort=False):
+            cnt = g.groupby("bin")["c"].sum().sort_index()
+            cum = cnt.cumsum().to_numpy()
+            bins = cnt.index.to_numpy()
+            n = int(cum[-1])
+            row = {key_column: k}
+            for q, name in zip(qs, names):
+                target = np.ceil(q * n)  # same IEEE multiply as the oracle
+                row[name] = float(bins[np.searchsorted(cum, target)] / scale)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[key_column, *names])
+
+    return sharded_groupby_apply(
+        ds.select_columns([key_column, value_column]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [key_column],
+        combine,
+        num_shards=num_shards,
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    key_column: str,
+    value_column: str,
+    quantiles=(0.5, 0.9, 0.99),
+    scale: int = 16,
+) -> str:
+    """DuckDB mirror of :func:`histogram_quantiles` (bit-exact)."""
+    cols = ", ".join(
+        f"MIN(CASE WHEN cum >= ceil({q} * CAST(n AS DOUBLE)) THEN bin END) / {scale}.0 "
+        f"AS p{round(q * 100):d}"
+        for q in quantiles
+    )
+    return f"""
+    WITH b AS (SELECT {key_column}, CAST(floor({value_column} * {scale}) AS BIGINT) AS bin,
+                      COUNT(*) AS c
+               FROM {table} GROUP BY 1, 2),
+    tot AS (SELECT {key_column}, CAST(SUM(c) AS BIGINT) AS n FROM b GROUP BY 1),
+    cum AS (SELECT b.{key_column}, b.bin, n,
+                   SUM(c) OVER (PARTITION BY b.{key_column} ORDER BY b.bin) AS cum
+            FROM b JOIN tot USING ({key_column}))
+    SELECT {key_column}, {cols} FROM cum GROUP BY {key_column}
+    """

@@ -3018,6 +3018,18 @@ def q_node_ids(sf_dir: str):
     return zip_with_index(nodes, sort_key="node_id", id_col="rank")
 
 
+def q_hist_quantiles(sf_dir: str):
+    """Mergeable histogram-quantile sketch of event value per event_type
+    (bounded-memory companion to the exact key_quantiles; bin counts, not
+    values, cross the wire — `ops/sketch.py:histogram_quantiles`)."""
+    from ..ops.sketch import histogram_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return histogram_quantiles(ev, "event_type", "value")
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: Dict[str, Callable] = {
@@ -3147,6 +3159,7 @@ QUERIES: Dict[str, Callable] = {
     "retention": q_retention,
     "doc_tree": q_doc_tree,
     "node_ids": q_node_ids,
+    "hist_quantiles": q_hist_quantiles,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -5028,3 +5041,8 @@ ORACLE_SQL["node_ids"] = f"""
            CAST(row_number() OVER (ORDER BY node_id) - 1 AS BIGINT) AS "rank"
     FROM ({ORACLE_SQL["nodes"]}) AS n
 """
+
+
+from ..ops.sketch import histogram_quantiles_sql as _hq_sql  # noqa: E402
+
+ORACLE_SQL["hist_quantiles"] = _hq_sql("events", "event_type", "value")

@@ -117,3 +117,27 @@ def test_zip_with_index_matches_row_number():
     # payload column rides along untouched
     orig = df.set_index("k")["x"]
     assert (out.set_index("k")["x"] == orig.loc[out.k].values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_histogram_quantiles_within_bin_width_of_exact():
+    import numpy as np
+
+    from raykg.ops.sketch import histogram_quantiles
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {"k": rng.choice(["a", "b"], 5000), "v": rng.gamma(2.0, 3.0, 5000)}
+    )
+    got = (
+        histogram_quantiles(ray.data.from_pandas(df), "k", "v", scale=16, num_shards=4)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k, g in df.groupby("k"):
+        s = np.sort(g.v.to_numpy())
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            exact = s[min(len(s) - 1, max(0, int(np.ceil(q * len(s))) - 1))]
+            # sketch reports the bin's lower edge: within one bin width below
+            assert got.loc[k, name] <= exact < got.loc[k, name] + 1 / 16 + 1e-12
