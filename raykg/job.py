@@ -35,6 +35,7 @@ def build_graph(
     num_partitions: int = 64,
     resume: bool = True,
     compute_pagerank: bool = False,
+    compute_entity_ids: bool = False,
 ) -> dict:
     """The job body (importable for tests): transcripts + ontology ->
     partitioned graph tables on disk; returns the run report."""
@@ -115,6 +116,27 @@ def build_graph(
             ranks, key_column="node", resume=resume, fingerprint=fingerprint
         )
         report["tables"]["node_ranks"] = {
+            "rows": int(s["rows"].sum()),
+            "partitions": len(s),
+        }
+
+    if compute_entity_ids:
+        # dense 0..N-1 entity numbering in node_id order — the handoff
+        # table KG-embedding trainers consume (ops/index.py); the
+        # numbering is deterministic (unique sort key) so resumed runs
+        # reproduce it bit-for-bit from the same node set
+        from .ops.index import zip_with_index
+
+        ids = zip_with_index(
+            w_n.read().select_columns(["node_id", "node_type"]),
+            sort_key="node_id",
+            id_col="entity_id",
+        )
+        w_i = PartitionedWriter(
+            os.path.join(out_dir, "entity_ids"), max(num_partitions // 4, 1)
+        )
+        s = w_i.write(ids, key_column="node_id", resume=resume, fingerprint=fingerprint)
+        report["tables"]["entity_ids"] = {
             "rows": int(s["rows"].sum()),
             "partitions": len(s),
         }
@@ -294,6 +316,9 @@ def main(argv=None) -> int:
                         "of an existing --out graph (update_graph)")
     p.add_argument("--pagerank", action="store_true",
                    help="also materialize node PageRank (out/node_ranks)")
+    p.add_argument("--entity-ids", action="store_true",
+                   help="also materialize dense 0..N-1 entity numbering "
+                        "(out/entity_ids, embedding-trainer handoff)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone runs; under ray job submit the cluster decides")
     args = p.parse_args(argv)
@@ -369,6 +394,7 @@ def main(argv=None) -> int:
                 num_partitions=args.num_partitions,
                 resume=not args.no_resume,
                 compute_pagerank=args.pagerank,
+                compute_entity_ids=args.entity_ids,
             )
         report["seconds"] = round(time.perf_counter() - t0, 2)
         print(json.dumps(report))

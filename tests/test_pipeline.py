@@ -242,6 +242,29 @@ def test_job_pagerank_table(tmp_path):
     assert abs(ranks["pr"].sum() - 1.0) < 1e-6  # mass conserved
 
 
+def test_job_entity_ids_table(tmp_path):
+    from raykg.job import build_graph
+    from raykg.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig(language="en", category_column="category", concurrency=2)
+    out = str(tmp_path / "kg")
+    report = build_graph(
+        read_transcripts(SF), ONTO, cfg, out, num_partitions=4,
+        compute_entity_ids=True,
+    )
+    n_nodes = report["tables"]["nodes"]["rows"]
+    assert report["tables"]["entity_ids"]["rows"] == n_nodes
+    import ray.data as rd
+
+    ids = rd.read_parquet(
+        [str(p) for p in (tmp_path / "kg" / "entity_ids").glob("part=*/data.parquet")]
+    ).to_pandas()
+    # dense 0..N-1 numbering, in node_id sort order
+    assert sorted(ids["entity_id"]) == list(range(n_nodes))
+    by_rank = ids.sort_values("entity_id")
+    assert by_rank["node_id"].tolist() == sorted(ids["node_id"].tolist())
+
+
 class TestJsonlIO:
     def test_jsonl_roundtrip(self, tmp_path, ray_session):
         import pandas as pd
