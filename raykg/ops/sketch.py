@@ -312,6 +312,11 @@ def histogram_quantiles(
     ``ceil(q * n)`` — within 1/scale of the exact quantile_disc, fully
     deterministic, and mirrored bit-for-bit by a SQL window cumsum (same
     double ``q * n`` both engines).
+
+    Like ``key_quantiles`` this is the bounded-KEY-cardinality shape
+    (metrics keyed by type/tenant/model) — the final per-key fold is a
+    Python pass per distinct key; what the sketch removes is the bound
+    on per-key VALUE volume (counts replace values on the wire).
     """
     import pyarrow as pa
 
