@@ -2930,15 +2930,17 @@ def q_kg_negatives(sf_dir: str):
 def q_neighbor_mean(sf_dir: str):
     """One GNN message-passing layer over the co-order part graph: per
     part, the neighbor count and exact integer floor-mean of the
-    neighbors' p_size — bucketed hash join (two large sides) + sharded
-    groupby, two exchanges total (`ops/gnn.py`)."""
+    neighbors' p_size — the raw `group_pairs` stream feeds
+    `dedup_pairs=True`, which dedups cross-group pair copies INSIDE the
+    node-sharded aggregate exchange instead of `canonical_edges`'
+    dedicated pair all-to-all: one exchange saved (`ops/gnn.py`)."""
     from ..ops.gnn import neighbor_feature_mean
-    from ..ops.triangles import canonical_edges, group_pairs
+    from ..ops.triangles import group_pairs
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
-    edges = canonical_edges(group_pairs(li, "l_orderkey", "l_partkey", num_shards=32))
+    edges = group_pairs(li, "l_orderkey", "l_partkey", num_shards=32)
     parts = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
     )
@@ -2954,7 +2956,10 @@ def q_neighbor_mean(sf_dir: str):
         )
 
     out = neighbor_feature_mean(
-        edges, parts.map_batches(as_feat, batch_format="pyarrow"), feat_col="p_size"
+        edges,
+        parts.map_batches(as_feat, batch_format="pyarrow"),
+        feat_col="p_size",
+        dedup_pairs=True,
     )
 
     def typed(batch: pa.Table) -> pa.Table:
@@ -3028,6 +3033,18 @@ def q_hist_quantiles(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     return histogram_quantiles(ev, "event_type", "value")
+
+
+def q_value_buckets(sf_dir: str):
+    """Equi-depth quartile bucket per event (within event_type): exact
+    quantile grid broadcast as a LUT, stateless map, zero row exchange
+    (`ops/feature.py:quantile_bucketize`)."""
+    from ..ops.feature import quantile_bucketize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return quantile_bucketize(ev, "event_type", "value", n_buckets=4)
 
 
 # --- registry --------------------------------------------------------------
@@ -3160,6 +3177,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_tree": q_doc_tree,
     "node_ids": q_node_ids,
     "hist_quantiles": q_hist_quantiles,
+    "value_buckets": q_value_buckets,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -5046,3 +5064,17 @@ ORACLE_SQL["node_ids"] = f"""
 from ..ops.sketch import histogram_quantiles_sql as _hq_sql  # noqa: E402
 
 ORACLE_SQL["hist_quantiles"] = _hq_sql("events", "event_type", "value")
+
+
+ORACLE_SQL["value_buckets"] = """
+    WITH thr AS (SELECT event_type,
+                        quantile_disc(value, 0.25) AS q1,
+                        quantile_disc(value, 0.5)  AS q2,
+                        quantile_disc(value, 0.75) AS q3
+                 FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           CAST((CASE WHEN e.value >= q1 THEN 1 ELSE 0 END)
+              + (CASE WHEN e.value >= q2 THEN 1 ELSE 0 END)
+              + (CASE WHEN e.value >= q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+    FROM events e JOIN thr USING (event_type)
+"""

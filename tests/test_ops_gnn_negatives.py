@@ -158,3 +158,65 @@ def test_group_quantile_filter_matches_duckdb_quantile_disc():
         """
     ).df()
     assert got.id.tolist() == want.id.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neighbor_mean_broadcast_and_join_engines_pinned_equal():
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 60, (150, 2)) if a < b}
+    edges = _edges(sorted(pairs))
+    feats = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(60, dtype=np.int64)),
+                "f": pa.array(rng.randint(1, 100, 60).astype(np.int64)),
+            }
+        )
+    )
+    kw = dict(feat_col="f", num_buckets=8, num_shards=8)
+    a = (
+        neighbor_feature_mean(edges, feats, broadcast_max_nodes=10**6, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        neighbor_feature_mean(edges, feats, broadcast_max_nodes=0, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neighbor_mean_dedup_pairs_pinned_to_canonical_path():
+    """dedup_pairs=True over a stream with cross-batch duplicate pairs
+    must equal the canonical (pre-deduped) path, on BOTH engines."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.randint(0, 40, (80, 2)) if a < b})
+    # duplicate the stream 3x and shuffle so copies span blocks
+    dup = pairs * 3
+    rng.shuffle(dup)
+    dup_edges = _edges(dup)
+    feats = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(40, dtype=np.int64)),
+                "f": pa.array(rng.randint(1, 50, 40).astype(np.int64)),
+            }
+        )
+    )
+    kw = dict(feat_col="f", num_buckets=4, num_shards=4)
+    want = (
+        neighbor_feature_mean(_edges(pairs), feats, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    for bmax in (10**6, 0):  # broadcast engine, then join engine
+        got = (
+            neighbor_feature_mean(
+                dup_edges, feats, dedup_pairs=True, broadcast_max_nodes=bmax, **kw
+            )
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -141,3 +141,22 @@ def test_histogram_quantiles_within_bin_width_of_exact():
             exact = s[min(len(s) - 1, max(0, int(np.ceil(q * len(s))) - 1))]
             # sketch reports the bin's lower edge: within one bin width below
             assert got.loc[k, name] <= exact < got.loc[k, name] + 1 / 16 + 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_bucketize_equi_depth():
+    import numpy as np
+
+    from raykg.ops.feature import quantile_bucketize
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"g": ["a"] * 400 + ["b"] * 400, "v": rng.randn(800)})
+    out = (
+        quantile_bucketize(ray.data.from_pandas(df), "g", "v", n_buckets=4, num_shards=4)
+        .to_pandas()
+    )
+    # equi-depth: each quartile bucket holds ~25% of its group
+    for g, grp in out.groupby("g"):
+        counts = grp.bucket.value_counts().sort_index()
+        assert counts.index.tolist() == [0, 1, 2, 3]
+        assert (counts >= 90).all() and (counts <= 110).all()
