@@ -3035,6 +3035,44 @@ def q_hist_quantiles(sf_dir: str):
     return histogram_quantiles(ev, "event_type", "value")
 
 
+HARMONIC_SEEDS = [1, 2, 3, 4]
+
+
+def q_harmonic(sf_dir: str):
+    """Landmark-estimated harmonic centrality over the co-order part
+    graph: per-seed BFS distances from 4 sampled landmarks
+    (`ops/bfs.multi_source_hops` — one edge pass per level tracking all
+    seeds), then per node the reached-landmark count and the integer
+    harmonic sum Σ 6/d over d ∈ {1, 2} (6 is divisible by every bounded
+    hop count, so the score is exact int64 and the SQL mirror is
+    bit-equal)."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.bfs import multi_source_hops
+
+    hops = multi_source_hops(
+        _co_order_pairs(sf_dir), HARMONIC_SEEDS, src="u", dst="v", max_hops=2,
+        directed=False,
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        d = df[df["hops"] > 0].copy()
+        d["c"] = 6 // d["hops"]
+        g = d.groupby("node", sort=False).agg(
+            n_seeds=("seed", "size"), h6=("c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "node": g.index.to_numpy(),
+                "n_seeds": g["n_seeds"].to_numpy().astype("int64"),
+                "h6": g["h6"].to_numpy().astype("int64"),
+            }
+        )
+
+    return sharded_groupby_apply(hops, ["node"], fold, num_shards=16)
+
+
 def q_value_buckets(sf_dir: str):
     """Equi-depth quartile bucket per event (within event_type): exact
     quantile grid broadcast as a LUT, stateless map, zero row exchange
@@ -3178,6 +3216,7 @@ QUERIES: Dict[str, Callable] = {
     "node_ids": q_node_ids,
     "hist_quantiles": q_hist_quantiles,
     "value_buckets": q_value_buckets,
+    "harmonic": q_harmonic,
 }
 
 def _overlap_oracle_sql() -> str:
@@ -5064,6 +5103,26 @@ ORACLE_SQL["node_ids"] = f"""
 from ..ops.sketch import histogram_quantiles_sql as _hq_sql  # noqa: E402
 
 ORACLE_SQL["hist_quantiles"] = _hq_sql("events", "event_type", "value")
+
+
+ORACLE_SQL["harmonic"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT u AS s, v AS d FROM pairs
+          UNION ALL SELECT v, u FROM pairs),
+    seeds(sd) AS (VALUES {", ".join(f"({s})" for s in [1, 2, 3, 4])}),
+    reach(seed, node, h) AS (
+        SELECT CAST(sd AS BIGINT), CAST(sd AS BIGINT), 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, e.d, r.h + 1 FROM reach r JOIN e ON e.s = r.node
+        WHERE r.h < 2),
+    best AS (SELECT seed, node, MIN(h) AS h FROM reach GROUP BY seed, node)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_seeds,
+           CAST(SUM(6 // h) AS BIGINT) AS h6
+    FROM best WHERE h > 0 GROUP BY node
+"""
 
 
 ORACLE_SQL["value_buckets"] = """

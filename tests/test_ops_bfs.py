@@ -86,3 +86,37 @@ def test_string_nodes(ray_session):
     edges = [("a", "b"), ("b", "c")]
     got = _got(khop_min_hops(_ds(edges), ["a"], max_hops=1, directed=True))
     assert got == {"a": 0, "b": 1}
+
+
+def _brute_multi(edges, seeds, max_hops, directed) -> dict:
+    out = {}
+    for s in seeds:
+        for node, h in _brute(edges, [s], max_hops, directed).items():
+            out[(s, node)] = h
+    return out
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_multi_source_engines_match_brute(ray_session, directed):
+    from raykg.ops.bfs import multi_source_hops
+
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 50, size=(160, 2))
+        if a != b
+    ]
+    seeds = [0, 1, 2]
+    want = _brute_multi(edges, seeds, 3, directed)
+
+    def got(engine):
+        df = multi_source_hops(
+            _ds(edges), seeds, max_hops=3, directed=directed,
+            engine=engine, num_shards=4,
+        ).to_pandas()
+        return {(s, n): h for s, n, h in zip(df["seed"], df["node"], df["hops"])}
+
+    bc = got("broadcast")
+    sh = got("sharded")
+    assert bc == want
+    assert sh == want
