@@ -105,6 +105,68 @@ def rollup_sum(
     return leveled.union(grand)
 
 
+def cube_sum(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    value: str,
+    num_shards: int = 32,
+) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(keys)`` — one row per group of EVERY key subset
+    (all 2^n grouping sets, NULL marking aggregated-out keys), with
+    ``sum(value) AS sum, count(*) AS n``.
+
+    Scale shape: per-batch partials pre-aggregate the FINEST combo
+    (bounded by distinct combos per batch, not rows), each partial row
+    then expands to its 2^n grouping-set projections in a flat pandas
+    kernel, and ONE exchange sharded on the full (NULL-marked) key tuple
+    folds every set — unlike ROLLUP there is no shared leading key
+    across sets, so the expansion happens map-side where it multiplies
+    partials, not raw rows.  Exchange volume is
+    O(batch_combos x 2^n); like SQL CUBE this is meant for bounded-
+    cardinality dimension keys (status, priority, region — not ids).
+
+    Key columns must be non-null in the input (the standard
+    ``GROUPING()`` caveat, same as :func:`rollup_sum`).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    n_keys = len(keys)
+    masks = list(range(1 << n_keys))
+
+    def partial_expand(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(keys, sort=False, dropna=False)
+            .agg(sum=(value, "sum"), n=(value, "size"))
+            .reset_index()
+        )
+        out: List[pd.DataFrame] = []
+        for mask in masks:
+            proj = g.copy()
+            for i, k in enumerate(keys):
+                if not (mask >> i) & 1:
+                    proj[k] = None
+            out.append(proj[keys + ["sum", "n"]])
+        return pd.concat(out, ignore_index=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(keys, sort=False, dropna=False)[["sum", "n"]]
+            .sum()
+            .reset_index()
+        )
+        return g[keys + ["sum", "n"]]
+
+    return sharded_groupby_apply(
+        ds.select_columns(keys + [value]).map_batches(
+            partial_expand, batch_format="pandas"
+        ),
+        keys,
+        fold,
+        num_shards=num_shards,
+    )
+
+
 def hierarchy_rollup(
     ds: "ray.data.Dataset",
     id_col: str,

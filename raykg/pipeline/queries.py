@@ -2624,6 +2624,58 @@ def q_orders_rollup(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE (status, priority) over orders: all four grouping
+    sets (leaf, per-status, per-priority, grand) with exact integer-cents
+    sums — `ops/rollup.cube_sum`, map-side 2^n grouping-set expansion of
+    per-batch partials + ONE full-key-tuple exchange."""
+    from ..ops.rollup import cube_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["o_totalprice"], pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = cube_sum(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        "cents",
+        num_shards=16,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(
+                    df["o_orderstatus"], type=pa.string(), from_pandas=True
+                ),
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], type=pa.string(), from_pandas=True
+                ),
+                "sum_cents": pa.array(df["sum"], type=pa.int64()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_cheap_paths(sf_dir: str):
     """Bounded-hop weighted shortest paths from part 1 over the co-order
     part graph; edge weight = MIN over orders of the two line numbers'
@@ -3089,6 +3141,7 @@ def q_value_buckets(sf_dir: str):
 
 QUERIES: Dict[str, Callable] = {
     "transcripts": q_transcripts,
+    "orders_cube": q_orders_cube,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4996,6 +5049,15 @@ ORACLE_SQL["orders_rollup"] = """
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+ORACLE_SQL["orders_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 ORACLE_SQL["cheap_paths"] = """
