@@ -2247,6 +2247,81 @@ def q_lineitem_corr(sf_dir: str):
     return pa.table({k: pa.array([v], type=pa.int64()) for k, v in agg.items()})
 
 
+def q_event_running(sf_dir: str):
+    """Global running balance: per-event running sum of integer cents in
+    total (ts, event_id) order — `ops/scan.prefix_sum`, one range-sort
+    exchange + per-block partial sums with only O(num_blocks) int64
+    scalars crossing the driver."""
+    from ..ops.scan import prefix_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "t_us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    run = prefix_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "cents",
+        sort_keys=["t_us", "event_id"],
+    )
+    return run.select_columns(["event_id", "run_total"])
+
+
+def q_max_concurrent(sf_dir: str):
+    """Interval-concurrency sweep: treat each event as a session of
+    ``floor(value)`` seconds and find the maximum number of simultaneously
+    open sessions — +1/-1 boundary deltas, global prefix scan, MAX fold.
+    Ends sort before starts at equal timestamps (touching intervals do
+    not overlap), and since only the MAX of the run is consumed the scan
+    tolerates the +1/+1 ties within one timestamp."""
+    from ..ops.scan import prefix_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) * np.int64(1_000_000)
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, s + dur]), type=pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    run = prefix_sum(
+        ev.map_batches(deltas, batch_format="pyarrow"),
+        "d",
+        sort_keys=["t", "d"],
+        out_column="run",
+    )
+    peak = run.max("run")
+    return pa.table({"max_concurrent": pa.array([peak], type=pa.int64())})
+
+
 def q_event_deltas(sf_dir: str):
     """Period-over-period event volume: hourly counts per type with the
     delta vs the previous hour — `ops/events.tumbling_window` composed
@@ -3142,6 +3217,8 @@ def q_value_buckets(sf_dir: str):
 QUERIES: Dict[str, Callable] = {
     "transcripts": q_transcripts,
     "orders_cube": q_orders_cube,
+    "event_running": q_event_running,
+    "max_concurrent": q_max_concurrent,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5049,6 +5126,27 @@ ORACLE_SQL["orders_rollup"] = """
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+ORACLE_SQL["event_running"] = """
+    SELECT event_id,
+           SUM(CAST(round(value * 100.0) AS BIGINT))
+               OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS run_total
+    FROM events
+"""
+
+ORACLE_SQL["max_concurrent"] = """
+    WITH iv AS (SELECT epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value) AS BIGINT) * 1000000 AS e
+                FROM events),
+    d AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+          UNION ALL
+          SELECT e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+    r AS (SELECT SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING)
+                 AS run FROM d)
+    SELECT CAST(MAX(run) AS BIGINT) AS max_concurrent FROM r
 """
 
 ORACLE_SQL["orders_cube"] = """

@@ -808,3 +808,19 @@ def test_mode_with_ties_and_invariance(ray_session):
         .drop_duplicates("k")
     )
     assert pa_["v"].tolist() == want["v"].tolist()
+
+
+from raykg.ops.scan import prefix_sum
+
+def test_prefix_sum_matches_numpy_and_partition_invariant(ray_session):
+    rng = np.random.default_rng(41)
+    n = 2000
+    df = pd.DataFrame(
+        {"k": rng.permutation(n).astype(np.int64),
+         "v": rng.integers(-50, 50, n).astype(np.int64)}
+    )
+    want = df.sort_values("k")["v"].cumsum().to_numpy()
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = prefix_sum(ds, "v", ["k"]).to_pandas().sort_values("k")
+        assert (out["run_total"].to_numpy() == want).all()
