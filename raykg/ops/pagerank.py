@@ -82,6 +82,7 @@ def pagerank(
     dedup_edges: bool = True,
     max_broadcast_nodes: int = 5_000_000,
     weight_column: str = None,
+    seeds=None,
 ) -> "ray.data.Dataset":
     """Rank every node of the directed graph ``(src_column, dst_column)``.
 
@@ -96,6 +97,16 @@ def pagerank(
     ``max_broadcast_nodes`` run the broadcast engine (state shipped via
     ``ray.put``, edges never re-shuffled); larger node sets fall back to
     the fully sharded engine (see module doc).
+
+    ``seeds`` (an iterable of node ids) switches to PERSONALIZED
+    PageRank (Jeh & Widom 2002): the reset distribution — teleport,
+    dangling redistribution, AND the initial ranks — concentrates
+    uniformly on the seeds present in the graph instead of on all
+    nodes, so ranks measure proximity to the seed set.  Seeds absent
+    from the graph are ignored; at least one must be present.  The
+    seed set rides along inside closures (it is query-sized, not
+    graph-sized).  ``seeds=None`` keeps the classic uniform walk with
+    bit-identical arithmetic to previous versions.
     """
     if weight_column is not None:
         def sum_w(df: pd.DataFrame) -> pd.DataFrame:
@@ -167,17 +178,38 @@ def pagerank(
             )
         )
 
+    seed_set = None
+    s_count = 0
+    if seeds is not None:
+        seed_set = frozenset(seeds)
+
+        def count_seeds(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"c": [int(df["node"].isin(seed_set).sum())]})
+
+        s_count = int(
+            pre_state.map_batches(count_seeds, batch_format="pandas").sum("c")
+            or 0
+        )
+        if s_count == 0:
+            raise ValueError("personalized pagerank: no seed is in the graph")
+
     if n <= max_broadcast_nodes:
         return _pagerank_broadcast(
-            e, pre_state, n, src_column, dst_column, damping, iters, num_shards
+            e, pre_state, n, src_column, dst_column, damping, iters,
+            num_shards, seed_set, s_count,
         )
+
+    def reset_of(nodes: pd.Series) -> np.ndarray:
+        if seed_set is None:
+            return np.full(len(nodes), 1.0 / n)
+        return nodes.isin(seed_set).to_numpy(dtype=np.float64) / s_count
 
     def init_state(df: pd.DataFrame) -> pa.Table:
         return pa.table(
             {
                 "node": pa.array(df["node"], type=pa.string()),
                 "outdeg": pa.array(df["outdeg"], type=pa.float64()),
-                "pr": pa.array(np.full(len(df), 1.0 / n), type=pa.float64()),
+                "pr": pa.array(reset_of(df["node"]), type=pa.float64()),
             }
         )
 
@@ -221,12 +253,22 @@ def pagerank(
             num_buckets=num_shards,
         ).map_batches(contrib, batch_format="pyarrow")
 
-        base = (1.0 - damping) / n + damping * dangling / n
-
-        def fold_shard(df: pd.DataFrame, base=base) -> pa.Table:
+        def fold_shard(df: pd.DataFrame, dangling=dangling) -> pa.Table:
             s = df[df["kind"] == "s"]
             c = df[df["kind"] == "c"].groupby("node", sort=False)["pr"].sum()
-            folded = base + damping * s["node"].map(c).fillna(0.0).to_numpy()
+            contrib = s["node"].map(c).fillna(0.0).to_numpy()
+            if seed_set is None:
+                # scalar base kept in the historical association order so
+                # the uniform walk stays bit-identical across versions
+                base = (1.0 - damping) / n + damping * dangling / n
+                folded = base + damping * contrib
+            else:
+                rv = reset_of(s["node"])
+                folded = (
+                    (1.0 - damping) * rv
+                    + damping * dangling * rv
+                    + damping * contrib
+                )
             return pa.table(
                 {
                     "node": pa.array(s["node"], type=pa.string()),
@@ -254,17 +296,24 @@ def _pagerank_broadcast(
     damping: float,
     iters: int,
     num_shards: int,
+    seed_set=None,
+    s_count: int = 0,
 ) -> "ray.data.Dataset":
     """Broadcast iteration engine: |V|-sized state as one pandas table,
     ``ray.put`` per iteration and map-side merged onto the streaming edge
     table; the only exchange per iteration is the dst-sharded ``(dst,
     w)`` contribution sum.  Arithmetic is element-for-element the same
-    expression the sharded engine runs."""
+    expression the sharded engine runs (seeded reset included)."""
     import ray
 
     state = pre_state.to_pandas()  # (node, outdeg) — fits by the threshold
     state["outdeg"] = state["outdeg"].astype(np.float64)
-    state["pr"] = np.full(len(state), 1.0 / n)
+    if seed_set is None:
+        rv = None
+        state["pr"] = np.full(len(state), 1.0 / n)
+    else:
+        rv = state["node"].isin(seed_set).to_numpy(dtype=np.float64) / s_count
+        state["pr"] = rv
     dangling_mask = state["outdeg"].to_numpy() == 0.0
 
     def sum_shard(df: pd.DataFrame) -> pd.DataFrame:
@@ -273,7 +322,6 @@ def _pagerank_broadcast(
 
     for _ in range(iters):
         dangling = float(state["pr"].to_numpy()[dangling_mask].sum())
-        base = (1.0 - damping) / n + damping * dangling / n
         ref = ray.put(state[["node", "outdeg", "pr"]])
 
         def contrib(batch: pa.Table, ref=ref) -> pa.Table:
@@ -301,7 +349,13 @@ def _pagerank_broadcast(
             num_shards=num_shards,
         ).to_pandas()  # <= |V| rows
         c = state["node"].map(dict(zip(sums["node"], sums["c"]))).fillna(0.0).to_numpy()
-        state["pr"] = base + damping * c
+        if rv is None:
+            base = (1.0 - damping) / n + damping * dangling / n
+            state["pr"] = base + damping * c
+        else:
+            state["pr"] = (
+                (1.0 - damping) * rv + damping * dangling * rv + damping * c
+            )
 
     return ray.data.from_arrow(
         pa.table(

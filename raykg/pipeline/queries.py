@@ -144,6 +144,29 @@ def q_pagerank(sf_dir: str):
     return pr.map_batches(round8, batch_format="pyarrow")
 
 
+PPR_SEEDS = ["concept:Engine", "concept:Customer"]
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank from two concept seeds over the same KG edge
+    table (3 iterations, damping 0.85): teleport, dangling mass and the
+    initial ranks all concentrate on the seed set, so ranks measure
+    proximity to the seeds — `ops/pagerank.pagerank(seeds=...)`; the
+    query-sized seed set rides in closures, never shuffled."""
+    from ..ops.pagerank import pagerank
+
+    pr = pagerank(
+        q_edges(sf_dir), damping=0.85, iters=3, num_shards=16, seeds=PPR_SEEDS
+    )
+
+    def round8(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"node": batch["node"], "pr": pc.round(batch["pr"], 8)})
+
+    return pr.map_batches(round8, batch_format="pyarrow")
+
+
 def q_profile(sf_dir: str):
     """Column profile of the documents table (counts / nulls / exact
     distinct / lexicographic extremes) — `ops/profile.py`; reads only the
@@ -3219,6 +3242,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_cube": q_orders_cube,
     "event_running": q_event_running,
     "max_concurrent": q_max_concurrent,
+    "ppr_concepts": q_ppr,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4293,12 +4317,14 @@ ORACLE_SQL["mix_langs"] = f"""
 """
 
 
-def _pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
+def _pagerank_sql(damping: float = 0.85, iters: int = 3, seeds=None) -> str:
     """Unrolled fixed-iteration PageRank mirror: one CTE triple
     (dangling mass, contribution sums, fold) per iteration — recursive
     CTEs cannot aggregate over the previous step in standard SQL, and
     unrolling keeps the arithmetic order-independent enough that the
-    8-decimal rounding on both sides hash-matches."""
+    8-decimal rounding on both sides hash-matches.  With ``seeds`` the
+    reset vector (init + teleport + dangling) concentrates on the seed
+    nodes, mirroring the engine's personalized walk."""
     parts = [
         f"""
     WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
@@ -4314,11 +4340,37 @@ def _pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
     pr_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM pr_nodes),
     od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
-           FROM e GROUP BY src),
-    pr0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS pr FROM pr_nodes)"""
+           FROM e GROUP BY src)"""
     ]
+    if seeds is None:
+        parts.append(
+            """,
+    pr0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS pr FROM pr_nodes)"""
+        )
+    else:
+        seed_in = ", ".join(f"'{s}'" for s in seeds)
+        parts.append(
+            f""",
+    sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c
+           FROM pr_nodes WHERE node IN ({seed_in})),
+    rv AS (SELECT node,
+                  CASE WHEN node IN ({seed_in})
+                       THEN 1.0 / (SELECT c FROM sc) ELSE 0.0 END AS r
+           FROM pr_nodes),
+    pr0 AS (SELECT node, r AS pr FROM rv)"""
+        )
     for i in range(1, iters + 1):
         p = f"pr{i - 1}"
+        if seeds is None:
+            fold = f"""(1 - {damping}) / (SELECT c FROM nn)
+                     + {damping} * (SELECT m FROM dang{i}) / (SELECT c FROM nn)
+                     + {damping} * COALESCE(s.contrib, 0.0)"""
+            from_nodes = "pr_nodes nd"
+        else:
+            fold = f"""(1 - {damping}) * nd.r
+                     + {damping} * (SELECT m FROM dang{i}) * nd.r
+                     + {damping} * COALESCE(s.contrib, 0.0)"""
+            from_nodes = "rv nd"
         parts.append(
             f""",
     dang{i} AS (SELECT COALESCE(SUM(p.pr), 0.0) AS m
@@ -4329,16 +4381,17 @@ def _pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
                     JOIN od o ON e.src = o.node
              GROUP BY e.dst),
     pr{i} AS (SELECT nd.node,
-                     (1 - {damping}) / (SELECT c FROM nn)
-                     + {damping} * (SELECT m FROM dang{i}) / (SELECT c FROM nn)
-                     + {damping} * COALESCE(s.contrib, 0.0) AS pr
-              FROM pr_nodes nd LEFT JOIN s{i} s ON nd.node = s.node)"""
+                     {fold} AS pr
+              FROM {from_nodes} LEFT JOIN s{i} s ON nd.node = s.node)"""
         )
     parts.append(f"\n    SELECT node, round(pr, 8) AS pr FROM pr{iters}")
     return "".join(parts)
 
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(damping=0.85, iters=3)
+ORACLE_SQL["ppr_concepts"] = _pagerank_sql(
+    damping=0.85, iters=3, seeds=PPR_SEEDS
+)
 
 _PROFILE_COL_SQL = """
     SELECT '{c}' AS "column", COUNT(*) AS n_rows,

@@ -145,3 +145,52 @@ def test_random_graph_matches_reference(ray_session):
 def test_empty_graph(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"src": [], "dst": []}))
     assert pagerank(ds, num_shards=4).count() == 0
+
+
+def local_ppr(edges, seeds, damping=0.85, iters=3):
+    """Dense numpy personalized reference: reset mass (init, teleport,
+    dangling) concentrates uniformly on the seeds present in the graph."""
+    es = set(edges)
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in es:
+        outdeg[idx[u]] += 1.0
+    rv = np.zeros(n)
+    present = [s for s in seeds if s in idx]
+    for s in present:
+        rv[idx[s]] = 1.0 / len(present)
+    pr = rv.copy()
+    for _ in range(iters):
+        dangling = pr[outdeg == 0].sum()
+        nxt = (1 - damping) * rv + damping * dangling * rv
+        for u, v in es:
+            nxt[idx[v]] += damping * pr[idx[u]] / outdeg[idx[u]]
+        pr = nxt
+    return dict(zip(nodes, pr))
+
+
+def test_personalized_matches_local_reference(ray_session):
+    seeds = ["a", "g", "not-in-graph"]
+    got = run(GRAPH, seeds=tuple(seeds))
+    want = local_ppr(GRAPH, seeds)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_sharded_matches_broadcast(ray_session):
+    seeds = ("a", "g")
+    got = run(GRAPH, seeds=seeds, max_broadcast_nodes=0)
+    want = run(GRAPH, seeds=seeds)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-15), node
+
+
+def test_personalized_no_seed_in_graph_raises(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    with pytest.raises(ValueError):
+        pagerank(ds, num_shards=4, seeds=["zzz"])
