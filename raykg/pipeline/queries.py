@@ -147,6 +147,16 @@ def q_pagerank(sf_dir: str):
 PPR_SEEDS = ["concept:Engine", "concept:Customer"]
 
 
+def q_wl_colors(sf_dir: str):
+    """Weisfeiler-Lehman color refinement (2 rounds) over the KG edge
+    table: structural node signatures for entity canonicalization —
+    `ops/wl.wl_refine`, one label-attach (broadcast under threshold) +
+    one node-sharded sorted-multiset fold per round."""
+    from ..ops.wl import wl_refine
+
+    return wl_refine(q_edges(sf_dir), rounds=2, num_shards=16)
+
+
 def q_ppr(sf_dir: str):
     """Personalized PageRank from two concept seeds over the same KG edge
     table (3 iterations, damping 0.85): teleport, dangling mass and the
@@ -3243,6 +3253,7 @@ QUERIES: Dict[str, Callable] = {
     "event_running": q_event_running,
     "max_concurrent": q_max_concurrent,
     "ppr_concepts": q_ppr,
+    "wl_colors": q_wl_colors,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4392,6 +4403,43 @@ ORACLE_SQL["pagerank"] = _pagerank_sql(damping=0.85, iters=3)
 ORACLE_SQL["ppr_concepts"] = _pagerank_sql(
     damping=0.85, iters=3, seeds=PPR_SEEDS
 )
+
+
+def _wl_sql(rounds: int = 2) -> str:
+    """Unrolled WL mirror: per round, a sorted ``string_agg`` of in-
+    neighbor labels and ``md5(prev || '|' || agg)`` — byte-identical to
+    the engine's per-node hash input."""
+    parts = [
+        f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    e AS (SELECT DISTINCT src, dst FROM eraw),
+    wn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    l0 AS (SELECT node, '0' AS lbl FROM wn)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{i} AS (SELECT e.dst AS node,
+                    string_agg(p.lbl, ',' ORDER BY p.lbl) AS agg
+             FROM e JOIN l{i - 1} p ON e.src = p.node
+             GROUP BY e.dst),
+    l{i} AS (SELECT n.node,
+                    md5(n.lbl || '|' || COALESCE(a.agg, '')) AS lbl
+             FROM l{i - 1} n LEFT JOIN a{i} a ON n.node = a.node)"""
+        )
+    parts.append(f"\n    SELECT node, lbl AS wl_color FROM l{rounds}")
+    return "".join(parts)
+
+
+ORACLE_SQL["wl_colors"] = _wl_sql(rounds=2)
 
 _PROFILE_COL_SQL = """
     SELECT '{c}' AS "column", COUNT(*) AS n_rows,
