@@ -147,6 +147,53 @@ def q_pagerank(sf_dir: str):
 PPR_SEEDS = ["concept:Engine", "concept:Customer"]
 
 
+KWIC_WINDOW = 24
+
+
+def q_mention_context(sf_dir: str):
+    """KWIC / entity-context extraction: a +-24-char window around the
+    FIRST occurrence of each (turn, keyword) — the context snippet an
+    entity-linking trainer consumes.  Mentions carry per-match char
+    offsets from the actor; per-batch min-start pre-agg bounds the one
+    (conv, turn, keyword)-sharded exchange to distinct mention keys, and
+    the slice itself is a bounded per-key kernel."""
+    from ..ops.agg import sharded_groupby_apply
+
+    mentions = _mentions(sf_dir)
+    w = KWIC_WINDOW
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("match_start", kind="stable")
+        return df.drop_duplicates(["conv_id", "turn_idx", "keyword"])[
+            ["conv_id", "turn_idx", "keyword", "match_start", "match_end",
+             "sentence"]
+        ]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = pre(df)
+        ctx = [
+            s[max(0, a - w): b + w]
+            for s, a, b in zip(
+                df["sentence"], df["match_start"], df["match_end"]
+            )
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy().astype("int32"),
+                "keyword": df["keyword"].to_numpy(),
+                "ctx": ctx,
+            }
+        )
+
+    return sharded_groupby_apply(
+        mentions.map_batches(pre, batch_format="pandas"),
+        ["conv_id", "turn_idx", "keyword"],
+        fold,
+        num_shards=16,
+    )
+
+
 def q_wl_colors(sf_dir: str):
     """Weisfeiler-Lehman color refinement (2 rounds) over the KG edge
     table: structural node signatures for entity canonicalization —
@@ -3254,6 +3301,7 @@ QUERIES: Dict[str, Callable] = {
     "max_concurrent": q_max_concurrent,
     "ppr_concepts": q_ppr,
     "wl_colors": q_wl_colors,
+    "mention_context": q_mention_context,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4440,6 +4488,23 @@ def _wl_sql(rounds: int = 2) -> str:
 
 
 ORACLE_SQL["wl_colors"] = _wl_sql(rounds=2)
+
+ORACLE_SQL["mention_context"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE},
+    fp AS (SELECT t.conv_id, t.turn_idx, onto.keyword, t.text,
+                  length(regexp_extract(
+                      t.text,
+                      '^((?s:.*?))\\b' || onto.keyword || '\\b', 1)) AS s0
+           FROM t, onto
+           WHERE regexp_matches(t.text, '\\b' || onto.keyword || '\\b'))
+    SELECT conv_id, turn_idx, keyword,
+           substr(text,
+                  greatest(s0 - {KWIC_WINDOW}, 0) + 1,
+                  least(length(text),
+                        s0 + length(keyword) + {KWIC_WINDOW})
+                  - greatest(s0 - {KWIC_WINDOW}, 0)) AS ctx
+    FROM fp
+"""
 
 _PROFILE_COL_SQL = """
     SELECT '{c}' AS "column", COUNT(*) AS n_rows,
