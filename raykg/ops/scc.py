@@ -1,0 +1,310 @@
+"""Strongly connected components of a DIRECTED graph — FW-BW-MIN coloring.
+
+The undirected clustering in `ops/components.py` cannot see direction;
+KG edge tables are directed (conv -> turn -> tool, mention -> concept),
+and cycle groups (mutual-reference clusters, synonym rings, redirect
+loops) are SCCs.  This implements the distributed coloring algorithm
+(Orzan 2004; McLendon et al. 2005 "FW-BW-Trim" family) with min-label
+propagation as the reachability primitive:
+
+Per peel round, on the remaining subgraph:
+
+1. ``fwd(v)`` = min id over v's ANCESTOR closure (incl. self): BSP
+   min-label propagation along edge direction until fixpoint;
+2. ``bwd(v)`` = min id over v's DESCENDANT closure: same on the
+   reversed edges;
+3. ancestor and descendant closures are SCC-invariant, so both labels
+   are constant per SCC; ``fwd(v) == bwd(v) == m`` proves ``m`` is both
+   an ancestor and a descendant of ``v`` — i.e. ``m`` is in ``v``'s SCC
+   and (being the min of a superset) is its minimum id.  Those nodes
+   RESOLVE with ``scc_id = m``;
+4. unresolved nodes keep only edges between themselves; repeat.
+
+Every peel round resolves at least every SCC containing the minimum id
+of its reach neighborhood; adversarial id orderings (a descending DAG
+chain) need O(chain) rounds, so ``max_peel_rounds`` fails loudly rather
+than looping — real KG graphs with hash-assigned ids resolve in a few
+rounds.
+
+Scale shape: edges are (int64, int64) pairs, deduped and materialized
+once per peel round; one propagation step = attach-label (broadcast
+lookup under ``_BROADCAST_MAX_LABELS`` nodes, bucketed hash join above)
++ one dst-sharded vectorized min — the `ops/components.py` pattern,
+directed.  The convergence witness is the strictly-decreasing label
+sum.  Nothing node-set-sized lands on the driver above the broadcast
+threshold; below it, only the int64 (node, label) pairs do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .agg import sharded_groupby_apply
+from .components import _BROADCAST_MAX_LABELS
+from .join import bucketed_hash_join
+from .setops import distinct_rows
+
+_EMPTY = pa.Table.from_pydict(
+    {
+        "node": pa.array([], type=pa.int64()),
+        "scc_id": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _min_propagate(
+    edges: "ray.data.Dataset",
+    num_shards: int,
+    num_buckets: int,
+    max_iters: int,
+) -> "ray.data.Dataset":
+    """min-label propagation ALONG edge direction: label(v) converges to
+    the min id of v's ancestor closure.  ``edges`` must be materialized,
+    deduped, and contain a self-edge for every node (so every node
+    appears as dst and keeps its own label in the fold)."""
+
+    def min_per_dst(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("dst", sort=False)[df.columns[1]].min().reset_index()
+        out.columns = ["node", "label"]
+        return out
+
+    labels = sharded_groupby_apply(
+        edges.map_batches(
+            lambda b: pa.table({"dst": b["dst"], "label": b["src"]}),
+            batch_format="pyarrow",
+        ),
+        ["dst"],
+        min_per_dst,
+        num_shards=num_shards,
+    )
+
+    def label_sum(lab):
+        row = lab.aggregate(Sum("label", alias_name="s"))
+        return None if not row or row["s"] is None else int(row["s"])
+
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        labels = labels.materialize()
+        n_nodes = labels.count()
+        if n_nodes <= _BROADCAST_MAX_LABELS:
+            refs = labels.to_arrow_refs()
+            cache: dict = {}
+
+            def attach(batch: pa.Table, refs=refs, cache=cache) -> pa.Table:
+                if "lut" not in cache:
+                    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+                    full = pa.concat_tables(tabs)
+                    k = full["node"].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    v = full["label"].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    order = np.argsort(k)
+                    cache["lut"] = (k[order], v[order])
+                k, v = cache["lut"]
+                src = batch["src"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                lab = v[np.searchsorted(k, src)]
+                return pa.table(
+                    {
+                        "dst": batch["dst"],
+                        "src_label": pa.array(lab, type=pa.int64()),
+                    }
+                )
+
+            relabeled = edges.map_batches(attach, batch_format="pyarrow")
+        else:
+            renamed = labels.map_batches(
+                lambda b: b.rename_columns(["src", "src_label"]),
+                batch_format="pyarrow",
+            )
+            relabeled = bucketed_hash_join(
+                edges, renamed, on="src", num_buckets=num_buckets
+            ).drop_columns(["src"])
+
+        labels = sharded_groupby_apply(
+            relabeled, ["dst"], min_per_dst, num_shards=num_shards
+        )
+        cur = label_sum(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"scc label propagation did not converge in {max_iters} rounds"
+    )
+
+
+def strongly_connected_components(
+    edges: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    max_peel_rounds: int = 20,
+    max_iters: int = 50,
+    num_shards: int = 64,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Directed (src, dst) int64 edge Dataset -> (node, scc_id) with
+    scc_id = the component's minimum node id, for every endpoint."""
+    e = distinct_rows(
+        edges.select_columns([src_column, dst_column]),
+        [src_column, dst_column],
+        num_shards=num_shards,
+    ).map_batches(
+        lambda df: pa.table(
+            {
+                "src": pa.array(
+                    df[src_column].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "dst": pa.array(
+                    df[dst_column].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def with_self(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        allv = np.concatenate([s, d])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, allv]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([d, allv]), type=pa.int64()),
+            }
+        )
+
+    # self-edges keep every node present through propagation AND through
+    # the unresolved-subgraph filter; dedup collapses the duplicates
+    cur = distinct_rows(
+        e.map_batches(with_self, batch_format="pyarrow"),
+        ["src", "dst"],
+        num_shards=num_shards,
+    ).materialize()
+
+    resolved_parts = []
+    for _ in range(max_peel_rounds):
+        if cur.count() == 0:
+            break
+        fwd = _min_propagate(cur, num_shards, num_buckets, max_iters)
+        rev = cur.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        bwd = _min_propagate(rev, num_shards, num_buckets, max_iters)
+
+        def tag(which):
+            def f(batch: pa.Table, which=which) -> pa.Table:
+                return batch.append_column(
+                    "kind", pa.array([which] * batch.num_rows, type=pa.string())
+                )
+
+            return f
+
+        def split(df: pd.DataFrame) -> pd.DataFrame:
+            w = df.pivot_table(
+                index="node", columns="kind", values="label", aggfunc="min"
+            ).reset_index()
+            done = w["f"].to_numpy() == w["b"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "node": w["node"].to_numpy(),
+                    "scc_id": w["f"].to_numpy(),
+                    "done": done,
+                }
+            )
+
+        both = sharded_groupby_apply(
+            fwd.map_batches(tag("f"), batch_format="pyarrow").union(
+                bwd.map_batches(tag("b"), batch_format="pyarrow")
+            ),
+            ["node"],
+            split,
+            num_shards=num_shards,
+        ).materialize()
+
+        def take(done_value):
+            def f(batch: pa.Table, dv=done_value) -> pa.Table:
+                mask = batch["done"].to_numpy(zero_copy_only=False)
+                kept = batch.filter(pa.array(mask == dv))
+                cols = ["node", "scc_id"] if dv else ["node"]
+                return kept.select(cols)
+
+            return f
+
+        resolved_parts.append(
+            both.map_batches(take(True), batch_format="pyarrow").materialize()
+        )
+        unresolved = both.map_batches(
+            take(False), batch_format="pyarrow"
+        ).materialize()
+        n_left = unresolved.count()
+        if n_left == 0:
+            break
+
+        if n_left <= _BROADCAST_MAX_LABELS:
+            keep = np.sort(
+                unresolved.to_pandas()["node"].to_numpy(dtype=np.int64)
+            )
+            keep_ref = ray.put(keep)
+
+            def filt(batch: pa.Table, keep_ref=keep_ref) -> pa.Table:
+                ks = ray.get(keep_ref)
+                s = batch["src"].to_numpy(zero_copy_only=False)
+                d = batch["dst"].to_numpy(zero_copy_only=False)
+
+                def member(x):
+                    pos = np.minimum(np.searchsorted(ks, x), len(ks) - 1)
+                    return ks[pos] == x
+
+                return batch.filter(pa.array(member(s) & member(d)))
+
+            cur = cur.map_batches(filt, batch_format="pyarrow").materialize()
+        else:
+            un_s = unresolved.map_batches(
+                lambda b: b.rename_columns(["src"]), batch_format="pyarrow"
+            )
+            un_d = unresolved.map_batches(
+                lambda b: b.rename_columns(["dst"]), batch_format="pyarrow"
+            )
+            cur = bucketed_hash_join(
+                bucketed_hash_join(cur, un_s, on="src",
+                                   num_buckets=num_buckets),
+                un_d,
+                on="dst",
+                num_buckets=num_buckets,
+            ).select_columns(["src", "dst"]).materialize()
+    else:
+        raise RuntimeError(
+            f"scc did not finish in {max_peel_rounds} peel rounds "
+            "(adversarial id ordering, e.g. a long descending DAG chain); "
+            "raise max_peel_rounds"
+        )
+
+    if not resolved_parts:
+        return ray.data.from_arrow(_EMPTY)
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.union(p)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pa.array(
+                    b["node"].to_numpy(zero_copy_only=False), type=pa.int64()
+                ),
+                "scc_id": pa.array(
+                    b["scc_id"].to_numpy(zero_copy_only=False),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -147,6 +147,35 @@ def q_pagerank(sf_dir: str):
 PPR_SEEDS = ["concept:Engine", "concept:Customer"]
 
 
+def q_part_scc(sf_dir: str):
+    """Strongly connected components of a directed part->supplier modular
+    graph (one dense cycle cluster + singleton chains) —
+    `ops/scc.strongly_connected_components`, FW-BW-MIN coloring with
+    BSP min-label propagation per direction and loud peel/iteration
+    caps."""
+    from ..ops.scc import strongly_connected_components
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def mod_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_linenumber"] == 1]
+        return pd.DataFrame(
+            {
+                "src": (df["l_partkey"] % 997).to_numpy(dtype=np.int64),
+                "dst": (df["l_suppkey"] * 7 % 997).to_numpy(dtype=np.int64),
+            }
+        )
+
+    return strongly_connected_components(
+        li.map_batches(mod_edges, batch_format="pandas"),
+        num_shards=16,
+        num_buckets=8,
+    )
+
+
 KWIC_WINDOW = 24
 
 
@@ -3302,6 +3331,7 @@ QUERIES: Dict[str, Callable] = {
     "ppr_concepts": q_ppr,
     "wl_colors": q_wl_colors,
     "mention_context": q_mention_context,
+    "part_scc": q_part_scc,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4488,6 +4518,24 @@ def _wl_sql(rounds: int = 2) -> str:
 
 
 ORACLE_SQL["wl_colors"] = _wl_sql(rounds=2)
+
+ORACLE_SQL["part_scc"] = """
+    WITH RECURSIVE
+    e AS (SELECT DISTINCT l_partkey % 997 AS src,
+                          l_suppkey * 7 % 997 AS dst
+          FROM lineitem WHERE l_linenumber = 1),
+    reach(s, d) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    mutual AS (SELECT a.s AS u, a.d AS v
+               FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+    allm AS (SELECT u, v FROM mutual
+             UNION ALL SELECT node AS u, node AS v FROM n)
+    SELECT u AS node, CAST(MIN(v) AS BIGINT) AS scc_id
+    FROM allm GROUP BY u
+"""
 
 ORACLE_SQL["mention_context"] = f"""
     WITH {_T_CTE}, {_ONTO_CTE},
