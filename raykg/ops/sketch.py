@@ -26,6 +26,7 @@ import heapq
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data
 from ray.data.aggregate import AggregateFnV2
 from ray.data.block import BlockAccessor
@@ -385,3 +386,58 @@ def histogram_quantiles_sql(
             FROM b JOIN tot USING ({key_column}))
     SELECT {key_column}, {cols} FROM cum GROUP BY {key_column}
     """
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    column: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 4096,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT iceberg query (``GROUP BY k HAVING count(*) >= T``) without a
+    key-cardinality exchange.
+
+    Pass 1 folds one Count-Min sketch over the whole column (bounded
+    ``depth x width`` state through Ray's tree combine).  Because CM
+    never underestimates, every truly-heavy key probes >= ``min_count``
+    — the sketch-filtered candidate set is a SUPERSET of the answer.
+    Pass 2 re-reads the column: each batch pre-counts its values, probes
+    the broadcast sketch, and emits partials ONLY for candidate keys, so
+    the exchange carries O(N/min_count + false positives) keys instead
+    of every distinct key; the sharded fold sums exactly and applies the
+    threshold.  False positives (CM overestimates light keys) survive to
+    the fold and are cut by their exact sums — the result is exact.
+
+    Returns ``(key, n)`` with the input column's dtype preserved.
+    """
+    from .agg import sharded_groupby_apply
+
+    sk = ds.aggregate(CountMinSketch(column, depth=depth, width=width))[
+        f"countmin({column})"
+    ]
+    sk_ref = ray.put(sk)
+
+    def candidates(df: pd.DataFrame, sk_ref=sk_ref) -> pd.DataFrame:
+        sketch = ray.get(sk_ref)
+        vc = df[column].value_counts()
+        keys, counts = [], []
+        for v, c in vc.items():
+            est = min(
+                sketch[i, _cm_bucket(i, v, width)] for i in range(depth)
+            )
+            if est >= min_count:
+                keys.append(v)
+                counts.append(int(c))
+        out = pd.DataFrame({"key": keys, "n": counts})
+        out["key"] = out["key"].astype(df[column].dtype)
+        return out
+
+    partials = ds.map_batches(candidates, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=False)["n"].sum().reset_index()
+        return g[g["n"] >= min_count]
+
+    return sharded_groupby_apply(partials, ["key"], fold, num_shards=num_shards)

@@ -935,6 +935,40 @@ def q_ngram_top(sf_dir: str):
     return text_ops.ngram_counts(docs, n=3, top=50)
 
 
+HH_MIN_COUNT = 200
+
+
+def q_heavy_tokens(sf_dir: str):
+    """Exact iceberg query over the corpus vocabulary: tokens occurring
+    >= 200 times — `ops/sketch.heavy_hitters` (one Count-Min fold bounds
+    every frequency from above, then a candidate-only exact-count pass;
+    the exchange carries O(N/T) keys, never the whole vocabulary)."""
+    from ..ops.sketch import heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        rx = re.compile(r"\S+")
+        out = [t for s in df["text"].fillna("") for t in rx.findall(s)]
+        return pd.DataFrame({"tok": pd.Series(out, dtype=str)})
+
+    tokens = docs.map_batches(explode, batch_format="pandas")
+    hh = heavy_hitters(
+        tokens, "tok", min_count=HH_MIN_COUNT, num_shards=16
+    )
+    return hh.map_batches(
+        lambda df: pa.table(
+            {
+                "tok": pa.array(df["key"], type=pa.string()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 PREP_MIN_QUALITY = 40
 
 
@@ -3332,6 +3366,7 @@ QUERIES: Dict[str, Callable] = {
     "wl_colors": q_wl_colors,
     "mention_context": q_mention_context,
     "part_scc": q_part_scc,
+    "heavy_tokens": q_heavy_tokens,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4518,6 +4553,14 @@ def _wl_sql(rounds: int = 2) -> str:
 
 
 ORACLE_SQL["wl_colors"] = _wl_sql(rounds=2)
+
+ORACLE_SQL["heavy_tokens"] = rf"""
+    WITH w AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                      AS tok
+               FROM documents)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY tok HAVING COUNT(*) >= {HH_MIN_COUNT}
+"""
 
 ORACLE_SQL["part_scc"] = """
     WITH RECURSIVE

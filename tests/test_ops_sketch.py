@@ -112,3 +112,26 @@ class TestHll:
             regs = hll_registers(ray.data.from_pandas(df).repartition(4), "v")
             est = hll_estimate(regs)
             assert abs(est - n) / n < 0.10, (n, est)
+
+
+def test_heavy_hitters_exact_even_with_collisions(ray_session):
+    import pandas as pd
+    import numpy as np
+    import ray.data
+    from raykg.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: a few heavy keys, long light tail
+    vals = (
+        ["hot_a"] * 120 + ["hot_b"] * 80 + ["warm"] * 19
+        + [f"tail{i}" for i in rng.integers(0, 400, 600)]
+    )
+    df = pd.DataFrame({"k": vals})
+    want = df["k"].value_counts()
+    want = want[want >= 20].to_dict()
+    for width in (8, 512):  # width=8 forces massive CM collisions
+        out = heavy_hitters(
+            ray.data.from_pandas(df).repartition(5), "k",
+            min_count=20, width=width, num_shards=4,
+        ).to_pandas()
+        assert dict(zip(out["key"], out["n"])) == want, width
