@@ -935,6 +935,73 @@ def q_ngram_top(sf_dir: str):
     return text_ops.ngram_counts(docs, n=3, top=50)
 
 
+def q_bloom_join(sf_dir: str):
+    """Selective fact-dim join with Bloom shuffle pruning: per-order item
+    count + integer-cents revenue for urgent finished orders only —
+    `ops/bloom.bloom_prefilter` drops partnerless lineitem rows BEFORE
+    the bucketed hash join's exchange (fixed-size bit array vs the
+    semi-join's O(keys) array); Bloom false positives are removed by the
+    exact join, so the result equals the plain SQL join."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.bloom import bloom_prefilter
+    from ..ops.join import bucketed_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def keep_urgent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.equal(batch["o_orderstatus"], pa.scalar("F")),
+            pc.equal(batch["o_orderpriority"], pa.scalar("1-URGENT")),
+        )
+        return pa.table({"o_orderkey": batch.filter(m)["o_orderkey"]})
+
+    small = orders.map_batches(keep_urgent, batch_format="pyarrow").materialize()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pref = bloom_prefilter(
+        li.map_batches(cents, batch_format="pyarrow"),
+        small,
+        on="o_orderkey",
+        n_bits=1 << 16,
+    )
+    joined = bucketed_hash_join(pref, small, on="o_orderkey", num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", sort=False)["cents"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": g.index.to_numpy(),
+                "n_items": g["size"].to_numpy().astype("int64"),
+                "sum_cents": g["sum"].to_numpy().astype("int64"),
+            }
+        )
+
+    return sharded_groupby_apply(joined, ["o_orderkey"], fold, num_shards=16)
+
+
 HH_MIN_COUNT = 200
 
 
@@ -3367,6 +3434,7 @@ QUERIES: Dict[str, Callable] = {
     "mention_context": q_mention_context,
     "part_scc": q_part_scc,
     "heavy_tokens": q_heavy_tokens,
+    "bloom_join": q_bloom_join,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4553,6 +4621,16 @@ def _wl_sql(rounds: int = 2) -> str:
 
 
 ORACLE_SQL["wl_colors"] = _wl_sql(rounds=2)
+
+ORACLE_SQL["bloom_join"] = """
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100.0) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+"""
 
 ORACLE_SQL["heavy_tokens"] = rf"""
     WITH w AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))

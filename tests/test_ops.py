@@ -824,3 +824,30 @@ def test_prefix_sum_matches_numpy_and_partition_invariant(ray_session):
         ds = ray.data.from_pandas(df).repartition(parts)
         out = prefix_sum(ds, "v", ["k"]).to_pandas().sort_values("k")
         assert (out["run_total"].to_numpy() == want).all()
+
+
+from raykg.ops.bloom import BloomBuild, bloom_prefilter
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(ray_session):
+    rng = np.random.default_rng(3)
+    small_keys = rng.choice(100_000, 200, replace=False).astype(np.int64)
+    big = pd.DataFrame({"k": rng.integers(0, 100_000, 5000).astype(np.int64),
+                        "v": np.arange(5000)})
+    small = ray.data.from_pandas(pd.DataFrame({"k": small_keys}))
+    out = bloom_prefilter(
+        ray.data.from_pandas(big).repartition(4), small, on="k",
+        n_bits=1 << 14,
+    ).to_pandas()
+    member = np.isin(big["k"].to_numpy(), small_keys)
+    # no false negatives: every true match survives
+    assert set(big[member]["v"]) <= set(out["v"])
+    # actually prunes: most non-members dropped at this sizing
+    assert len(out) < len(big) * 0.2
+
+
+def test_bloom_tiny_filter_passes_everything_exactly_once(ray_session):
+    # degenerate n_bits: all-ones filter => pure pass-through, rows intact
+    big = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    small = ray.data.from_pandas(pd.DataFrame({"k": np.arange(50, dtype=np.int64)}))
+    out = bloom_prefilter(ray.data.from_pandas(big), small, on="k", n_bits=8)
+    assert sorted(out.to_pandas()["k"]) == sorted(big["k"])
