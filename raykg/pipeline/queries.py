@@ -1002,6 +1002,61 @@ def q_bloom_join(sf_dir: str):
     return sharded_groupby_apply(joined, ["o_orderkey"], fold, num_shards=16)
 
 
+ZORDER_BITS = 10
+
+
+def q_zorder_tiles(sf_dir: str):
+    """Z-order curve partitioning audit: Morton-interleave (partkey,
+    suppkey) mod 2^10 and count rows per coarse tile (top 6 of 20 key
+    bits) — `ops/zorder.zorder_key`, a stateless zero-exchange map; the
+    tile histogram shows the 2-D locality a z-sorted layout gives the
+    range pruner."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.zorder import zorder_key
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    lim = 1 << ZORDER_BITS
+
+    def mod(batch: pa.Table) -> pa.Table:
+        x = batch["l_partkey"].to_numpy(zero_copy_only=False) % lim
+        y = batch["l_suppkey"].to_numpy(zero_copy_only=False) % lim
+        return pa.table(
+            {
+                "x": pa.array(x.astype(np.int64), type=pa.int64()),
+                "y": pa.array(y.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    z = zorder_key(
+        li.map_batches(mod, batch_format="pyarrow"), "x", "y",
+        bits=ZORDER_BITS,
+    )
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        t = batch["z"].to_numpy(zero_copy_only=False) >> (
+            2 * ZORDER_BITS - 6
+        )
+        uniq, counts = np.unique(t, return_counts=True)
+        return pa.table(
+            {
+                "tile": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tile", sort=False)["n"].sum().reset_index()
+
+    return sharded_groupby_apply(
+        z.map_batches(tile_partial, batch_format="pyarrow"),
+        ["tile"],
+        fold,
+        num_shards=8,
+    )
+
+
 HH_MIN_COUNT = 200
 
 
@@ -3435,6 +3490,7 @@ QUERIES: Dict[str, Callable] = {
     "part_scc": q_part_scc,
     "heavy_tokens": q_heavy_tokens,
     "bloom_join": q_bloom_join,
+    "zorder_tiles": q_zorder_tiles,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4621,6 +4677,23 @@ def _wl_sql(rounds: int = 2) -> str:
 
 
 ORACLE_SQL["wl_colors"] = _wl_sql(rounds=2)
+
+def _zorder_tiles_sql() -> str:
+    from ..ops.zorder import zorder_sql_expr
+
+    z = zorder_sql_expr(
+        f"l_partkey % {1 << ZORDER_BITS}",
+        f"l_suppkey % {1 << ZORDER_BITS}",
+        ZORDER_BITS,
+    )
+    return f"""
+    SELECT ({z}) // {1 << (2 * ZORDER_BITS - 6)} AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+"""
+
+
+ORACLE_SQL["zorder_tiles"] = _zorder_tiles_sql()
 
 ORACLE_SQL["bloom_join"] = """
     SELECT o.o_orderkey,

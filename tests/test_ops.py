@@ -851,3 +851,16 @@ def test_bloom_tiny_filter_passes_everything_exactly_once(ray_session):
     small = ray.data.from_pandas(pd.DataFrame({"k": np.arange(50, dtype=np.int64)}))
     out = bloom_prefilter(ray.data.from_pandas(big), small, on="k", n_bits=8)
     assert sorted(out.to_pandas()["k"]) == sorted(big["k"])
+
+
+def test_morton_key_locality_and_roundtrip():
+    from raykg.ops.zorder import morton_key, spread_bits
+    x = np.array([0, 1, 2, 3, 1023], dtype=np.int64)
+    y = np.array([0, 1, 3, 0, 1023], dtype=np.int64)
+    z = morton_key(x, y)
+    # interleave identities: (x,y)=(1,1)->3, (3,0)->5, (2,3)->14
+    assert list(z[:4]) == [0, 3, 14, 5]
+    assert z[4] == (1 << 20) - 1
+    # de-interleave roundtrip via the spread masks
+    even = z.astype(np.uint64) & np.uint64(0x5555555555555555)
+    assert (spread_bits(x) == even).all()
