@@ -191,6 +191,17 @@ def run_bench() -> dict:
     timed("doc_tree")
     timed("node_ids")
     timed("hist_quantiles")
+    # round-3 third-session additions
+    timed("orders_cube")
+    timed("event_running")
+    timed("max_concurrent", consume=len)
+    timed("ppr_concepts")
+    timed("wl_colors")
+    timed("mention_context")
+    timed("part_scc")
+    timed("heavy_tokens")
+    timed("bloom_join")
+    timed("zorder_tiles")
 
     headline = timings["triples_scaled"]
     result = {

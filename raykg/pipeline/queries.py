@@ -2739,6 +2739,30 @@ def q_user_top_event(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_user_first_event(sf_dir: str):
+    """Accumulating-snapshot fact: each user's FIRST event (type + time,
+    (ts, event_id) total order) — `ops/topk.group_argmin`, per-batch
+    per-key minima bound the exchange to one row per key per block."""
+    from ..ops.topk import group_argmin
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = group_argmin(ev, ["user_id"], ["ts", "event_id"], num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"], type=pa.int64()),
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_lineitem_wsample(sf_dir: str):
     """Probability-proportional sampling of lineitem (keep prob =
     quantity / 50) — `ops/sample.weighted_bernoulli`: the integer
@@ -3491,6 +3515,7 @@ QUERIES: Dict[str, Callable] = {
     "heavy_tokens": q_heavy_tokens,
     "bloom_join": q_bloom_join,
     "zorder_tiles": q_zorder_tiles,
+    "user_first_event": q_user_first_event,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4694,6 +4719,15 @@ def _zorder_tiles_sql() -> str:
 
 
 ORACLE_SQL["zorder_tiles"] = _zorder_tiles_sql()
+
+ORACLE_SQL["user_first_event"] = """
+    SELECT user_id, event_type, ts
+    FROM (SELECT user_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+"""
 
 ORACLE_SQL["bloom_join"] = """
     SELECT o.o_orderkey,
