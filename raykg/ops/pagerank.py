@@ -46,6 +46,10 @@ they agree bit-for-bit and both match the unrolled-SQL oracle.
 """
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -72,6 +76,48 @@ def _arrow(ds: "ray.data.Dataset", schema) -> "ray.data.Dataset":
 _STATE_SCHEMA = {"node": pa.string(), "outdeg": pa.float64(), "pr": pa.float64()}
 
 
+def _ckpt_sig(damping, n, seed_set, weighted: bool) -> str:
+    """Run signature: a checkpoint is only resumable by the run shape
+    that wrote it (same damping / node count / seeds / weighting)."""
+    seeds = "uniform" if seed_set is None else ",".join(sorted(seed_set))
+    return hashlib.md5(
+        f"{damping}:{n}:{seeds}:{int(weighted)}".encode("utf-8")
+    ).hexdigest()
+
+
+def _ckpt_latest(checkpoint_dir: str, sig: str):
+    """(iteration, state_path) of the highest COMPLETE checkpoint (one
+    whose manifest was atomically renamed into place), or (0, None).
+    A manifest from a different run signature fails loudly — silently
+    resuming someone else's state would corrupt the ranks."""
+    best, best_path = 0, None
+    if not os.path.isdir(checkpoint_dir):
+        return best, best_path
+    for name in sorted(os.listdir(checkpoint_dir)):
+        mpath = os.path.join(checkpoint_dir, name, "_MANIFEST.json")
+        if not (name.startswith("iter_") and os.path.exists(mpath)):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("sig") != sig:
+            raise ValueError(
+                f"pagerank checkpoint {mpath} was written by a different "
+                "run shape (damping/nodes/seeds/weights); point "
+                "checkpoint_dir somewhere else or delete it"
+            )
+        if m["iter"] > best:
+            best = m["iter"]
+            best_path = os.path.join(checkpoint_dir, name, "state")
+    return best, best_path
+
+
+def _ckpt_write_manifest(it_dir: str, it: int, sig: str, rows: int) -> None:
+    tmp = os.path.join(it_dir, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"iter": it, "sig": sig, "rows": rows}, f)
+    os.replace(tmp, os.path.join(it_dir, "_MANIFEST.json"))
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     src_column: str = "src",
@@ -83,6 +129,7 @@ def pagerank(
     max_broadcast_nodes: int = 5_000_000,
     weight_column: str = None,
     seeds=None,
+    checkpoint_dir: str = None,
 ) -> "ray.data.Dataset":
     """Rank every node of the directed graph ``(src_column, dst_column)``.
 
@@ -107,6 +154,19 @@ def pagerank(
     seed set rides along inside closures (it is query-sized, not
     graph-sized).  ``seeds=None`` keeps the classic uniform walk with
     bit-identical arithmetic to previous versions.
+
+    ``checkpoint_dir`` makes the ITERATION LOOP resumable: after every
+    iteration the (node, outdeg, pr) state lands in
+    ``{dir}/iter_NNNN/state`` (a distributed ``write_parquet`` in the
+    sharded engine; a single driver-side file in the broadcast engine,
+    whose state already lives on the driver by the threshold) and a
+    manifest is renamed into place ATOMICALLY — a killed run leaves
+    either a complete iteration or nothing.  A rerun with the same dir
+    skips every manifested iteration and continues from the latest
+    state; float64 survives parquet exactly, so the resumed run is
+    bit-equal to an uninterrupted one (pinned by test).  Manifests carry
+    a run signature (damping / node count / seeds / weighting) and a
+    mismatch fails loudly.
     """
     if weight_column is not None:
         def sum_w(df: pd.DataFrame) -> pd.DataFrame:
@@ -193,10 +253,17 @@ def pagerank(
         if s_count == 0:
             raise ValueError("personalized pagerank: no seed is in the graph")
 
+    sig = _ckpt_sig(damping, n, seed_set, weight_column is not None)
+    start_iter, ckpt_path = (
+        _ckpt_latest(checkpoint_dir, sig) if checkpoint_dir else (0, None)
+    )
+    start_iter = min(start_iter, iters)
+
     if n <= max_broadcast_nodes:
         return _pagerank_broadcast(
             e, pre_state, n, src_column, dst_column, damping, iters,
             num_shards, seed_set, s_count,
+            checkpoint_dir, sig, start_iter, ckpt_path,
         )
 
     def reset_of(nodes: pd.Series) -> np.ndarray:
@@ -213,7 +280,12 @@ def pagerank(
             }
         )
 
-    state = pre_state.map_batches(init_state, batch_format="pandas").materialize()
+    if ckpt_path is not None:
+        state = ray.data.read_parquet(ckpt_path).materialize()
+    else:
+        state = pre_state.map_batches(
+            init_state, batch_format="pandas"
+        ).materialize()
 
     def dangling_partial(batch: pa.Table) -> pa.Table:
         od = batch["outdeg"].to_numpy(zero_copy_only=False)
@@ -236,7 +308,7 @@ def pagerank(
     def tag_state(batch: pa.Table) -> pa.Table:
         return batch.append_column("kind", pa.array(["s"] * batch.num_rows))
 
-    for _ in range(iters):
+    for it in range(start_iter, iters):
         dangling = (
             state.map_batches(dangling_partial, batch_format="pyarrow").sum("s")
             or 0.0
@@ -283,6 +355,12 @@ def pagerank(
             fold_shard,
             num_shards=num_shards,
         ).materialize()
+        if checkpoint_dir:
+            it_dir = os.path.join(checkpoint_dir, f"iter_{it + 1:04d}")
+            typed = _arrow(state, _STATE_SCHEMA).materialize()
+            typed.write_parquet(os.path.join(it_dir, "state"))
+            _ckpt_write_manifest(it_dir, it + 1, sig, typed.count())
+            state = typed
 
     return _arrow(state, _STATE_SCHEMA).select_columns(["node", "pr"])
 
@@ -298,6 +376,10 @@ def _pagerank_broadcast(
     num_shards: int,
     seed_set=None,
     s_count: int = 0,
+    checkpoint_dir: str = None,
+    sig: str = "",
+    start_iter: int = 0,
+    ckpt_path: str = None,
 ) -> "ray.data.Dataset":
     """Broadcast iteration engine: |V|-sized state as one pandas table,
     ``ray.put`` per iteration and map-side merged onto the streaming edge
@@ -314,13 +396,22 @@ def _pagerank_broadcast(
     else:
         rv = state["node"].isin(seed_set).to_numpy(dtype=np.float64) / s_count
         state["pr"] = rv
+    if ckpt_path is not None:
+        import pyarrow.parquet as pq
+
+        saved = pq.read_table(ckpt_path).to_pandas()
+        # align the saved ranks onto the freshly derived (node, outdeg)
+        # order — outdeg is recomputed, only pr carries across runs
+        state["pr"] = state["node"].map(
+            dict(zip(saved["node"], saved["pr"]))
+        ).to_numpy()
     dangling_mask = state["outdeg"].to_numpy() == 0.0
 
     def sum_shard(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", sort=False)["w"].sum()
         return pd.DataFrame({"node": g.index.to_numpy(), "c": g.to_numpy()})
 
-    for _ in range(iters):
+    for it in range(start_iter, iters):
         dangling = float(state["pr"].to_numpy()[dangling_mask].sum())
         ref = ray.put(state[["node", "outdeg", "pr"]])
 
@@ -356,6 +447,26 @@ def _pagerank_broadcast(
             state["pr"] = (
                 (1.0 - damping) * rv + damping * dangling * rv + damping * c
             )
+        if checkpoint_dir:
+            import pyarrow.parquet as pq
+
+            it_dir = os.path.join(checkpoint_dir, f"iter_{it + 1:04d}")
+            os.makedirs(os.path.join(it_dir, "state"), exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "node": pa.array(state["node"], type=pa.string()),
+                        "outdeg": pa.array(
+                            state["outdeg"].to_numpy(), type=pa.float64()
+                        ),
+                        "pr": pa.array(
+                            state["pr"].to_numpy(), type=pa.float64()
+                        ),
+                    }
+                ),
+                os.path.join(it_dir, "state", "part-0.parquet"),
+            )
+            _ckpt_write_manifest(it_dir, it + 1, sig, len(state))
 
     return ray.data.from_arrow(
         pa.table(

@@ -194,3 +194,49 @@ def test_personalized_no_seed_in_graph_raises(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
     with pytest.raises(ValueError):
         pagerank(ds, num_shards=4, seeds=["zzz"])
+
+
+def test_checkpoint_resume_bit_equal_broadcast(ray_session, tmp_path):
+    import os
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    # "crashed" run: only 2 of 4 iterations complete
+    pagerank(ds, num_shards=4, iters=2, checkpoint_dir=ck)
+    assert os.path.exists(os.path.join(ck, "iter_0002", "_MANIFEST.json"))
+    resumed = pagerank(ds, num_shards=4, iters=4, checkpoint_dir=ck).to_pandas()
+    fresh = run(GRAPH, iters=4)
+    got = dict(zip(resumed["node"], resumed["pr"]))
+    assert got == fresh  # bit-equal, not approx
+    assert os.path.exists(os.path.join(ck, "iter_0004", "_MANIFEST.json"))
+
+
+def test_checkpoint_resume_bit_equal_sharded(ray_session, tmp_path):
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    pagerank(ds, num_shards=4, iters=1, checkpoint_dir=ck,
+             max_broadcast_nodes=0)
+    resumed = pagerank(ds, num_shards=4, iters=3, checkpoint_dir=ck,
+                       max_broadcast_nodes=0).to_pandas()
+    fresh = run(GRAPH, iters=3)
+    got = dict(zip(resumed["node"], resumed["pr"]))
+    assert got == fresh
+
+
+def test_checkpoint_signature_mismatch_raises(ray_session, tmp_path):
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    pagerank(ds, num_shards=4, iters=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError):
+        pagerank(ds, num_shards=4, iters=2, damping=0.5, checkpoint_dir=ck)
+
+
+def test_checkpoint_incomplete_iteration_ignored(ray_session, tmp_path):
+    import os
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    pagerank(ds, num_shards=4, iters=1, checkpoint_dir=ck)
+    # simulate a kill between state write and manifest rename
+    os.makedirs(os.path.join(ck, "iter_0002", "state"), exist_ok=True)
+    resumed = pagerank(ds, num_shards=4, iters=2, checkpoint_dir=ck).to_pandas()
+    fresh = run(GRAPH, iters=2)
+    assert dict(zip(resumed["node"], resumed["pr"])) == fresh
