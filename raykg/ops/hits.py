@@ -108,3 +108,44 @@ def hits_path_counts(
             }
         )
     )
+
+
+def katz_path_scores(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    base: int = 4,
+    num_shards: int = 32,
+) -> "ray.data.Dataset":
+    """Katz centrality (Katz 1953) over bounded path lengths as EXACT
+    scaled integers: with attenuation ``beta = 1/base``,
+
+        katz(v) = sum_{l=1..iters} n_l(v) * beta^l
+
+    where ``n_l(v)`` counts directed paths of length l ending at v
+    (``n_1 = indeg``, ``n_l(v) = sum over u->v of n_{l-1}(u)``).  The
+    returned ``katz`` column is that sum scaled by ``base**iters`` —
+    ``sum n_l * base**(iters-l)`` — so it is int64-exact and bit-equal
+    to an unrolled SQL join chain; ranking is unchanged by the scaling.
+    Counts grow ~ deg^iters: int64 holds iters=3 up to ~2M average
+    degree — same bound class as :func:`hits_path_counts`.
+
+    Scale shape identical to HITS: one broadcast + one node-sharded
+    contribution fold per length step; edges stream ``iters`` times.
+    """
+    e = edges.select_columns([src, dst]).materialize()
+    nodes = _node_universe(e, src, dst, num_shards)
+    vals = np.ones(len(nodes), dtype=np.int64)
+    score = np.zeros(len(nodes), dtype=np.int64)
+    for l in range(1, iters + 1):
+        vals = _propagate(e, nodes, vals, src, dst, num_shards)
+        score = score + vals * np.int64(base ** (iters - l))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes),
+                "katz": pa.array(score, type=pa.int64()),
+            }
+        )
+    )

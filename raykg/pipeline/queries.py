@@ -223,6 +223,16 @@ def q_mention_context(sf_dir: str):
     )
 
 
+def q_kg_katz(sf_dir: str):
+    """Katz centrality over the directed KG edge table as exact scaled
+    integers (beta=1/4, paths up to length 3) — `ops/hits.katz_path_scores`;
+    one broadcast + one node-sharded fold per length step."""
+    from ..ops.hits import katz_path_scores
+
+    e = q_edges(sf_dir).select_columns(["src", "dst"])
+    return katz_path_scores(e, iters=3, base=4, num_shards=16)
+
+
 def q_wl_colors(sf_dir: str):
     """Weisfeiler-Lehman color refinement (2 rounds) over the KG edge
     table: structural node signatures for entity canonicalization —
@@ -3516,6 +3526,7 @@ QUERIES: Dict[str, Callable] = {
     "bloom_join": q_bloom_join,
     "zorder_tiles": q_zorder_tiles,
     "user_first_event": q_user_first_event,
+    "kg_katz": q_kg_katz,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5287,6 +5298,48 @@ def _hits_sql(iters: int = 3) -> str:
 
 
 ORACLE_SQL["kg_hits"] = _hits_sql(iters=3)
+
+
+def _katz_sql(iters: int = 3, base: int = 4) -> str:
+    """Unrolled Katz scaled-integer mirror over the KG eraw edges —
+    ``sum_l n_l(v) * base**(iters-l)`` with n_l the length-l path counts."""
+    parts = [
+        f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    n0 AS (SELECT src AS node FROM eraw UNION SELECT dst FROM eraw),
+    p0 AS (SELECT node, CAST(1 AS BIGINT) AS c FROM n0)"""
+    ]
+    for l in range(1, iters + 1):
+        parts.append(
+            f""",
+    p{l} AS (SELECT e.dst AS node, CAST(SUM(p.c) AS BIGINT) AS c
+             FROM eraw e JOIN p{l - 1} p ON p.node = e.src
+             GROUP BY e.dst)"""
+        )
+    score = " + ".join(
+        f"COALESCE(p{l}.c, 0) * {base ** (iters - l)}"
+        for l in range(1, iters + 1)
+    )
+    joins = "".join(
+        f" LEFT JOIN p{l} ON p{l}.node = n0.node"
+        for l in range(1, iters + 1)
+    )
+    parts.append(
+        f"""
+    SELECT n0.node, CAST({score} AS BIGINT) AS katz FROM n0{joins}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["kg_katz"] = _katz_sql(iters=3, base=4)
 
 ORACLE_SQL["conv_json"] = f"""
     WITH {_T_CTE}

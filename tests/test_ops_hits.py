@@ -66,3 +66,27 @@ def test_parallel_edges_count_with_multiplicity(ray_session):
     assert got[2] == (0, 3)
     assert got[1] == (6, 0)  # two parallel edges x a(2)=3
     assert got[3] == (3, 0)
+
+
+def test_katz_matches_dense_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from raykg.ops.hits import katz_path_scores
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+             ("a", "b")]  # parallel edge counts with multiplicity
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for u, v in edges:
+        A[idx[u], idx[v]] += 1
+    ones = np.ones(len(nodes), dtype=np.int64)
+    n1 = A.T @ ones
+    n2 = A.T @ n1
+    n3 = A.T @ n2
+    want = n1 * 16 + n2 * 4 + n3
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = katz_path_scores(ds, iters=3, base=4, num_shards=4).to_pandas()
+    got = dict(zip(out["node"], out["katz"]))
+    assert got == {n: int(want[idx[n]]) for n in nodes}
