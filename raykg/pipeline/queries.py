@@ -312,6 +312,27 @@ def q_co_mentions(sf_dir: str):
     return co_mention_edges(_mentions(sf_dir), num_shards=16)
 
 
+def q_kg_butterflies(sf_dir: str):
+    """Butterfly (2x2 biclique) count of the bipartite turn-concept
+    graph — the bipartite motif behind KG density/quality audits.  Each
+    concept pair co-supported by c turns contributes C(c, 2)
+    butterflies, so the count folds from the co-mention pair table
+    (`ops/comention.py`) with one scalar reduce: no 4-node enumeration
+    ever materializes."""
+    from ..ops.comention import co_mention_edges
+
+    pairs = co_mention_edges(_mentions(sf_dir), num_shards=16)
+
+    def choose2(batch: pa.Table) -> pa.Table:
+        c = batch["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"b": pa.array(c * (c - 1) // 2, type=pa.int64())}
+        )
+
+    total = pairs.map_batches(choose2, batch_format="pyarrow").sum("b") or 0
+    return pa.table({"butterflies": pa.array([int(total)], type=pa.int64())})
+
+
 def q_hub_nodes(sf_dir: str):
     """Top-10 hub nodes by out-degree over distinct KG edges — sharded
     degree count + per-block partial top-10 + one tiny final reduce
@@ -3527,6 +3548,7 @@ QUERIES: Dict[str, Callable] = {
     "zorder_tiles": q_zorder_tiles,
     "user_first_event": q_user_first_event,
     "kg_katz": q_kg_katz,
+    "kg_butterflies": q_kg_butterflies,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4854,6 +4876,19 @@ ORACLE_SQL["co_mentions"] = f"""
     FROM d a JOIN d b
       ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.tag < b.tag
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["kg_butterflies"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    d AS (SELECT DISTINCT conv_id, turn_idx, tag FROM occ),
+    p AS (SELECT a.tag AS ta, b.tag AS tb, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d a JOIN d b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+           AND a.tag < b.tag
+          GROUP BY 1, 2)
+    SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+           AS butterflies
+    FROM p
 """
 
 ORACLE_SQL["hub_nodes"] = f"""
