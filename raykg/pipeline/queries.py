@@ -553,6 +553,37 @@ def q_doc_tags(sf_dir: str):
     return extract_doc_tags(read_transcripts(sf_dir), ONTOLOGY, _cfg())
 
 
+def q_topic_shifts(sf_dir: str):
+    """Dialogue-structure audit: per conversation, how many times the
+    tagged-concept set CHANGES between consecutive tagged turns — the
+    turn-local tag rollup (zero shuffle) into one conv-sharded window
+    lag (`ops/window.window_over`) and a same-shard count fold."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.window import window_over
+    from .tag import extract_doc_tags
+
+    dt = extract_doc_tags(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+    w = window_over(
+        dt.select_columns(["conv_id", "turn_idx", "tags_sorted"]),
+        keys=["conv_id"],
+        order_by=["turn_idx"],
+        specs=[("lag", "tags_sorted", "prev", (1, ""))],
+        num_shards=16,
+    )
+
+    def count_shifts(df: pd.DataFrame) -> pd.DataFrame:
+        shift = (df["prev"] != "") & (df["prev"] != df["tags_sorted"])
+        g = shift.groupby(df["conv_id"]).sum()
+        return pd.DataFrame(
+            {
+                "conv_id": g.index.to_numpy(),
+                "n_shifts": g.to_numpy().astype("int64"),
+            }
+        )
+
+    return sharded_groupby_apply(w, ["conv_id"], count_shifts, num_shards=16)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation rollup via the explicitly salted two-phase reduce
     (graph.conversation_stats)."""
@@ -3549,6 +3580,7 @@ QUERIES: Dict[str, Callable] = {
     "user_first_event": q_user_first_event,
     "kg_katz": q_kg_katz,
     "kg_butterflies": q_kg_butterflies,
+    "topic_shifts": q_topic_shifts,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4876,6 +4908,21 @@ ORACLE_SQL["co_mentions"] = f"""
     FROM d a JOIN d b
       ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.tag < b.tag
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["topic_shifts"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    dt AS (SELECT conv_id, turn_idx,
+                  string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags
+           FROM occ GROUP BY 1, 2),
+    w AS (SELECT conv_id, tags,
+                 COALESCE(LAG(tags) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx), '') AS prev
+          FROM dt)
+    SELECT conv_id,
+           CAST(SUM(CASE WHEN prev <> '' AND prev <> tags
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shifts
+    FROM w GROUP BY conv_id
 """
 
 ORACLE_SQL["kg_butterflies"] = f"""
