@@ -142,6 +142,43 @@ def _min_propagate(
     )
 
 
+def _scc_local(src: np.ndarray, dst: np.ndarray, max_peel_rounds: int):
+    """Vectorized driver-side FW-BW-MIN over int64 edge arrays — the
+    identical peeling semantics as the distributed loop (pinned equal by
+    test), with each propagation a C-kernel ``np.minimum.at`` pass
+    instead of a cluster barrier."""
+    ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    alive = np.ones(len(ids), dtype=bool)
+    scc = np.full(len(ids), -1, dtype=np.int64)
+    ea = np.ones(len(si), dtype=bool)
+    for _ in range(max_peel_rounds):
+        if not alive.any():
+            return ids, scc
+        s, d = si[ea], di[ea]
+
+        def prop(frm, to):
+            lab = ids.copy()
+            while True:
+                prev = lab.copy()
+                np.minimum.at(lab, to, lab[frm])
+                if np.array_equal(lab, prev):
+                    return lab
+
+        f = prop(s, d)
+        b = prop(d, s)
+        done = alive & (f == b)
+        scc[done] = f[done]
+        alive &= ~done
+        ea &= alive[si] & alive[di]
+    raise RuntimeError(
+        f"scc did not finish in {max_peel_rounds} peel rounds "
+        "(adversarial id ordering, e.g. a long descending DAG chain); "
+        "raise max_peel_rounds"
+    )
+
+
 def strongly_connected_components(
     edges: "ray.data.Dataset",
     src_column: str = "src",
@@ -150,9 +187,17 @@ def strongly_connected_components(
     max_iters: int = 50,
     num_shards: int = 64,
     num_buckets: int = 32,
+    small_graph_max_edges: int = 8_000_000,
 ) -> "ray.data.Dataset":
     """Directed (src, dst) int64 edge Dataset -> (node, scc_id) with
-    scc_id = the component's minimum node id, for every endpoint."""
+    scc_id = the component's minimum node id, for every endpoint.
+
+    Small-graph fast path (the `ops/components.py` pattern): each
+    FW/BW propagation is O(diameter) cluster barriers, pure fixed cost
+    when the deduped edge table is a few MB.  Below
+    ``small_graph_max_edges`` distinct edges the identical FW-BW-MIN
+    peel runs driver-side in numpy (one ``minimum.at`` C pass per hop);
+    above it, the BSP loop runs as before.  Pinned equal by test."""
     e = distinct_rows(
         edges.select_columns([src_column, dst_column]),
         [src_column, dst_column],
@@ -182,10 +227,29 @@ def strongly_connected_components(
             }
         )
 
+    e_dedup = e.materialize()  # already distinct from the projection above
+    if e_dedup.count() <= small_graph_max_edges:
+        edf = e_dedup.to_pandas()  # bounded by the gate (int64 pairs)
+        if edf.empty:
+            return ray.data.from_arrow(_EMPTY)
+        ids, scc = _scc_local(
+            edf["src"].to_numpy(dtype=np.int64),
+            edf["dst"].to_numpy(dtype=np.int64),
+            max_peel_rounds,
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ids, type=pa.int64()),
+                    "scc_id": pa.array(scc, type=pa.int64()),
+                }
+            )
+        )
+
     # self-edges keep every node present through propagation AND through
     # the unresolved-subgraph filter; dedup collapses the duplicates
     cur = distinct_rows(
-        e.map_batches(with_self, batch_format="pyarrow"),
+        e_dedup.map_batches(with_self, batch_format="pyarrow"),
         ["src", "dst"],
         num_shards=num_shards,
     ).materialize()

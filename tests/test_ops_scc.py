@@ -101,10 +101,22 @@ def test_random_digraph_matches_tarjan(ray_session):
     assert run(edges, parts=5) == local_scc(edges)
 
 
+def test_distributed_engine_pinned_to_fast_path(ray_session):
+    rng = np.random.default_rng(23)
+    edges = [
+        (int(rng.integers(25)), int(rng.integers(25))) for _ in range(60)
+    ]
+    fast = run(edges)  # numpy FW-BW-MIN under the gate
+    slow = run(edges, small_graph_max_edges=0)  # full BSP loop
+    assert fast == slow == local_scc(edges)
+
+
 def test_peel_cap_raises(ray_session):
     chain = [(9, 8), (8, 7), (7, 6), (6, 5), (5, 4)]
     ds = ray.data.from_pandas(pd.DataFrame(chain, columns=["src", "dst"]))
-    with pytest.raises(RuntimeError):
-        strongly_connected_components(
-            ds, max_peel_rounds=2, num_shards=4, num_buckets=4
-        )
+    for gate in (8_000_000, 0):
+        with pytest.raises(RuntimeError):
+            strongly_connected_components(
+                ds, max_peel_rounds=2, num_shards=4, num_buckets=4,
+                small_graph_max_edges=gate,
+            )
