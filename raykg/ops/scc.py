@@ -372,3 +372,230 @@ def strongly_connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+def condensation_edges(
+    edges: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    num_shards: int = 64,
+    num_buckets: int = 32,
+    max_broadcast_labels: int = _BROADCAST_MAX_LABELS,
+) -> "ray.data.Dataset":
+    """Project the edge list onto SCC ids: ``(scc(src), scc(dst))``
+    distinct, self-loops dropped — the condensation DAG.  Label attach
+    is a broadcast lookup under ``max_broadcast_labels`` nodes (edges
+    never shuffle), else two bucketed hash joins."""
+    lab = labels.materialize()
+    if lab.count() <= max_broadcast_labels:
+        tabs = [t for t in ray.get(list(lab.to_arrow_refs())) if t.num_rows]
+        full = pa.concat_tables(tabs)
+        k = full["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = full["scc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        lut_ref = ray.put((k[order], v[order]))
+
+        def relabel(batch: pa.Table, lut_ref=lut_ref) -> pa.Table:
+            k, v = ray.get(lut_ref)
+            s = v[np.searchsorted(
+                k, batch[src_column].to_numpy(zero_copy_only=False)
+            )]
+            d = v[np.searchsorted(
+                k, batch[dst_column].to_numpy(zero_copy_only=False)
+            )]
+            keep = s != d
+            return pa.table(
+                {
+                    "src": pa.array(s[keep], type=pa.int64()),
+                    "dst": pa.array(d[keep], type=pa.int64()),
+                }
+            )
+
+        ce = edges.map_batches(relabel, batch_format="pyarrow")
+    else:
+        a = bucketed_hash_join(
+            edges.select_columns([src_column, dst_column]),
+            lab.map_batches(
+                lambda b: pa.table(
+                    {src_column: b["node"], "s_lab": b["scc_id"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=src_column,
+            num_buckets=num_buckets,
+        )
+        b = bucketed_hash_join(
+            a,
+            lab.map_batches(
+                lambda t: pa.table(
+                    {dst_column: t["node"], "d_lab": t["scc_id"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=dst_column,
+            num_buckets=num_buckets,
+        )
+        def drop_self(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.equal(t["s_lab"], t["d_lab"]))
+            kept = t.filter(keep)
+            return pa.table({"src": kept["s_lab"], "dst": kept["d_lab"]})
+
+        ce = b.map_batches(drop_self, batch_format="pyarrow")
+    return distinct_rows(ce, ["src", "dst"], num_shards=num_shards)
+
+
+def dag_depth(
+    edges: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    max_rounds: int = 64,
+    num_shards: int = 64,
+    num_buckets: int = 32,
+    small_graph_max_edges: int = 8_000_000,
+) -> int:
+    """Longest path length (in edges) of a DAG — the layer count of the
+    SCC condensation, schedule depth of a dependency graph.  Returns the
+    scalar max depth (0 for an edgeless graph).
+
+    depth(v) = max over in-edges of depth(u) + 1, relaxed level-
+    synchronously until fixpoint; the depth sum is a strictly increasing
+    convergence witness bounded by the true depth, so a cycle (not a
+    DAG) blows past ``max_rounds`` and fails loudly instead of looping.
+    Small graphs (the `_scc_local` gate) relax driver-side in numpy;
+    above the gate each round is one label attach (broadcast under
+    ``_BROADCAST_MAX_LABELS``, bucketed join above) + one dst-sharded
+    vectorized max — the `_min_propagate` shape with (max, +1) in place
+    of (min, id)."""
+    e = distinct_rows(
+        edges.select_columns([src_column, dst_column]),
+        [src_column, dst_column],
+        num_shards=num_shards,
+    ).map_batches(
+        lambda df: pa.table(
+            {
+                "src": pa.array(df[src_column].to_numpy(dtype=np.int64)),
+                "dst": pa.array(df[dst_column].to_numpy(dtype=np.int64)),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    n_edges = e.count()
+    if n_edges == 0:
+        return 0
+    if n_edges <= small_graph_max_edges:
+        edf = e.to_pandas()
+        s = edf["src"].to_numpy(dtype=np.int64)
+        d = edf["dst"].to_numpy(dtype=np.int64)
+        ids = np.unique(np.concatenate([s, d]))
+        si, di = np.searchsorted(ids, s), np.searchsorted(ids, d)
+        depth = np.zeros(len(ids), dtype=np.int64)
+        for _ in range(max_rounds):
+            prev = depth.copy()
+            np.maximum.at(depth, di, depth[si] + 1)
+            if np.array_equal(depth, prev):
+                return int(depth.max())
+        raise RuntimeError(
+            f"dag_depth did not converge in {max_rounds} rounds — the "
+            "graph has a cycle (condense SCCs first) or is deeper than "
+            "the cap"
+        )
+
+    # distributed relaxation
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [
+                        batch["src"].combine_chunks(),
+                        batch["dst"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    labels = distinct_rows(
+        e.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"],
+        num_shards=num_shards,
+    ).map_batches(
+        lambda df: pa.table(
+            {
+                "node": pa.array(df["node"].to_numpy(dtype=np.int64)),
+                "label": pa.array(
+                    np.zeros(len(df), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def max_per_node(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False)["label"].max().reset_index()
+        return out
+
+    prev_sum = 0
+    for _ in range(max_rounds):
+        n_nodes = labels.count()
+        if n_nodes <= _BROADCAST_MAX_LABELS:
+            refs = labels.to_arrow_refs()
+            cache: dict = {}
+
+            def attach(batch: pa.Table, refs=refs, cache=cache) -> pa.Table:
+                if "lut" not in cache:
+                    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+                    full = pa.concat_tables(tabs)
+                    k = full["node"].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    v = full["label"].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    order = np.argsort(k)
+                    cache["lut"] = (k[order], v[order])
+                k, v = cache["lut"]
+                s = batch["src"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                return pa.table(
+                    {
+                        "node": batch["dst"],
+                        "label": pa.array(
+                            v[np.searchsorted(k, s)] + 1, type=pa.int64()
+                        ),
+                    }
+                )
+
+            contribs = e.map_batches(attach, batch_format="pyarrow")
+        else:
+            renamed = labels.map_batches(
+                lambda b: b.rename_columns(["src", "src_label"]),
+                batch_format="pyarrow",
+            )
+            def plus_one(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return pa.table(
+                    {"node": t["dst"], "label": pc.add(t["src_label"], 1)}
+                )
+
+            contribs = bucketed_hash_join(
+                e, renamed, on="src", num_buckets=num_buckets
+            ).map_batches(plus_one, batch_format="pyarrow")
+
+        labels = sharded_groupby_apply(
+            labels.union(contribs), ["node"], max_per_node,
+            num_shards=num_shards,
+        ).materialize()
+        cur = labels.sum("label") or 0
+        if cur == prev_sum:
+            return int(labels.max("label") or 0)
+        prev_sum = cur
+    raise RuntimeError(
+        f"dag_depth did not converge in {max_rounds} rounds — the "
+        "graph has a cycle (condense SCCs first) or is deeper than "
+        "the cap"
+    )

@@ -176,6 +176,35 @@ def q_part_scc(sf_dir: str):
     )
 
 
+def q_scc_dag_depth(sf_dir: str):
+    """Layer count of the SCC condensation: collapse the part->supplier
+    digraph's cycles (`ops/scc`), project edges onto SCC ids
+    (`condensation_edges`, broadcast relabel under the label gate), and
+    relax longest-path depth over the DAG (`dag_depth`, level-
+    synchronous max+1 with a loud cycle cap)."""
+    from ..ops.scc import condensation_edges, dag_depth
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def mod_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_linenumber"] == 1]
+        return pd.DataFrame(
+            {
+                "src": (df["l_partkey"] % 997).to_numpy(dtype=np.int64),
+                "dst": (df["l_suppkey"] * 7 % 997).to_numpy(dtype=np.int64),
+            }
+        )
+
+    edges = li.map_batches(mod_edges, batch_format="pandas").materialize()
+    labels = q_part_scc(sf_dir)
+    ce = condensation_edges(edges, labels, num_shards=16, num_buckets=8)
+    d = dag_depth(ce, num_shards=16, num_buckets=8)
+    return pa.table({"depth": pa.array([d], type=pa.int64())})
+
+
 KWIC_WINDOW = 24
 
 
@@ -3581,6 +3610,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_katz": q_kg_katz,
     "kg_butterflies": q_kg_butterflies,
     "topic_shifts": q_topic_shifts,
+    "scc_dag_depth": q_scc_dag_depth,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4828,6 +4858,34 @@ ORACLE_SQL["part_scc"] = """
              UNION ALL SELECT node AS u, node AS v FROM n)
     SELECT u AS node, CAST(MIN(v) AS BIGINT) AS scc_id
     FROM allm GROUP BY u
+"""
+
+ORACLE_SQL["scc_dag_depth"] = """
+    WITH RECURSIVE
+    e AS (SELECT DISTINCT l_partkey % 997 AS src,
+                          l_suppkey * 7 % 997 AS dst
+          FROM lineitem WHERE l_linenumber = 1),
+    reach(s, d) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    mutual AS (SELECT a.s AS u, a.d AS v
+               FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+    allm AS (SELECT u, v FROM mutual
+             UNION ALL SELECT node AS u, node AS v FROM n),
+    scc AS (SELECT u AS node, MIN(v) AS scc_id FROM allm GROUP BY u),
+    ce AS (SELECT DISTINCT a.scc_id AS src, b.scc_id AS dst
+           FROM e JOIN scc a ON e.src = a.node
+                  JOIN scc b ON e.dst = b.node
+           WHERE a.scc_id <> b.scc_id),
+    roots AS (SELECT DISTINCT src AS node FROM ce
+              WHERE src NOT IN (SELECT dst FROM ce)),
+    walk(node, dep) AS (
+        SELECT node, 0 FROM roots
+        UNION
+        SELECT ce.dst, w.dep + 1 FROM walk w JOIN ce ON ce.src = w.node)
+    SELECT CAST(COALESCE(MAX(dep), 0) AS BIGINT) AS depth FROM walk
 """
 
 ORACLE_SQL["mention_context"] = f"""

@@ -120,3 +120,37 @@ def test_peel_cap_raises(ray_session):
                 ds, max_peel_rounds=2, num_shards=4, num_buckets=4,
                 small_graph_max_edges=gate,
             )
+
+
+def test_condensation_and_dag_depth(ray_session):
+    from raykg.ops.scc import condensation_edges, dag_depth
+
+    # two cycles bridged into a 3-layer chain plus a detached root
+    edges = [
+        (1, 2), (2, 1),          # SCC {1,2}
+        (2, 3), (3, 4), (4, 3),  # SCC {3,4}
+        (4, 5),                  # singleton 5
+        (9, 1),                  # root 9 above everything
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    labels = strongly_connected_components(ds, num_shards=4, num_buckets=4)
+    ce = condensation_edges(ds, labels, num_shards=4, num_buckets=4)
+    got = sorted(map(tuple, ce.to_pandas().to_numpy()))
+    assert got == [(1, 3), (3, 5), (9, 1)]
+    # depth: 9 -> {1,2} -> {3,4} -> 5 = 3 edges
+    assert dag_depth(ce, num_shards=4, num_buckets=4) == 3
+    # distributed relaxation pinned to the numpy fast path
+    assert dag_depth(ce, num_shards=4, num_buckets=4,
+                     small_graph_max_edges=0) == 3
+
+
+def test_dag_depth_cycle_raises(ray_session):
+    from raykg.ops.scc import dag_depth
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame([(1, 2), (2, 3), (3, 1)], columns=["src", "dst"])
+    )
+    for gate in (8_000_000, 0):
+        with pytest.raises(RuntimeError):
+            dag_depth(ds, max_rounds=8, num_shards=4, num_buckets=4,
+                      small_graph_max_edges=gate)
