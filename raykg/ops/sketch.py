@@ -441,3 +441,73 @@ def heavy_hitters(
         return g[g["n"] >= min_count]
 
     return sharded_groupby_apply(partials, ["key"], fold, num_shards=num_shards)
+
+
+def hll_registers_by(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    column: str,
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Per-group HyperLogLog register state ``(group, idx, rho)`` —
+    approximate distinct counts for EVERY group in one pass (distinct
+    users per event type, distinct docs per shard) without a
+    per-group exact-distinct exchange.
+
+    Each batch folds its rows to at most ``groups x 2^p`` register
+    partials (per-batch dedup + max), so the single group-sharded
+    exchange carries sketch state, never values; the fold is one more
+    vectorized max.  Register semantics identical to :class:`HllSketch`
+    (same md5 idx/rho split), so the SQL mirror is bit-equal per group;
+    feed a group's registers to :func:`hll_estimate` for the float
+    cardinality."""
+    from .agg import sharded_groupby_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in df.groupby(group_column, sort=False):
+            vals = {v for v in sub[column] if v is not None}
+            if not vals:
+                continue
+            idx, rho = _hll_parts(sorted(vals, key=str))
+            t = pd.DataFrame({group_column: g, "idx": idx, "rho": rho})
+            outs.append(
+                t.groupby([group_column, "idx"], as_index=False)["rho"].max()
+            )
+        if not outs:
+            return pd.DataFrame(
+                {group_column: pd.Series([], dtype=df[group_column].dtype),
+                 "idx": pd.Series([], dtype=np.int64),
+                 "rho": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    parts = ds.select_columns([group_column, column]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([group_column, "idx"], as_index=False)["rho"].max()
+
+    return sharded_groupby_apply(parts, [group_column], fold, num_shards)
+
+
+def hll_by_oracle_sql(table: str, group_column: str, column: str) -> str:
+    """DuckDB mirror of :func:`hll_registers_by` — identical hash/idx/rho
+    per group."""
+    w_mask = (1 << _HLL_WBITS) - 1
+    return f"""
+    WITH h AS (SELECT DISTINCT {group_column},
+                 CAST(('0x' || substr(md5(CAST({column} AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+               FROM {table} WHERE {column} IS NOT NULL),
+    parts AS (SELECT {group_column}, h >> {_HLL_WBITS} AS idx,
+                     h & {w_mask} AS w FROM h),
+    rr AS (SELECT {group_column}, idx,
+                  CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                       ELSE {_HLL_WBITS} - CAST(floor(log2(w)) AS BIGINT)
+                  END AS rho
+           FROM parts)
+    SELECT {group_column}, idx, CAST(MAX(rho) AS BIGINT) AS rho
+    FROM rr GROUP BY {group_column}, idx
+    """

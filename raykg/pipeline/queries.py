@@ -2830,6 +2830,30 @@ def q_user_top_event(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_hll_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users as HLL register state —
+    `ops/sketch.hll_registers_by`: per-batch register partials (dedup +
+    max) make the one group-sharded exchange carry sketch cells, never
+    user ids; registers are bit-equal to the SQL mirror per group."""
+    from ..ops.sketch import hll_registers_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = hll_registers_by(ev, "event_type", "user_id", num_shards=8)
+
+    def typed(df):
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "idx": pa.array(df["idx"], type=pa.int64()),
+                "rho": pa.array(df["rho"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_user_first_event(sf_dir: str):
     """Accumulating-snapshot fact: each user's FIRST event (type + time,
     (ts, event_id) total order) — `ops/topk.group_argmin`, per-batch
@@ -3611,6 +3635,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_butterflies": q_kg_butterflies,
     "topic_shifts": q_topic_shifts,
     "scc_dag_depth": q_scc_dag_depth,
+    "hll_by_type": q_hll_by_type,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4814,6 +4839,14 @@ def _zorder_tiles_sql() -> str:
 
 
 ORACLE_SQL["zorder_tiles"] = _zorder_tiles_sql()
+
+def _hll_by_sql():
+    from ..ops.sketch import hll_by_oracle_sql
+
+    return hll_by_oracle_sql("events", "event_type", "user_id")
+
+
+ORACLE_SQL["hll_by_type"] = _hll_by_sql()
 
 ORACLE_SQL["user_first_event"] = """
     SELECT user_id, event_type, ts
