@@ -202,6 +202,12 @@ def run_bench() -> dict:
     timed("heavy_tokens")
     timed("bloom_join")
     timed("zorder_tiles")
+    timed("user_first_event")
+    timed("kg_katz")
+    timed("kg_butterflies", consume=len)
+    timed("topic_shifts")
+    timed("scc_dag_depth", consume=len)
+    timed("hll_by_type")
 
     headline = timings["triples_scaled"]
     result = {
