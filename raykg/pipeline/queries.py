@@ -362,6 +362,48 @@ def q_kg_butterflies(sf_dir: str):
     return pa.table({"butterflies": pa.array([int(total)], type=pa.int64())})
 
 
+def q_co_mentions_adj(sf_dir: str):
+    """Concept co-occurrence across SLIDING 2-turn windows: tags
+    mentioned within one turn of each other count together (question in
+    turn t, answer entity in t+1).  Each mention row expands to its two
+    covering windows (a stateless map), then the SAME turn-local pair
+    machinery (`ops/comention.py`) runs with the window id as the group
+    key — no new exchange shape."""
+    from ..ops.comention import co_mention_edges
+
+    m = _mentions(sf_dir)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].combine_chunks()
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(
+            np.int32
+        )
+        tag = batch["tag"].combine_chunks()
+        return pa.table(
+            {
+                "conv_id": pa.chunked_array([conv, conv]),
+                "turn_idx": pa.array(
+                    np.concatenate([turn, turn - 1]), type=pa.int32()
+                ),
+                "tag": pa.chunked_array([tag, tag]),
+            }
+        )
+
+    pairs = co_mention_edges(
+        m.map_batches(expand, batch_format="pyarrow"), num_shards=16
+    )
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "tag_a": b["tag_a"],
+                "tag_b": b["tag_b"],
+                "n_windows": b["n_turns"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_hub_nodes(sf_dir: str):
     """Top-10 hub nodes by out-degree over distinct KG edges — sharded
     degree count + per-block partial top-10 + one tiny final reduce
@@ -580,6 +622,70 @@ def q_doc_tags(sf_dir: str):
     from .tag import extract_doc_tags
 
     return extract_doc_tags(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+
+
+def q_tool_stats(sf_dir: str):
+    """Per-tool usage profile over the transcripts: turn count, exact
+    distinct conversations, and the exact integer turn-position sum
+    (consumers derive the average without float drift) — bounded groups,
+    so per-batch partials + one tiny fold; the distinct-conv leg is one
+    (tool, conv) dedup exchange."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.setops import distinct_rows
+
+    t = read_transcripts(sf_dir)
+
+    def keep_tool(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch["tool"])).select(
+            ["tool", "conv_id", "turn_idx"]
+        )
+
+    tooled = t.map_batches(keep_tool, batch_format="pyarrow").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tool", sort=False).agg(
+            n_turns=("turn_idx", "size"), sum_turn=("turn_idx", "sum")
+        )
+        return g.reset_index()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tool", sort=False)[["n_turns", "sum_turn"]].sum()
+        return g.reset_index()
+
+    stats = sharded_groupby_apply(
+        tooled.map_batches(partial, batch_format="pandas"),
+        ["tool"],
+        fold,
+        num_shards=4,
+    ).to_pandas()  # <= |tools| rows
+
+    convs = (
+        distinct_rows(
+            tooled.select_columns(["tool", "conv_id"]),
+            ["tool", "conv_id"],
+            num_shards=4,
+        )
+        .to_pandas()
+        .groupby("tool", sort=False)
+        .size()
+    )
+    stats["n_convs"] = stats["tool"].map(convs).astype("int64")
+    return pa.table(
+        {
+            "tool": pa.array(stats["tool"], type=pa.string()),
+            "n_turns": pa.array(
+                stats["n_turns"].to_numpy(), type=pa.int64()
+            ),
+            "n_convs": pa.array(
+                stats["n_convs"].to_numpy(), type=pa.int64()
+            ),
+            "sum_turn": pa.array(
+                stats["sum_turn"].to_numpy(), type=pa.int64()
+            ),
+        }
+    )
 
 
 def q_topic_shifts(sf_dir: str):
@@ -3636,6 +3742,8 @@ QUERIES: Dict[str, Callable] = {
     "topic_shifts": q_topic_shifts,
     "scc_dag_depth": q_scc_dag_depth,
     "hll_by_type": q_hll_by_type,
+    "tool_stats": q_tool_stats,
+    "co_mentions_adj": q_co_mentions_adj,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5001,6 +5109,14 @@ ORACLE_SQL["co_mentions"] = f"""
     GROUP BY 1, 2
 """
 
+ORACLE_SQL["tool_stats"] = f"""
+    WITH {_T_CTE}
+    SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
+    FROM t WHERE tool IS NOT NULL GROUP BY tool
+"""
+
 ORACLE_SQL["topic_shifts"] = f"""
     WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
     dt AS (SELECT conv_id, turn_idx,
@@ -5027,6 +5143,20 @@ ORACLE_SQL["kg_butterflies"] = f"""
     SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
            AS butterflies
     FROM p
+"""
+
+ORACLE_SQL["co_mentions_adj"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    d AS (SELECT DISTINCT conv_id, turn_idx, tag FROM occ),
+    wd AS (SELECT DISTINCT conv_id, w, tag FROM (
+               SELECT conv_id, turn_idx AS w, tag FROM d
+               UNION ALL
+               SELECT conv_id, turn_idx - 1 AS w, tag FROM d))
+    SELECT a.tag AS tag_a, b.tag AS tag_b,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM wd a JOIN wd b
+      ON a.conv_id = b.conv_id AND a.w = b.w AND a.tag < b.tag
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL["hub_nodes"] = f"""
