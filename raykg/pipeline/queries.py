@@ -1288,6 +1288,106 @@ def q_heavy_tokens(sf_dir: str):
     )
 
 
+CURRICULUM_BUCKETS = 10
+
+
+def q_curriculum(sf_dir: str):
+    """Curriculum bucketing: a GLOBAL NTILE(10) over documents ordered
+    by length (short-to-long training schedule) — `ops/index.
+    zip_with_index` provides the dense global rank (one range sort +
+    block-offset tasks), then the SQL NTILE split is pure arithmetic on
+    the rank; no second exchange."""
+    from ..ops.index import zip_with_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.add(
+            pc.multiply(
+                pc.cast(batch["n_chars"], pa.int64()),
+                pa.scalar(1 << 40, type=pa.int64()),
+            ),
+            pc.cast(batch["doc_id"], pa.int64()),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "k": k})
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    n = docs.count()
+    ranked = zip_with_index(keyed, sort_key="k", id_col="rank")
+    kb = CURRICULUM_BUCKETS
+    q, r = n // kb, n % kb
+    big = (q + 1) * r  # rows covered by the larger buckets
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        b = np.where(
+            rank < big,
+            rank // (q + 1) + 1,
+            r + (rank - big) // max(q, 1) + 1 if q else r,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(b.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
+MASK_RATE = 15  # percent of token positions
+
+
+def q_mlm_pairs(sf_dir: str):
+    """Masked-LM training-pair generation: every token position masks
+    independently at 15% via the corpus-auditable md5 idiom
+    (``md5(doc_id:pos) % 100 < 15`` — reproducible on any engine and
+    stable under corpus growth, the `ops/sample.py` contract), emitting
+    (doc_id, masked text, 'pos:token' labels).  Stateless per-batch map,
+    zero exchange; hashing is per token position, the same cost class as
+    the md5-percentile samplers."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mask(df: pd.DataFrame) -> pa.Table:
+        import re
+
+        rx = re.compile(r"\S+")
+        out_id, out_text, out_labels = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = rx.findall(text or "")
+            masked, labels = [], []
+            for i, tok in enumerate(toks):
+                h = int(
+                    hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:15],
+                    16,
+                )
+                if h % 100 < MASK_RATE:
+                    masked.append("[MASK]")
+                    labels.append(f"{i}:{tok}")
+                else:
+                    masked.append(tok)
+            out_id.append(doc_id)
+            out_text.append(" ".join(masked))
+            out_labels.append(",".join(labels))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "masked": pa.array(out_text, type=pa.string()),
+                "labels": pa.array(out_labels, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(mask, batch_format="pandas")
+
+
 PREP_MIN_QUALITY = 40
 
 
@@ -3744,6 +3844,8 @@ QUERIES: Dict[str, Callable] = {
     "hll_by_type": q_hll_by_type,
     "tool_stats": q_tool_stats,
     "co_mentions_adj": q_co_mentions_adj,
+    "mlm_pairs": q_mlm_pairs,
+    "curriculum": q_curriculum,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -4973,6 +5075,34 @@ ORACLE_SQL["bloom_join"] = """
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
     GROUP BY o.o_orderkey
+"""
+
+ORACLE_SQL["curriculum"] = f"""
+    SELECT doc_id,
+           CAST(NTILE({CURRICULUM_BUCKETS})
+                OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+    FROM documents
+"""
+
+ORACLE_SQL["mlm_pairs"] = rf"""
+    WITH w AS (SELECT doc_id,
+                      regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, i, ws[i] AS tok,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 100 < {MASK_RATE} AS m
+          FROM w, UNNEST(generate_series(1, len(ws))) t(i)),
+    agg AS (SELECT doc_id,
+                   string_agg(CASE WHEN m THEN '[MASK]' ELSE tok END,
+                              ' ' ORDER BY i) AS masked,
+                   string_agg(CASE WHEN m
+                                   THEN CAST(i - 1 AS VARCHAR) || ':' || tok
+                              END, ',' ORDER BY i) AS labels
+            FROM g GROUP BY doc_id)
+    SELECT w.doc_id, COALESCE(agg.masked, '') AS masked,
+           COALESCE(agg.labels, '') AS labels
+    FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
 """
 
 ORACLE_SQL["heavy_tokens"] = rf"""
