@@ -44,13 +44,26 @@ def _with_offset(block, offset: int, id_col: str):
     return t.append_column(id_col, ids)
 
 
+@ray.remote
+def _first_key(block, sort_key: str):
+    from ray.data.block import BlockAccessor
+
+    t = BlockAccessor.for_block(block).to_arrow()
+    return t[sort_key][0].as_py() if t.num_rows else None
+
+
 def zip_with_index(
     ds: "ray.data.Dataset",
     sort_key: Optional[str] = None,
     id_col: str = "rank",
 ) -> "ray.data.Dataset":
     """Append a dense int64 ``id_col`` numbering rows ``0..N-1`` in
-    ``sort_key`` order (or input block order if no key)."""
+    ``sort_key`` order (or input block order if no key).
+
+    With a key, blocks are ranked BY THEIR OWN first key values — the
+    sorted blocks are range-partitioned, so first keys order them
+    totally, and the executor's bundle-yield order (not a contract;
+    observed to vary under load) never matters."""
     if sort_key is not None:
         ds = ds.sort(sort_key)
     m = ds.materialize()
@@ -59,10 +72,24 @@ def zip_with_index(
         for ref, meta in bundle.blocks:
             refs.append(ref)
             counts.append(meta.num_rows)
-    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)]) if counts else []
+    if not refs:
+        return m
+    if sort_key is not None:
+        firsts = ray.get([_first_key.remote(r, sort_key) for r in refs])
+        keyed = sorted(
+            (
+                (f, c, r)
+                for f, c, r in zip(firsts, counts, refs)
+                if f is not None
+            ),
+            key=lambda t: t[0],
+        )
+        counts = [c for _f, c, _r in keyed]
+        refs = [r for _f, _c, r in keyed]
+        if not refs:
+            return m
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)])
     out = [
         _with_offset.remote(r, int(o), id_col) for r, o in zip(refs, offsets)
     ]
-    if not out:
-        return m
     return ray.data.from_arrow_refs(out)

@@ -12,10 +12,11 @@ Scale shape — the classic two-phase block scan (Blelloch 1990):
 
 1. ``ds.sort(keys)`` — ONE range exchange; Ray's sort leaves the
    materialized blocks range-partitioned in global key order;
-2. one tiny task per block reduces the block to a single int64 partial
-   sum (O(num_blocks) scalars, never rows, return to the driver);
-3. the driver computes the exclusive cumsum of those partials —
-   O(num_blocks) work on ~KBs;
+2. one tiny task per block returns (first-row key, int64 partial sum)
+   (O(num_blocks) scalars, never rows, return to the driver);
+3. the driver ranks the blocks BY THEIR OWN first keys (bundle
+   iteration order is not a contract — it was observed to vary under
+   load) and computes the exclusive cumsum — O(num_blocks) work;
 4. one task per block adds its offset to the block-local ``cumsum``.
 
 Like `ops/index.zip_with_index` this is the repo's documented
@@ -43,12 +44,19 @@ import ray.data
 
 
 @ray.remote
-def _block_sum(block, value_col: str) -> int:
+def _block_sum(block, value_col: str, sort_keys):
+    """(first-row sort-key tuple, block sum) — the key tuple, not bundle
+    iteration order, ranks the block: Ray's sort leaves blocks range-
+    partitioned, so first keys order blocks totally, and the executor's
+    bundle-yield order (observed to vary under load) stops mattering."""
     from ray.data.block import BlockAccessor
 
     t = BlockAccessor.for_block(block).to_arrow()
     v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    return int(v.sum())
+    if t.num_rows == 0:
+        return None, 0
+    first = tuple(t[k][0].as_py() for k in sort_keys)
+    return first, int(v.sum())
 
 
 @ray.remote
@@ -70,7 +78,8 @@ def prefix_sum(
     """Append ``out_column`` = running int64 sum of ``value_column`` in
     global ``sort_keys`` order (inclusive scan: row i gets the sum of
     rows 0..i)."""
-    m = ds.sort(list(sort_keys)).materialize()
+    sort_keys = list(sort_keys)
+    m = ds.sort(sort_keys).materialize()
     refs = [
         ref
         for bundle in m.iter_internal_ref_bundles()
@@ -78,10 +87,20 @@ def prefix_sum(
     ]
     if not refs:
         return m
-    partials = ray.get([_block_sum.remote(r, value_column) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(partials[:-1], dtype=np.int64)])
+    partials = ray.get(
+        [_block_sum.remote(r, value_column, sort_keys) for r in refs]
+    )
+    nonempty = [
+        (first, s, r) for (first, s), r in zip(partials, refs)
+        if first is not None
+    ]
+    if not nonempty:
+        return m
+    nonempty.sort(key=lambda t: t[0])  # rank blocks by their own keys
+    sums = np.array([s for _f, s, _r in nonempty], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
     out = [
         _with_running.remote(r, int(o), value_column, out_column)
-        for r, o in zip(refs, offsets)
+        for (_f, _s, r), o in zip(nonempty, offsets)
     ]
     return ray.data.from_arrow_refs(out)

@@ -6058,9 +6058,9 @@ ORACLE_SQL["orders_rollup"] = """
 
 ORACLE_SQL["event_running"] = """
     SELECT event_id,
-           SUM(CAST(round(value * 100.0) AS BIGINT))
-               OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-               AS run_total
+           CAST(SUM(CAST(round(value * 100.0) AS BIGINT))
+                OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS run_total
     FROM events
 """
 
