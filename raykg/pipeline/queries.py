@@ -3060,6 +3060,100 @@ def q_hll_by_type(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """EXACT distinct users per event type — the ground-truth companion
+    to `hll_by_type`: one (type, user) dedup exchange (per-batch
+    pre-dedup bounds it to distinct pairs per block), then a bounded
+    per-type count fold."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.setops import distinct_rows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    pairs = distinct_rows(ev, ["event_type", "user_id"], num_shards=8)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": g.index.to_numpy(),
+                "n_users": g.to_numpy().astype("int64"),
+            }
+        )
+
+    # distinct pairs are already type-sharded? no — dedup shards on the
+    # PAIR; re-shard on type for the count (tiny: one row per pair)
+    return sharded_groupby_apply(pairs, ["event_type"], count, num_shards=4)
+
+
+def q_kg_reciprocity(sf_dir: str):
+    """Reciprocity of the directed part->supplier modular graph: how
+    many distinct edges have their reverse present (cycle-density audit
+    of a KG layer).  Each edge maps to its canonical unordered pair +
+    direction flag; ONE pair-sharded exchange counts both-direction
+    pairs — no self-join of the edge table."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.setops import distinct_rows
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def mod_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_linenumber"] == 1]
+        return pd.DataFrame(
+            {
+                "src": (df["l_partkey"] % 997).to_numpy(dtype=np.int64),
+                "dst": (df["l_suppkey"] * 7 % 997).to_numpy(dtype=np.int64),
+            }
+        )
+
+    e = distinct_rows(
+        li.map_batches(mod_edges, batch_format="pandas"),
+        ["src", "dst"],
+        num_shards=16,
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "lo": np.minimum(s, d),
+                "hi": np.maximum(s, d),
+                "fwd": (s <= d).astype(np.int64),
+                "rev": (s > d).astype(np.int64),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lo", "hi"], sort=False)[["fwd", "rev"]].sum()
+        both = (g["fwd"] > 0) & (g["rev"] > 0)
+        # self-loops (lo == hi) are their own reverse
+        loops = g.index.get_level_values(0) == g.index.get_level_values(1)
+        n_edges = int((g["fwd"] + g["rev"]).sum())
+        n_recip = int(
+            (g.loc[both & ~loops, ["fwd", "rev"]].to_numpy().sum())
+            + g.loc[loops, ["fwd", "rev"]].to_numpy().sum()
+        )
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    parts = sharded_groupby_apply(
+        e.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"],
+        fold,
+        num_shards=16,
+    ).to_pandas()  # num_shards scalar rows
+    return pa.table(
+        {
+            "n_edges": pa.array([int(parts["n_edges"].sum())], type=pa.int64()),
+            "n_recip": pa.array([int(parts["n_recip"].sum())], type=pa.int64()),
+        }
+    )
+
+
 def q_user_first_event(sf_dir: str):
     """Accumulating-snapshot fact: each user's FIRST event (type + time,
     (ts, event_id) total order) — `ops/topk.group_argmin`, per-batch
@@ -3846,6 +3940,8 @@ QUERIES: Dict[str, Callable] = {
     "co_mentions_adj": q_co_mentions_adj,
     "mlm_pairs": q_mlm_pairs,
     "curriculum": q_curriculum,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "kg_reciprocity": q_kg_reciprocity,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5057,6 +5153,23 @@ def _hll_by_sql():
 
 
 ORACLE_SQL["hll_by_type"] = _hll_by_sql()
+
+ORACLE_SQL["distinct_users_by_type"] = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["kg_reciprocity"] = """
+    WITH e AS (SELECT DISTINCT l_partkey % 997 AS src,
+                               l_suppkey * 7 % 997 AS dst
+               FROM lineitem WHERE l_linenumber = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM e r
+                    WHERE r.src = e.dst AND r.dst = e.src)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+    FROM e
+"""
 
 ORACLE_SQL["user_first_event"] = """
     SELECT user_id, event_type, ts
