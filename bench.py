@@ -208,6 +208,12 @@ def run_bench() -> dict:
     timed("topic_shifts")
     timed("scc_dag_depth", consume=len)
     timed("hll_by_type")
+    timed("tool_stats", consume=len)
+    timed("co_mentions_adj")
+    timed("mlm_pairs")
+    timed("curriculum")
+    timed("distinct_users_by_type")
+    timed("kg_reciprocity", consume=len)
 
     headline = timings["triples_scaled"]
     result = {
