@@ -1533,6 +1533,114 @@ def q_entity_resolve(sf_dir: str):
     )
 
 
+def q_concept_lifespan(sf_dir: str):
+    """Entity lifespan: each concept's first/last mention time and total
+    occurrences — the mention actor's ``ts`` passthrough (no join), then
+    per-batch (min, max, sum) partials into one bounded tag-sharded
+    fold."""
+    from raykg.ops.agg import sharded_groupby_apply
+    from .tag import extract_mention_counts
+
+    counts = extract_mention_counts(
+        read_transcripts(sf_dir), ONTOLOGY, _cfg(), extra_columns=("ts",)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tag", sort=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max"),
+            n=("n_matches", "sum"),
+        )
+        return g.reset_index()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tag", sort=False).agg(
+            first_ts=("first_ts", "min"), last_ts=("last_ts", "max"),
+            n=("n", "sum"),
+        )
+        return g.reset_index()
+
+    out = sharded_groupby_apply(
+        counts.map_batches(partial, batch_format="pandas"),
+        ["tag"],
+        fold,
+        num_shards=4,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "tag": pa.array(df["tag"], type=pa.string()),
+                "first_ts": pa.array(df["first_ts"], type=pa.timestamp("us")),
+                "last_ts": pa.array(df["last_ts"], type=pa.timestamp("us")),
+                "n": pa.array(df["n"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+FEATURE_DIMS = 64
+
+
+def q_conv_features(sf_dir: str):
+    """Feature-hashing (hashing-trick, Weinberger et al. 2009)
+    conversation vectors: every token maps to ``md5(tok) % 64`` with a
+    ``md5('s:'+tok) % 2`` sign, summed per conversation — long-form
+    ``(conv_id, dim, c)`` nonzero counts, integer-exact.  Per-batch
+    distinct-token memo + (conv, dim) partials; one conv-sharded fold;
+    the md5-per-distinct-token cost class of the samplers."""
+    import hashlib
+
+    from raykg.ops.agg import sharded_groupby_apply
+
+    t = read_transcripts(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        rx = re.compile(r"\S+")
+        memo: dict = {}
+        convs, dims, sgns = [], [], []
+        for conv, text in zip(df["conv_id"], df["text"]):
+            for tok in rx.findall(text or ""):
+                got = memo.get(tok)
+                if got is None:
+                    d = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % FEATURE_DIMS
+                    s = 1 if int(
+                        hashlib.md5(b"s:" + tok.encode()).hexdigest()[:15], 16
+                    ) % 2 == 0 else -1
+                    memo[tok] = got = (d, s)
+                convs.append(conv)
+                dims.append(got[0])
+                sgns.append(got[1])
+        out = pd.DataFrame({"conv_id": convs, "dim": dims, "c": sgns})
+        return out.groupby(["conv_id", "dim"], as_index=False)["c"].sum()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["conv_id", "dim"], as_index=False)["c"].sum()
+        return g[g["c"] != 0]
+
+    out = sharded_groupby_apply(
+        t.select_columns(["conv_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["conv_id"],
+        fold,
+        num_shards=16,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], type=pa.string()),
+                "dim": pa.array(df["dim"].to_numpy(), type=pa.int64()),
+                "c": pa.array(df["c"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_concept_trends(sf_dir: str):
     """Temporal KG: per-(concept, 10-second window) mention volumes with
     integer-exact trend flags.  The mention actor passes the turn's event
@@ -3942,6 +4050,8 @@ QUERIES: Dict[str, Callable] = {
     "curriculum": q_curriculum,
     "distinct_users_by_type": q_distinct_users_by_type,
     "kg_reciprocity": q_kg_reciprocity,
+    "concept_lifespan": q_concept_lifespan,
+    "conv_features": q_conv_features,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5350,6 +5460,30 @@ ORACLE_SQL["co_mentions"] = f"""
     FROM d a JOIN d b
       ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.tag < b.tag
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["conv_features"] = rf"""
+    WITH {_T_CTE},
+    w AS (SELECT conv_id,
+                 unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS tok
+          FROM t),
+    h AS (SELECT conv_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                 % {FEATURE_DIMS} AS dim,
+                 CASE WHEN CAST(('0x' || substr(md5('s:' || tok), 1, 15))
+                           AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM w)
+    SELECT conv_id, dim, CAST(SUM(sgn) AS BIGINT) AS c
+    FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+"""
+
+ORACLE_SQL["concept_lifespan"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE}
+    SELECT tag, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(SUM(n_matches) AS BIGINT) AS n
+    FROM occ JOIN t USING (conv_id, turn_idx)
+    GROUP BY tag
 """
 
 ORACLE_SQL["tool_stats"] = f"""
