@@ -501,3 +501,125 @@ def clustering_coefficients(
         return _coef_kernel(node, ntri, d)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def ktruss(
+    edges: "ray.data.Dataset",
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 30,
+    num_shards: int = 32,
+    broadcast_max_edges: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """The k-truss (Cohen 2008): the maximal subgraph in which every
+    edge closes at least ``k - 2`` triangles — the standard
+    cohesive-core extractor one tier stronger than k-core (every
+    k-truss edge sits in a (k-1)-core).  Returns the surviving
+    canonical ``(u, v)`` edges.
+
+    Peeling loop: per round, per-EDGE triangle support is counted and
+    edges below ``k - 2`` drop; converges when a round drops nothing
+    (support only shrinks as edges leave, so the edge count is a
+    strictly decreasing witness).  ``max_rounds`` fails loudly.
+
+    Round shape: degree exchange + degree-ordered orientation (wedge
+    volume O(m^1.5) — `triangle_counts`'s bound), wedges closed IN
+    PLACE against the packed uint64 edge-key array (``ray.put`` once
+    per round; requires non-negative int ids < 2^32 and <=
+    ``broadcast_max_edges`` edges, the same gate as
+    ``triangle_counts(broadcast_edges=True)`` — the co-sharded closure
+    is the corpus-scale extension), each triangle emitting +1 support
+    for its THREE edges into one edge-sharded sum."""
+    canon = canonical_edges(edges, u, v, num_shards).materialize()
+    if k <= 2:
+        return canon  # every edge closes >= 0 triangles
+    need = k - 2
+
+    for _ in range(max_rounds):
+        n_before = canon.count()
+        if n_before == 0:
+            return canon
+        etabs = [t for t in ray.get(list(canon.to_arrow_refs())) if t.num_rows]
+        et = pa.concat_tables(etabs)
+        if not pa.types.is_integer(et["u"].type):
+            raise ValueError("ktruss requires integer node ids")
+        eu = et["u"].to_numpy(zero_copy_only=False)
+        ev = et["v"].to_numpy(zero_copy_only=False)
+        if (
+            len(eu) > broadcast_max_edges
+            or eu.min(initial=0) < 0
+            or max(eu.max(initial=0), ev.max(initial=0)) >= (1 << 32)
+        ):
+            raise ValueError(
+                "ktruss broadcast closure requires non-negative int ids "
+                f"< 2^32 and <= {broadcast_max_edges} edges"
+            )
+        keys = np.sort((eu.astype(np.uint64) << np.uint64(32)) | ev.astype(np.uint64))
+        kref = ray.put(keys)
+
+        degrees = _degrees(canon, num_shards)
+        oriented = _orient_broadcast(canon, degrees, num_shards)
+
+        def support_rows(df: pd.DataFrame, kref=kref) -> pd.DataFrame:
+            ks = ray.get(kref)
+            us: List[np.ndarray] = []
+            vs: List[np.ndarray] = []
+            for src_val, vals in df.groupby("src", sort=False)["dst"]:
+                d = vals.to_numpy()
+                m = len(d)
+                if m < 2:
+                    continue
+                ii, jj = np.triu_indices(m, 1)
+                a = np.minimum(d[ii], d[jj])
+                b = np.maximum(d[ii], d[jj])
+                kk = (a.astype(np.uint64) << np.uint64(32)) | b.astype(
+                    np.uint64
+                )
+                pos = np.minimum(np.searchsorted(ks, kk), len(ks) - 1)
+                closed = ks[pos] == kk
+                a, b = a[closed], b[closed]
+                if not len(a):
+                    continue
+                s = np.full(len(a), src_val, dtype=a.dtype)
+                # the three edges of each triangle, canonicalized
+                us.append(a)
+                vs.append(b)
+                us.append(np.minimum(s, a))
+                vs.append(np.maximum(s, a))
+                us.append(np.minimum(s, b))
+                vs.append(np.maximum(s, b))
+            if not us:
+                dt_ = df["dst"].dtype
+                return pd.DataFrame(
+                    {
+                        "u": pd.Series([], dtype=dt_),
+                        "v": pd.Series([], dtype=dt_),
+                        "s": pd.Series([], dtype=np.int64),
+                    }
+                )
+            out = pd.DataFrame(
+                {"u": np.concatenate(us), "v": np.concatenate(vs)}
+            )
+            g = out.groupby(["u", "v"], sort=False).size().reset_index()
+            g.columns = ["u", "v", "s"]
+            return g
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["u", "v"], sort=False)["s"].sum().reset_index()
+            return g[g["s"] >= need][["u", "v"]]
+
+        # src-sharded first: the wedge kernel needs each src's FULL
+        # adjacency in one call (a raw batch may split it)
+        sup_parts = sharded_groupby_apply(
+            oriented, ["src"], support_rows, num_shards=num_shards
+        )
+        canon = sharded_groupby_apply(
+            sup_parts, ["u", "v"], fold, num_shards=num_shards
+        ).materialize()
+        if canon.count() == n_before:
+            return canon
+    raise RuntimeError(
+        f"ktruss did not converge in {max_rounds} peel rounds; raise "
+        "max_rounds"
+    )

@@ -205,6 +205,68 @@ def q_scc_dag_depth(sf_dir: str):
     return pa.table({"depth": pa.array([d], type=pa.int64())})
 
 
+def q_part_truss(sf_dir: str):
+    """4-truss of the undirected part-supplier modular graph: the
+    maximal subgraph where every edge closes >= 2 triangles — the
+    cohesive-core extractor one tier above `part_kcore`.
+    `ops/triangles.ktruss`: per peel round, degree-ordered wedges close
+    in place against the broadcast packed edge keys, each triangle
+    feeds +1 support to its three edges through one src-sharded + one
+    edge-sharded exchange; strictly-decreasing edge count is the
+    convergence witness."""
+    from ..ops.triangles import ktruss
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def mod_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_linenumber"] == 1]
+        return pd.DataFrame(
+            {
+                "u": (df["l_partkey"] % 997).to_numpy(dtype=np.int64),
+                "v": (df["l_suppkey"] * 7 % 997).to_numpy(dtype=np.int64),
+            }
+        )
+
+    return ktruss(
+        li.map_batches(mod_edges, batch_format="pandas"),
+        k=4,
+        num_shards=16,
+        max_rounds=25,
+    )
+
+
+def _truss_sql(rounds: int = 14, need: int = 2) -> str:
+    """Unrolled truss-peel mirror: per round, each edge's support is its
+    endpoints' common-neighbor count in the SURVIVING graph; fixpoint is
+    reached within ``rounds`` at both test scales (engine measured <= 12
+    at sf0.01), so the last unrolled step equals the engine's converged
+    set."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (SELECT DISTINCT
+                    least(l_partkey % 997, l_suppkey * 7 % 997) AS u,
+                    greatest(l_partkey % 997, l_suppkey * 7 % 997) AS v
+                FROM lineitem
+                WHERE l_linenumber = 1
+                  AND (l_partkey % 997) <> (l_suppkey * 7 % 997))"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    a{i} AS MATERIALIZED (SELECT u AS x, v AS y FROM e{i}
+             UNION ALL SELECT v, u FROM e{i}),
+    e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e
+                 WHERE (SELECT COUNT(*) FROM a{i} p JOIN a{i} q
+                        ON p.y = q.y
+                        WHERE p.x = e.u AND q.x = e.v) >= {need})"""
+        )
+    parts.append(f"\n    SELECT u, v FROM e{rounds}")
+    return "".join(parts)
+
+
 KWIC_WINDOW = 24
 
 
@@ -4052,6 +4114,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_reciprocity": q_kg_reciprocity,
     "concept_lifespan": q_concept_lifespan,
     "conv_features": q_conv_features,
+    "part_truss": q_part_truss,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5353,6 +5416,8 @@ ORACLE_SQL["part_scc"] = """
     SELECT u AS node, CAST(MIN(v) AS BIGINT) AS scc_id
     FROM allm GROUP BY u
 """
+
+ORACLE_SQL["part_truss"] = _truss_sql(rounds=14, need=2)
 
 ORACLE_SQL["scc_dag_depth"] = """
     WITH RECURSIVE

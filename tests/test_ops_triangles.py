@@ -149,3 +149,52 @@ def test_clustering_coef_engines_pinned_equal(ray_session):
         want = 2.0 * tri.get(row["node"], 0) / max(row["deg"] * (row["deg"] - 1), 1)
         assert abs(row["coef"] - round(want, 8)) < 1e-12
         assert row["n_tri"] == tri.get(row["node"], 0)
+
+
+def local_ktruss(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = {e for e in es if len(adj[e[0]] & adj[e[1]]) < k - 2}
+        if not drop:
+            return es
+        es -= drop
+
+
+def test_ktruss_matches_local_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from raykg.ops.triangles import ktruss
+
+    rng = np.random.default_rng(31)
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 24, size=(160, 2))
+        if a != b
+    }
+    df = pd.DataFrame(sorted(edges), columns=["u", "v"])
+    for k in (3, 4, 5):
+        want = local_ktruss(edges, k)
+        got = ktruss(
+            ray.data.from_pandas(df).repartition(4), k, num_shards=4
+        ).to_pandas()
+        assert {tuple(r) for r in got[["u", "v"]].to_numpy()} == want, k
+
+
+def test_ktruss_k2_is_whole_graph_and_cap_raises(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+    from raykg.ops.triangles import ktruss
+
+    # a long peeling chain: nested triangles that unravel one per round
+    edges = [(i, i + 1) for i in range(6)] + [(i, i + 2) for i in range(5)]
+    df = pd.DataFrame(edges, columns=["u", "v"])
+    ds = ray.data.from_pandas(df)
+    assert ktruss(ds, 2, num_shards=4).count() == len(set(edges))
+    with _pytest.raises(RuntimeError):
+        ktruss(ds, 4, max_rounds=1, num_shards=4)
