@@ -214,6 +214,9 @@ def run_bench() -> dict:
     timed("curriculum")
     timed("distinct_users_by_type")
     timed("kg_reciprocity", consume=len)
+    timed("concept_lifespan")
+    timed("conv_features")
+    timed("part_truss")
 
     headline = timings["triples_scaled"]
     result = {
