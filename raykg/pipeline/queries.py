@@ -314,6 +314,42 @@ def q_mention_context(sf_dir: str):
     )
 
 
+def q_conv_dot(sf_dir: str):
+    """KG export: one Graphviz DOT digraph per conversation (its
+    distinct edges, sorted — byte-deterministic like the JSON export
+    formats) — a conv-sharded string fold over the edge table; every
+    edge's conversation is derivable from its src id, so no join."""
+    from ..ops.agg import sharded_groupby_apply
+
+    e = q_edges(sf_dir).select_columns(["src", "dst"])
+
+    def with_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src", "dst"])
+        df["conv_id"] = df["src"].str.split("#").str[0]
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src", "dst"]).sort_values(
+            ["conv_id", "src", "dst"], kind="stable"
+        )
+        out_conv, out_dot = [], []
+        for conv, g in df.groupby("conv_id", sort=False):
+            lines = "".join(
+                f'  "{s}" -> "{d}";\n'
+                for s, d in zip(g["src"], g["dst"])
+            )
+            out_conv.append(conv)
+            out_dot.append("digraph {\n" + lines + "}")
+        return pd.DataFrame({"conv_id": out_conv, "dot": out_dot})
+
+    return sharded_groupby_apply(
+        e.map_batches(with_conv, batch_format="pandas"),
+        ["conv_id"],
+        fold,
+        num_shards=16,
+    )
+
+
 def q_kg_katz(sf_dir: str):
     """Katz centrality over the directed KG edge table as exact scaled
     integers (beta=1/4, paths up to length 3) — `ops/hits.katz_path_scores`;
@@ -4115,6 +4151,7 @@ QUERIES: Dict[str, Callable] = {
     "concept_lifespan": q_concept_lifespan,
     "conv_features": q_conv_features,
     "part_truss": q_part_truss,
+    "conv_dot": q_conv_dot,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -6085,6 +6122,26 @@ def _katz_sql(iters: int = 3, base: int = 4) -> str:
 
 
 ORACLE_SQL["kg_katz"] = _katz_sql(iters=3, base=4)
+
+ORACLE_SQL["conv_dot"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    e AS (SELECT DISTINCT src, dst FROM eraw),
+    c AS (SELECT string_split(src, '#')[1] AS conv_id, src, dst FROM e)
+    SELECT conv_id,
+           'digraph {{' || chr(10)
+           || string_agg('  "' || src || '" -> "' || dst || '";' || chr(10),
+                         '' ORDER BY src, dst)
+           || '}}' AS dot
+    FROM c GROUP BY conv_id
+"""
 
 ORACLE_SQL["conv_json"] = f"""
     WITH {_T_CTE}
