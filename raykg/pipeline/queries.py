@@ -270,6 +270,42 @@ def _truss_sql(rounds: int = 14, need: int = 2) -> str:
 KWIC_WINDOW = 24
 
 
+def q_wl_classes(sf_dir: str):
+    """Structural-equivalence classes from the 2-round WL colors: class
+    sizes plus the candidate-pair count C(n,2) a structural entity-
+    canonicalizer would verify — a bounded per-color fold over
+    `ops/wl.wl_refine` (class count <= node count; pairs never
+    enumerate)."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.wl import wl_refine
+
+    colors = wl_refine(q_edges(sf_dir), rounds=2, num_shards=16)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("wl_color", sort=False).size()
+        n = g.to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "wl_color": g.index.to_numpy(),
+                "n_nodes": n,
+                "n_pairs": n * (n - 1) // 2,
+            }
+        )
+
+    out = sharded_groupby_apply(colors, ["wl_color"], fold, num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "wl_color": pa.array(df["wl_color"], type=pa.string()),
+                "n_nodes": pa.array(df["n_nodes"].to_numpy(), type=pa.int64()),
+                "n_pairs": pa.array(df["n_pairs"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_mention_context(sf_dir: str):
     """KWIC / entity-context extraction: a +-24-char window around the
     FIRST occurrence of each (turn, keyword) — the context snippet an
@@ -4152,6 +4188,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_features": q_conv_features,
     "part_truss": q_part_truss,
     "conv_dot": q_conv_dot,
+    "wl_classes": q_wl_classes,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5483,6 +5520,16 @@ ORACLE_SQL["scc_dag_depth"] = """
         SELECT ce.dst, w.dep + 1 FROM walk w JOIN ce ON ce.src = w.node)
     SELECT CAST(COALESCE(MAX(dep), 0) AS BIGINT) AS depth FROM walk
 """
+
+ORACLE_SQL["wl_classes"] = (
+    _wl_sql(rounds=2)
+    .replace(
+        "SELECT node, lbl AS wl_color FROM l2",
+        """SELECT lbl AS wl_color, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM l2 GROUP BY lbl""",
+    )
+)
 
 ORACLE_SQL["mention_context"] = f"""
     WITH {_T_CTE}, {_ONTO_CTE},
