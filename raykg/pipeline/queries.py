@@ -4000,6 +4000,74 @@ def q_kg_negatives(sf_dir: str):
     )
 
 
+def q_kg_eval(sf_dir: str):
+    """Link-prediction eval harness over the corrupt-tail negatives: rank
+    each positive concept against its negatives by the popularity
+    baseline (concept in-degree desc, id asc — the standard floor any
+    learned KG-embedding must beat) and fold hits@1 / hits@3 / rank-sum
+    as exact integers.  Degrees are ontology-sized (driver fold of batch
+    partials); beats aggregate per subject in one negative-volume
+    exchange; positives with no surviving negative rank 1 by identity,
+    so no positive join is needed."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.negatives import corrupt_tail_negatives
+    from .tag import extract_mention_counts
+
+    mentions = extract_mention_counts(
+        read_transcripts(sf_dir), ONTOLOGY, _cfg()
+    ).materialize()  # consumed thrice: degrees, positives count, negatives
+    negs = corrupt_tail_negatives(
+        mentions, [t for t, _, _ in ONTOLOGY], k=KG_NEG_K
+    )
+
+    deg_parts = mentions.map_batches(
+        lambda df: df["tag"].value_counts().rename_axis("tag").reset_index(
+            name="n"
+        ),
+        batch_format="pandas",
+    ).to_pandas()  # <= ontology x blocks rows
+    deg = {
+        f"concept:{t}": int(n)
+        for t, n in deg_parts.groupby("tag")["n"].sum().items()
+    }
+
+    def beat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dp = df["pos_obj"].map(deg).to_numpy()
+        dn = df["neg_obj"].map(deg).to_numpy()
+        beats = (dn > dp) | (
+            (dn == dp) & (df["neg_obj"].to_numpy() < df["pos_obj"].to_numpy())
+        )
+        g = pd.DataFrame({"subj": df["subj"], "b": beats.astype(np.int64)})
+        return g.groupby("subj", as_index=False)["b"].sum()
+
+    beats = sharded_groupby_apply(
+        negs.map_batches(beat_partial, batch_format="pandas"),
+        ["subj"],
+        lambda df: df.groupby("subj", as_index=False)["b"].sum(),
+        num_shards=16,
+    )
+
+    def scal(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n1": [int((df["b"] >= 1).sum())],
+                "n3": [int((df["b"] >= 3).sum())],
+                "sb": [int(df["b"].sum())],
+            }
+        )
+
+    s = beats.map_batches(scal, batch_format="pandas").to_pandas().sum()
+    n_pos = mentions.count()
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], type=pa.int64()),
+            "hits1": pa.array([n_pos - int(s["n1"])], type=pa.int64()),
+            "hits3": pa.array([n_pos - int(s["n3"])], type=pa.int64()),
+            "sum_rank": pa.array([n_pos + int(s["sb"])], type=pa.int64()),
+        }
+    )
+
+
 def q_neighbor_mean(sf_dir: str):
     """One GNN message-passing layer over the co-order part graph: per
     part, the neighbor count and exact integer floor-mean of the
@@ -4189,6 +4257,7 @@ QUERIES: Dict[str, Callable] = {
     "part_truss": q_part_truss,
     "conv_dot": q_conv_dot,
     "wl_classes": q_wl_classes,
+    "kg_eval": q_kg_eval,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -6549,6 +6618,47 @@ ORACLE_SQL["kg_negatives"] = f"""
            'concept:' || ranked.tag AS neg_obj, cand.j
     FROM cand JOIN ranked USING (r)
     WHERE 'concept:' || ranked.tag <> cand.pos_obj
+"""
+
+ORACLE_SQL["kg_eval"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    concepts AS (SELECT DISTINCT tag FROM onto),
+    ranked AS (SELECT tag,
+                      CAST(row_number() OVER (ORDER BY tag) - 1 AS BIGINT) AS r
+               FROM concepts),
+    pos AS (SELECT conv_id || '#' || turn_idx || '#' || keyword AS subj,
+                   'concept:' || tag AS pos_obj
+            FROM occ),
+    deg AS (SELECT 'concept:' || tag AS obj,
+                   CAST(COUNT(*) AS BIGINT) AS deg
+            FROM occ GROUP BY 1),
+    cand AS (SELECT subj, pos_obj,
+                    (('0x' || substr(md5(subj || '|' || CAST(g.j AS VARCHAR)),
+                                     1, 15))::BIGINT
+                     % (SELECT COUNT(*) FROM concepts)) AS r
+             FROM pos, range(0, {KG_NEG_K}) AS g(j)),
+    negsel AS (SELECT cand.subj, cand.pos_obj,
+                      'concept:' || ranked.tag AS neg_obj
+               FROM cand JOIN ranked USING (r)
+               WHERE 'concept:' || ranked.tag <> cand.pos_obj),
+    b AS (SELECT n.subj,
+                 CAST(SUM(CASE WHEN dn.deg > dp.deg
+                               OR (dn.deg = dp.deg
+                                   AND n.neg_obj < n.pos_obj)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS beats
+          FROM negsel n JOIN deg dp ON dp.obj = n.pos_obj
+                        JOIN deg dn ON dn.obj = n.neg_obj
+          GROUP BY n.subj)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_pos,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pos)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE beats >= 1)
+             AS hits1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pos)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE beats >= 3)
+             AS hits3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pos)
+           + (SELECT CAST(COALESCE(SUM(beats), 0) AS BIGINT) FROM b)
+             AS sum_rank
 """
 
 ORACLE_SQL["neighbor_mean"] = """
