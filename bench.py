@@ -217,6 +217,9 @@ def run_bench() -> dict:
     timed("concept_lifespan")
     timed("conv_features")
     timed("part_truss")
+    timed("conv_dot")
+    timed("wl_classes")
+    timed("kg_eval", consume=len)
 
     headline = timings["triples_scaled"]
     result = {
