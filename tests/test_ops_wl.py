@@ -71,3 +71,19 @@ def test_join_engine_matches_broadcast(ray_session):
 
 def test_partition_invariance(ray_session):
     assert run(parts=5) == run()
+
+
+def test_random_digraph_matches_local(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    edges = [
+        (f"n{int(a)}", f"n{int(b)}")
+        for a, b in rng.integers(0, 20, size=(60, 2))
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    ).repartition(4)
+    got = wl_refine(ds, rounds=3, num_shards=4).to_pandas()
+    want = local_wl(edges, 3)
+    assert dict(zip(got["node"], got["wl_color"])) == want
