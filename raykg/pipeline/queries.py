@@ -2197,6 +2197,52 @@ def q_incr_new_docs(sf_dir: str):
     )
 
 
+BASKET_MIN_SUPPORT = 3
+
+
+def q_basket_pairs(sf_dir: str):
+    """Frequent itemset pairs (market-basket level 2): part pairs
+    co-ordered in >= 3 orders — `group_pairs` (order-sharded pair
+    expansion, distinct per order) into one pair-sharded support count
+    with the HAVING filter applied in-shard."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.triangles import group_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = group_pairs(li, "l_orderkey", "l_partkey", num_shards=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], sort=False).size().reset_index()
+        g.columns = ["u", "v", "support"]
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], sort=False)["support"].sum().reset_index()
+        return g[g["support"] >= BASKET_MIN_SUPPORT]
+
+    out = sharded_groupby_apply(
+        pairs.map_batches(partial, batch_format="pandas"),
+        ["u", "v"],
+        fold,
+        num_shards=16,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "u": pa.array(df["u"].to_numpy(), type=pa.int64()),
+                "v": pa.array(df["v"].to_numpy(), type=pa.int64()),
+                "support": pa.array(
+                    df["support"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_tri_counts(sf_dir: str):
     """Per-part triangle counts over the co-order part graph (parts
     linked when they co-occur in an order).  Graph build is one
@@ -4258,6 +4304,7 @@ QUERIES: Dict[str, Callable] = {
     "conv_dot": q_conv_dot,
     "wl_classes": q_wl_classes,
     "kg_eval": q_kg_eval,
+    "basket_pairs": q_basket_pairs,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -6618,6 +6665,16 @@ ORACLE_SQL["kg_negatives"] = f"""
            'concept:' || ranked.tag AS neg_obj, cand.j
     FROM cand JOIN ranked USING (r)
     WHERE 'concept:' || ranked.tag <> cand.pos_obj
+"""
+
+ORACLE_SQL["basket_pairs"] = f"""
+    WITH p AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS u,
+                               b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey)
+    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
+    FROM p GROUP BY u, v HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
 """
 
 ORACLE_SQL["kg_eval"] = f"""
