@@ -2243,6 +2243,55 @@ def q_basket_pairs(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_basket_rules(sf_dir: str):
+    """Association rules u -> v from the frequent pairs: confidence =
+    support(u,v) / item_support(u) >= 1/8, tested by the float-free
+    cross-multiplication ``8 * sup_uv >= sup_u`` (both directions of
+    each pair).  Item supports are a bounded part-sharded count
+    broadcast as a lookup; the pair table streams through a stateless
+    filter map."""
+    from ..ops.agg import sharded_groupby_apply
+    from ..ops.setops import distinct_rows
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    item = (
+        distinct_rows(li, ["l_orderkey", "l_partkey"], num_shards=16)
+        .map_batches(
+            lambda df: df.groupby("l_partkey", sort=False)
+            .size()
+            .rename("n")
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    sup_item = item.groupby("l_partkey")["n"].sum().to_dict()
+
+    pairs = q_basket_pairs(sf_dir)
+
+    def rules(df: pd.DataFrame) -> pa.Table:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        s = df["support"].to_numpy()
+        ante = np.concatenate([u, v])
+        cons = np.concatenate([v, u])
+        sup = np.concatenate([s, s])
+        sup_a = pd.Series(ante).map(sup_item).to_numpy(dtype=np.int64)
+        keep = 8 * sup >= sup_a
+        return pa.table(
+            {
+                "ante": pa.array(ante[keep], type=pa.int64()),
+                "cons": pa.array(cons[keep], type=pa.int64()),
+                "sup_pair": pa.array(sup[keep], type=pa.int64()),
+                "sup_ante": pa.array(sup_a[keep], type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(rules, batch_format="pandas")
+
+
 def q_tri_counts(sf_dir: str):
     """Per-part triangle counts over the co-order part graph (parts
     linked when they co-occur in an order).  Graph build is one
@@ -4305,6 +4354,7 @@ QUERIES: Dict[str, Callable] = {
     "wl_classes": q_wl_classes,
     "kg_eval": q_kg_eval,
     "basket_pairs": q_basket_pairs,
+    "basket_rules": q_basket_rules,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -6675,6 +6725,24 @@ ORACLE_SQL["basket_pairs"] = f"""
                 AND a.l_partkey < b.l_partkey)
     SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
     FROM p GROUP BY u, v HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+"""
+
+ORACLE_SQL["basket_rules"] = f"""
+    WITH p AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS u,
+                               b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+    sup AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s
+            FROM p GROUP BY u, v HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}),
+    item AS (SELECT l_partkey,
+                    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+             FROM lineitem GROUP BY l_partkey),
+    both_dir AS (SELECT u AS ante, v AS cons, s FROM sup
+                 UNION ALL SELECT v, u, s FROM sup)
+    SELECT b.ante, b.cons, b.s AS sup_pair, i.n AS sup_ante
+    FROM both_dir b JOIN item i ON i.l_partkey = b.ante
+    WHERE 8 * b.s >= i.n
 """
 
 ORACLE_SQL["kg_eval"] = f"""
