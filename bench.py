@@ -220,6 +220,8 @@ def run_bench() -> dict:
     timed("conv_dot")
     timed("wl_classes")
     timed("kg_eval", consume=len)
+    timed("basket_pairs")
+    timed("basket_rules")
 
     headline = timings["triples_scaled"]
     result = {
