@@ -222,6 +222,7 @@ def run_bench() -> dict:
     timed("kg_eval", consume=len)
     timed("basket_pairs")
     timed("basket_rules")
+    timed("conv_splits")
 
     headline = timings["triples_scaled"]
     result = {

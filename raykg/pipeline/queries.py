@@ -822,6 +822,18 @@ def q_tool_stats(sf_dir: str):
     )
 
 
+def q_conv_splits(sf_dir: str):
+    """Leakage-safe train/val/test assignment: the split keys on the
+    CONVERSATION id, so every turn of one dialogue lands in the same
+    split (turn-level keys would leak dialogue context across splits) —
+    `ops/sample.assign_splits` on conv_id, a stateless map that keeps a
+    conversation's split stable as the corpus grows."""
+    from ..ops.sample import assign_splits
+
+    t = read_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"])
+    return assign_splits(t, "conv_id")
+
+
 def q_topic_shifts(sf_dir: str):
     """Dialogue-structure audit: per conversation, how many times the
     tagged-concept set CHANGES between consecutive tagged turns — the
@@ -4355,6 +4367,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_eval": q_kg_eval,
     "basket_pairs": q_basket_pairs,
     "basket_rules": q_basket_rules,
+    "conv_splits": q_conv_splits,
     "tag_match": q_tag_match,
     "tag_doc": q_tag_doc,
     "tag_doc_json": q_tag_doc_json,
@@ -5807,6 +5820,16 @@ ORACLE_SQL["tool_stats"] = f"""
            CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
            CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
     FROM t WHERE tool IS NOT NULL GROUP BY tool
+"""
+
+_CONV_MD5_PCT = "(('0x' || substr(md5(conv_id), 1, 8))::UBIGINT % 100)"
+ORACLE_SQL["conv_splits"] = f"""
+    WITH {_T_CTE}
+    SELECT conv_id, turn_idx,
+           CASE WHEN {_CONV_MD5_PCT} < 80 THEN 'train'
+                WHEN {_CONV_MD5_PCT} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM t
 """
 
 ORACLE_SQL["topic_shifts"] = f"""
