@@ -94,9 +94,13 @@ def bloom_prefilter(
     ``small_on`` key set (definitely-absent rows dropped; false
     positives pass — follow with the exact join).  Keys must be
     integers."""
-    bits = small.aggregate(BloomBuild(small_on or on, n_bits=n_bits, k=k))[
-        f"bloom({small_on or on})"
-    ]
+    agg = small.aggregate(BloomBuild(small_on or on, n_bits=n_bits, k=k))
+    bits = None if agg is None else agg[f"bloom({small_on or on})"]
+    if bits is None:
+        # Dataset.aggregate yields None for an empty dataset (version-
+        # dependent: None result or None cell); an empty small side means
+        # NO key can match — every big row drops.
+        return big.limit(0)
     bits_ref = ray.put(bits)
 
     def filt(batch: pa.Table, bits_ref=bits_ref) -> pa.Table:

@@ -45,11 +45,17 @@ def _with_offset(block, offset: int, id_col: str):
 
 
 @ray.remote
-def _first_key(block, sort_key: str):
+def _block_key_info(block, sort_key: str):
+    """(num_rows, key_null_count, first_key) — distinguishes an EMPTY
+    block (droppable) from a block whose first key is null (an input
+    error that must fail loudly, not silently drop the block's rows)."""
     from ray.data.block import BlockAccessor
 
     t = BlockAccessor.for_block(block).to_arrow()
-    return t[sort_key][0].as_py() if t.num_rows else None
+    if t.num_rows == 0:
+        return 0, 0, None
+    col = t[sort_key]
+    return t.num_rows, col.null_count, col[0].as_py()
 
 
 def zip_with_index(
@@ -65,8 +71,20 @@ def zip_with_index(
     totally, and the executor's bundle-yield order (not a contract;
     observed to vary under load) never matters."""
     if sort_key is not None:
-        ds = ds.sort(sort_key)
-    m = ds.materialize()
+        try:
+            m = ds.sort(sort_key).materialize()
+        except Exception as err:
+            # Ray's range sort surfaces null keys as an opaque TypeError
+            # ("'<' not supported between NoneType and str") deep in the
+            # shuffle; a null has no position in the row_number() contract
+            # either way, so name the cause.
+            raise ValueError(
+                f"zip_with_index: sort on {sort_key!r} failed — a null or "
+                "mixed-type sort key is the usual cause; filter or fill "
+                "the column first"
+            ) from err
+    else:
+        m = ds.materialize()
     refs, counts = [], []
     for bundle in m.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
@@ -75,12 +93,18 @@ def zip_with_index(
     if not refs:
         return m
     if sort_key is not None:
-        firsts = ray.get([_first_key.remote(r, sort_key) for r in refs])
+        infos = ray.get([_block_key_info.remote(r, sort_key) for r in refs])
+        if any(nulls for _n, nulls, _f in infos):
+            raise ValueError(
+                f"zip_with_index: sort column {sort_key!r} contains nulls; "
+                "a null has no position in the row_number() contract — "
+                "filter or fill the column first"
+            )
         keyed = sorted(
             (
                 (f, c, r)
-                for f, c, r in zip(firsts, counts, refs)
-                if f is not None
+                for (n, _nulls, f), c, r in zip(infos, counts, refs)
+                if n > 0
             ),
             key=lambda t: t[0],
         )

@@ -49,6 +49,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -76,23 +77,47 @@ def _arrow(ds: "ray.data.Dataset", schema) -> "ray.data.Dataset":
 _STATE_SCHEMA = {"node": pa.string(), "outdeg": pa.float64(), "pr": pa.float64()}
 
 
-def _ckpt_sig(damping, n, seed_set, weighted: bool) -> str:
+def _edge_fingerprint(e: "ray.data.Dataset") -> str:
+    """Cheap order-insensitive fingerprint of the (src, dst, w) edge
+    projection: per-block vectorized row hashes summed into one uint64.
+    One streaming pass over the already-materialized projection — small
+    next to the per-iteration joins — and it makes a checkpoint written
+    by a DIFFERENT edge set (same node count, e.g. edges added between
+    existing nodes) fail loudly instead of silently resuming stale
+    ranks."""
+
+    def hash_block(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(np.uint64)
+        return pd.DataFrame({"h": [int(h.sum(dtype=np.uint64))]})
+
+    total = e.map_batches(hash_block, batch_format="pandas").sum("h") or 0
+    return f"{int(total) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _ckpt_sig(damping, n, seed_set, weighted: bool, edge_fp: str) -> str:
     """Run signature: a checkpoint is only resumable by the run shape
-    that wrote it (same damping / node count / seeds / weighting)."""
-    seeds = "uniform" if seed_set is None else ",".join(sorted(seed_set))
+    that wrote it (same damping / node count / edge set / seeds /
+    weighting).  Seeds are length-prefixed so ids containing the join
+    separator cannot collide signatures."""
+    seeds = (
+        "uniform"
+        if seed_set is None
+        else ",".join(f"{len(s)}:{s}" for s in sorted(seed_set))
+    )
     return hashlib.md5(
-        f"{damping}:{n}:{seeds}:{int(weighted)}".encode("utf-8")
+        f"{damping}:{n}:{edge_fp}:{seeds}:{int(weighted)}".encode("utf-8")
     ).hexdigest()
 
 
 def _ckpt_latest(checkpoint_dir: str, sig: str):
-    """(iteration, state_path) of the highest COMPLETE checkpoint (one
-    whose manifest was atomically renamed into place), or (0, None).
-    A manifest from a different run signature fails loudly — silently
-    resuming someone else's state would corrupt the ranks."""
-    best, best_path = 0, None
+    """(iteration, state_path, rows) of the highest COMPLETE checkpoint
+    (one whose manifest was atomically renamed into place), or
+    (0, None, 0).  A manifest from a different run signature fails
+    loudly — silently resuming someone else's state would corrupt the
+    ranks."""
+    best, best_path, best_rows = 0, None, 0
     if not os.path.isdir(checkpoint_dir):
-        return best, best_path
+        return best, best_path, best_rows
     for name in sorted(os.listdir(checkpoint_dir)):
         mpath = os.path.join(checkpoint_dir, name, "_MANIFEST.json")
         if not (name.startswith("iter_") and os.path.exists(mpath)):
@@ -102,13 +127,14 @@ def _ckpt_latest(checkpoint_dir: str, sig: str):
         if m.get("sig") != sig:
             raise ValueError(
                 f"pagerank checkpoint {mpath} was written by a different "
-                "run shape (damping/nodes/seeds/weights); point "
+                "run shape (damping/nodes/edges/seeds/weights); point "
                 "checkpoint_dir somewhere else or delete it"
             )
         if m["iter"] > best:
             best = m["iter"]
             best_path = os.path.join(checkpoint_dir, name, "state")
-    return best, best_path
+            best_rows = int(m.get("rows", 0))
+    return best, best_path, best_rows
 
 
 def _ckpt_write_manifest(it_dir: str, it: int, sig: str, rows: int) -> None:
@@ -253,17 +279,20 @@ def pagerank(
         if s_count == 0:
             raise ValueError("personalized pagerank: no seed is in the graph")
 
-    sig = _ckpt_sig(damping, n, seed_set, weight_column is not None)
-    start_iter, ckpt_path = (
-        _ckpt_latest(checkpoint_dir, sig) if checkpoint_dir else (0, None)
-    )
+    if checkpoint_dir:
+        sig = _ckpt_sig(
+            damping, n, seed_set, weight_column is not None, _edge_fingerprint(e)
+        )
+        start_iter, ckpt_path, ckpt_rows = _ckpt_latest(checkpoint_dir, sig)
+    else:
+        sig, start_iter, ckpt_path, ckpt_rows = "", 0, None, 0
     start_iter = min(start_iter, iters)
 
     if n <= max_broadcast_nodes:
         return _pagerank_broadcast(
             e, pre_state, n, src_column, dst_column, damping, iters,
             num_shards, seed_set, s_count,
-            checkpoint_dir, sig, start_iter, ckpt_path,
+            checkpoint_dir, sig, start_iter, ckpt_path, ckpt_rows,
         )
 
     def reset_of(nodes: pd.Series) -> np.ndarray:
@@ -282,6 +311,13 @@ def pagerank(
 
     if ckpt_path is not None:
         state = ray.data.read_parquet(ckpt_path).materialize()
+        if state.count() != ckpt_rows:
+            raise ValueError(
+                f"pagerank checkpoint {ckpt_path} holds {state.count()} state "
+                f"rows but its manifest recorded {ckpt_rows} — the state dir "
+                "was corrupted (e.g. files appended by a killed run); delete "
+                "the checkpoint_dir and rerun"
+            )
     else:
         state = pre_state.map_batches(
             init_state, batch_format="pandas"
@@ -356,7 +392,13 @@ def pagerank(
             num_shards=num_shards,
         ).materialize()
         if checkpoint_dir:
+            # A killed run may leave un-manifested partial parquet files;
+            # write_parquet APPENDS under fresh execution UUIDs, so a rerun
+            # must clear the iteration dir first or a later resume would
+            # read both the stale partials and the new files (duplicated
+            # state rows -> wrong ranks).
             it_dir = os.path.join(checkpoint_dir, f"iter_{it + 1:04d}")
+            shutil.rmtree(it_dir, ignore_errors=True)
             typed = _arrow(state, _STATE_SCHEMA).materialize()
             typed.write_parquet(os.path.join(it_dir, "state"))
             _ckpt_write_manifest(it_dir, it + 1, sig, typed.count())
@@ -380,6 +422,7 @@ def _pagerank_broadcast(
     sig: str = "",
     start_iter: int = 0,
     ckpt_path: str = None,
+    ckpt_rows: int = 0,
 ) -> "ray.data.Dataset":
     """Broadcast iteration engine: |V|-sized state as one pandas table,
     ``ray.put`` per iteration and map-side merged onto the streaming edge
@@ -400,6 +443,12 @@ def _pagerank_broadcast(
         import pyarrow.parquet as pq
 
         saved = pq.read_table(ckpt_path).to_pandas()
+        if len(saved) != ckpt_rows:
+            raise ValueError(
+                f"pagerank checkpoint {ckpt_path} holds {len(saved)} state "
+                f"rows but its manifest recorded {ckpt_rows} — delete the "
+                "checkpoint_dir and rerun"
+            )
         # align the saved ranks onto the freshly derived (node, outdeg)
         # order — outdeg is recomputed, only pr carries across runs
         state["pr"] = state["node"].map(
@@ -451,6 +500,7 @@ def _pagerank_broadcast(
             import pyarrow.parquet as pq
 
             it_dir = os.path.join(checkpoint_dir, f"iter_{it + 1:04d}")
+            shutil.rmtree(it_dir, ignore_errors=True)
             os.makedirs(os.path.join(it_dir, "state"), exist_ok=True)
             pq.write_table(
                 pa.table(

@@ -309,20 +309,26 @@ def q_wl_classes(sf_dir: str):
 def q_mention_context(sf_dir: str):
     """KWIC / entity-context extraction: a +-24-char window around the
     FIRST occurrence of each (turn, keyword) — the context snippet an
-    entity-linking trainer consumes.  Mentions carry per-match char
-    offsets from the actor; per-batch min-start pre-agg bounds the one
-    (conv, turn, keyword)-sharded exchange to distinct mention keys, and
-    the slice itself is a bounded per-key kernel."""
+    entity-linking trainer consumes.  Mention offsets are relative to the
+    normalized SENTENCE (`core/ontology.py` emits per-sentence spans), so
+    "first in the turn" orders by (sent_idx, match_start) — match_start
+    alone would pick the smallest within-sentence offset, possibly from a
+    later sentence.  The ctx window is sliced from that sentence (the
+    documented semantics; the oracle's raw-text slice coincides because
+    the derived corpus is single-sentence-per-turn).  Per-batch first-
+    occurrence pre-agg bounds the one (conv, turn, keyword)-sharded
+    exchange to distinct mention keys; the slice is a bounded per-key
+    kernel."""
     from ..ops.agg import sharded_groupby_apply
 
     mentions = _mentions(sf_dir)
     w = KWIC_WINDOW
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("match_start", kind="stable")
+        df = df.sort_values(["sent_idx", "match_start"], kind="stable")
         return df.drop_duplicates(["conv_id", "turn_idx", "keyword"])[
-            ["conv_id", "turn_idx", "keyword", "match_start", "match_end",
-             "sentence"]
+            ["conv_id", "turn_idx", "keyword", "sent_idx", "match_start",
+             "match_end", "sentence"]
         ]
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:

@@ -845,6 +845,18 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(ray_session):
     assert len(out) < len(big) * 0.2
 
 
+def test_bloom_empty_small_side_drops_everything(ray_session):
+    # empty filtered dimension side: no key can match -> empty result,
+    # not a TypeError from subscripting Dataset.aggregate's None
+    big = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    small = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([], dtype=np.int64)})
+    )
+    out = bloom_prefilter(ray.data.from_pandas(big), small, on="k")
+    assert out.count() == 0
+    assert out.schema().names == ["k"]
+
+
 def test_bloom_tiny_filter_passes_everything_exactly_once(ray_session):
     # degenerate n_bits: all-ones filter => pure pass-through, rows intact
     big = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})

@@ -240,3 +240,62 @@ def test_checkpoint_incomplete_iteration_ignored(ray_session, tmp_path):
     resumed = pagerank(ds, num_shards=4, iters=2, checkpoint_dir=ck).to_pandas()
     fresh = run(GRAPH, iters=2)
     assert dict(zip(resumed["node"], resumed["pr"])) == fresh
+
+
+def test_checkpoint_partial_state_files_cleared_sharded(ray_session, tmp_path):
+    """A kill mid-write leaves NON-EMPTY un-manifested parquet in the
+    iteration dir; the rerun must clear it (write_parquet appends under
+    fresh execution UUIDs) or a later resume reads stale + new rows."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    pagerank(ds, num_shards=4, iters=1, checkpoint_dir=ck,
+             max_broadcast_nodes=0)
+    state_dir = os.path.join(ck, "iter_0002", "state")
+    os.makedirs(state_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"node": ["a"], "outdeg": [1.0], "pr": [0.5]}),
+        os.path.join(state_dir, "stale-partial.parquet"),
+    )
+    resumed = pagerank(ds, num_shards=4, iters=2, checkpoint_dir=ck,
+                       max_broadcast_nodes=0).to_pandas()
+    assert dict(zip(resumed["node"], resumed["pr"])) == run(GRAPH, iters=2)
+    # the now-manifested iteration must be resumable without duplicates
+    resumed2 = pagerank(ds, num_shards=4, iters=3, checkpoint_dir=ck,
+                        max_broadcast_nodes=0).to_pandas()
+    assert dict(zip(resumed2["node"], resumed2["pr"])) == run(GRAPH, iters=3)
+
+
+def test_checkpoint_edge_change_same_node_count_raises(ray_session, tmp_path):
+    """Adding an edge between EXISTING nodes keeps the node count but
+    must invalidate the checkpoint (edge fingerprint in the signature)."""
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    pagerank(ds, num_shards=4, iters=1, checkpoint_dir=ck)
+    changed = ray.data.from_pandas(
+        pd.DataFrame(GRAPH + [("d", "a")], columns=["src", "dst"])
+    )
+    with pytest.raises(ValueError):
+        pagerank(changed, num_shards=4, iters=2, checkpoint_dir=ck)
+
+
+def test_checkpoint_manifest_rows_mismatch_raises(ray_session, tmp_path):
+    """A manifested state dir whose row count no longer matches the
+    manifest (e.g. files appended after the fact) fails loudly."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    ds = ray.data.from_pandas(pd.DataFrame(GRAPH, columns=["src", "dst"]))
+    ck = str(tmp_path / "ck")
+    pagerank(ds, num_shards=4, iters=1, checkpoint_dir=ck,
+             max_broadcast_nodes=0)
+    state_dir = os.path.join(ck, "iter_0001", "state")
+    pq.write_table(
+        pa.table({"node": ["zzz"], "outdeg": [0.0], "pr": [0.25]}),
+        os.path.join(state_dir, "zzz-injected.parquet"),
+    )
+    with pytest.raises(ValueError, match="manifest recorded"):
+        pagerank(ds, num_shards=4, iters=2, checkpoint_dir=ck,
+                 max_broadcast_nodes=0)

@@ -120,6 +120,32 @@ def test_zip_with_index_matches_row_number():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_zip_with_index_null_sort_key_raises():
+    """A null sort key has no row_number position; it must fail loudly,
+    not silently drop the block holding it (non-null rows included)."""
+    from raykg.ops.index import zip_with_index
+
+    df = pd.DataFrame({"k": [None, "a", "b", "c"], "x": [1, 2, 3, 4]})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    with pytest.raises(ValueError, match="null"):
+        zip_with_index(ds, sort_key="k").materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zip_with_index_keeps_rows_of_partly_empty_block_layout():
+    """Empty blocks are droppable; non-empty ones must all be numbered."""
+    from raykg.ops.index import zip_with_index
+
+    df = pd.DataFrame({"k": ["b", "a", "d", "c"], "x": [1, 2, 3, 4]})
+    ds = ray.data.from_pandas(
+        [df.iloc[:2], df.iloc[:0], df.iloc[2:]]  # middle block empty
+    )
+    out = zip_with_index(ds, sort_key="k").to_pandas().sort_values("rank")
+    assert out["k"].tolist() == ["a", "b", "c", "d"]
+    assert out["rank"].tolist() == [0, 1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_histogram_quantiles_within_bin_width_of_exact():
     import numpy as np
 

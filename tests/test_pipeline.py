@@ -489,3 +489,35 @@ def test_refresh_recomputes_only_target_partitions(tmp_path, ray_session):
     assert w.read().to_pandas()["k"].map(
         lambda k: partition_of(k, 4)
     ).ne(target).all()
+
+
+def test_mention_context_first_occurrence_orders_by_sentence(
+    tmp_path, ray_session
+):
+    """q_mention_context must pick the turn's TRUE first occurrence:
+    mention offsets are sentence-relative, so a later sentence with a
+    smaller within-sentence offset must not win over an earlier
+    sentence's match (order by (sent_idx, match_start))."""
+    import pyarrow.parquet as pq
+
+    from raykg.pipeline.queries import q_mention_context
+
+    # doc 0 -> conv c0 turn 0; two sentences, both contain "spark":
+    # sentence 0 at offset 8, sentence 1 at offset 0.
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": ["We love spark here today. spark rules the cluster."],
+                "lang": ["en"],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_mention_context(str(tmp_path)).to_pandas()
+    row = out[out["keyword"] == "spark"]
+    assert len(row) == 1
+    # the ctx window is sliced from the FIRST sentence containing the
+    # keyword, not the later sentence whose within-sentence offset is 0
+    assert "We love spark" in row["ctx"].iloc[0]
+    assert "rules" not in row["ctx"].iloc[0]
