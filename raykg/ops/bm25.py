@@ -17,7 +17,9 @@ Scale shape:
    size).
 3. **Score + per-doc reduce** — per-row BM25 weights are vectorized
    numpy; per-doc sums co-locate in one doc-sharded exchange; the final
-   ``sort().limit(k)`` runs over only the docs that matched a term.
+   top-k is `ops/topk.global_topk` (per-block local top-k + one
+   O(k x blocks) reduce — no global sort even when a frequent query
+   term matches a corpus-sized doc set).
 
 Global scalars N (doc count) and avgdl (mean token length) are two
 driver-side floats from a one-pass partial reduce.
@@ -45,6 +47,7 @@ import ray.data
 
 from .agg import sharded_groupby_apply
 from .text import WORD_RE
+from .topk import global_topk
 
 
 def bm25_topk(
@@ -168,4 +171,6 @@ def bm25_topk(
         doc_sum,
         num_shards=num_shards,
     )
-    return scored.sort(["score", id_column], descending=[True, False]).limit(k)
+    # per-block local top-k + one tiny reduce (O(k x blocks) exchange) —
+    # a global sort here would move every matched doc for a frequent term
+    return global_topk(scored, "score", k, descending=True, tiebreak=[id_column])
