@@ -1,0 +1,798 @@
+"""Event-stream windows, sessions, funnels, and user rollups.
+
+Split from the former pipeline/queries.py monolith; definitions are
+verbatim.  Registers its queries/oracles into the shared registry.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from ..config import PipelineConfig
+from ..graph import build_nodes, concept_scores, extract_triples, triples_to_edges
+from ..tag import extract_mentions, tag_dataset
+from ..transcripts import TRANSCRIPTS_SQL, read_transcripts
+from ...core.ontology import clean_ontology
+from ...ops import dedup as dedup_ops
+from ...ops import multimodal as mm_ops
+from ...ops import similarity as sim_ops
+from ...ops import text as text_ops
+from ._shared import (ONTOLOGY, ONTOLOGY_SQL_VALUES, _ONTO_CTE, _T_CTE, _OCC_CTE, _cfg, QUERIES, ORACLE_SQL)
+from .relational import EVENT_TYPES
+
+
+
+def q_asof_clicks(sf_dir: str):
+    """Each click joined to the user's most recent prior-or-same-time view
+    (backward as-of join) — bucket-by-user, one merge_asof per bucket."""
+    from ...ops.join import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    import pyarrow.compute as _pc
+
+    clicks = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(clicks, views, key="user_id", ts="ts").select_columns(
+        ["event_id", "user_id", "ts", "event_id_r", "ts_r"]
+    )
+
+
+def q_event_sessions(sf_dir: str):
+    """Range join: every event matched into its session interval (sessions
+    from the 30-minute-gap sessionizer) — the disjoint-interval merge_asof
+    path, one bucket-by-user shuffle per side."""
+    from ...ops.events import sessionize
+    from ...ops.join import range_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    sessions = sessionize(ev)
+    return range_join(
+        ev, sessions, key="user_id", ts="ts", start="start_ts", end="end_ts",
+        disjoint=True,
+    ).select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
+def q_sliding_window(sf_dir: str):
+    """60-minute windows sliding every 15 — each event in 4 windows."""
+    from ...ops.events import sliding_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = sliding_window(ev, window_minutes=60, slide_minutes=15)
+
+    def round4(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            _pc.round(batch["sum_value"], ndigits=4),
+        )
+
+    return out.map_batches(round4, batch_format="pyarrow")
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of event value per event_type."""
+    from ...ops.events import key_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return key_quantiles(ev)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream
+    (SURVEY.md §2.9: event-time windows reduce to groupby(key, bucket))."""
+    import pyarrow.compute as pc
+
+    from ...ops.events import tumbling_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = tumbling_window(ev)
+
+    def final(batch: pa.Table) -> pa.Table:
+        rounded = pc.round(batch["sum_value"], 4)
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            pa.field("sum_value", pa.float64()),
+            rounded,
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows over the events stream (per-user 30-minute gap rule)
+    — bucketed vectorized kernel, see ops/events.py."""
+    from ...ops.events import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(ev)
+
+
+def q_event_ohlc(sf_dir: str):
+    """Hourly OHLC bars per event type — `ops/events.ohlc_window`
+    (order-dependent first/last carried as (ts, value)-paired partials;
+    one (key, window)-sharded exchange).  (event_type, ts) is unique in
+    the corpus, so arg_min/arg_max semantics are well-defined."""
+    from ...ops.events import ohlc_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = ohlc_window(ev, num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    df["window_start"], type=pa.timestamp("us")
+                ),
+                "open": pa.array(df["open"], type=pa.float64()),
+                "high": pa.array(df["high"], type=pa.float64()),
+                "low": pa.array(df["low"], type=pa.float64()),
+                "close": pa.array(df["close"], type=pa.float64()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_event_funnel(sf_dir: str):
+    """view -> click -> purchase funnel completion counts per step —
+    `ops/events.funnel_counts` (one user-sharded exchange; the greedy
+    earliest-match chain is len(steps) vectorized filter+min passes per
+    shard, matching the SQL MIN(ts)-chaining semantics exactly)."""
+    from ...ops.events import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel_counts(
+        ev, ["view", "click", "purchase"], num_shards=16
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "step": pa.array(df["step"], type=pa.int64()),
+                "n_keys": pa.array(df["n_keys"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_value_mad(sf_dir: str):
+    """Median absolute deviation per event type (robust dispersion):
+    two exact discrete-quantile passes — per-key medians broadcast
+    between them (`ops/events.key_quantiles` composed with itself).
+    Discrete quantiles pick actual data values, so both engines agree
+    bit-for-bit with no rounding."""
+    from ...ops.events import key_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    med = key_quantiles(ev, quantiles=(0.5,), num_shards=8).to_pandas()
+    med_map = dict(zip(med["event_type"], med["p50"]))
+    ref = ray.put(med_map)
+
+    def dev(df):
+        import pandas as pd
+
+        m = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value": (df["value"] - df["event_type"].map(m)).abs(),
+            }
+        )
+
+    mad = key_quantiles(
+        ev.map_batches(dev, batch_format="pandas"),
+        quantiles=(0.5,),
+        num_shards=8,
+    )
+
+    def typed(df):
+        m = ray.get(ref)
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "med": pa.array(
+                    df["event_type"].map(m), type=pa.float64()
+                ),
+                "mad": pa.array(df["p50"], type=pa.float64()),
+            }
+        )
+
+    return mad.map_batches(typed, batch_format="pandas")
+
+
+def q_event_share(sf_dir: str):
+    """Ratio-to-report: each event type's share of its hour's total
+    volume — hourly counts (tumbling window) + a broadcast of the
+    window totals (window count is time-extent-sized, not corpus-sized);
+    share is an exact integer ratio rounded to 8."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.events import tumbling_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    hourly = tumbling_window(ev, unit="hour").materialize()
+
+    totals = sharded_groupby_apply(
+        hourly.select_columns(["window_start", "n_events"]),
+        ["window_start"],
+        lambda df: df.groupby("window_start", sort=False, as_index=False)[
+            "n_events"
+        ].sum(),
+        8,
+    ).to_pandas()
+    tot_map = dict(zip(totals["window_start"], totals["n_events"]))
+    ref = ray.put(tot_map)
+
+    def attach(df):
+        tm = ray.get(ref)
+        tot = df["window_start"].map(tm).to_numpy(dtype=np.float64)
+        n = df["n_events"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    df["window_start"], type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(
+                    df["n_events"].astype("int64"), type=pa.int64()
+                ),
+                "share": pa.array(np.round(n / tot, 8), type=pa.float64()),
+            }
+        )
+
+    return hourly.map_batches(attach, batch_format="pandas")
+
+
+def q_event_running(sf_dir: str):
+    """Global running balance: per-event running sum of integer cents in
+    total (ts, event_id) order — `ops/scan.prefix_sum`, one range-sort
+    exchange + per-block partial sums with only O(num_blocks) int64
+    scalars crossing the driver."""
+    from ...ops.scan import prefix_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "t_us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    run = prefix_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "cents",
+        sort_keys=["t_us", "event_id"],
+    )
+    return run.select_columns(["event_id", "run_total"])
+
+
+def q_max_concurrent(sf_dir: str):
+    """Interval-concurrency sweep: treat each event as a session of
+    ``floor(value)`` seconds and find the maximum number of simultaneously
+    open sessions — +1/-1 boundary deltas, global prefix scan, MAX fold.
+    Ends sort before starts at equal timestamps (touching intervals do
+    not overlap), and since only the MAX of the run is consumed the scan
+    tolerates the +1/+1 ties within one timestamp."""
+    from ...ops.scan import prefix_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) * np.int64(1_000_000)
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, s + dur]), type=pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    run = prefix_sum(
+        ev.map_batches(deltas, batch_format="pyarrow"),
+        "d",
+        sort_keys=["t", "d"],
+        out_column="run",
+    )
+    peak = run.max("run")
+    return pa.table({"max_concurrent": pa.array([peak], type=pa.int64())})
+
+
+def q_event_deltas(sf_dir: str):
+    """Period-over-period event volume: hourly counts per type with the
+    delta vs the previous hour — `ops/events.tumbling_window` composed
+    with `ops/window.window_over` (the windowed aggregate is
+    key+window-sized, so the second exchange is tiny)."""
+    from ...ops.events import tumbling_window
+    from ...ops.window import window_over
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    hourly = tumbling_window(ev, unit="hour")
+    out = window_over(
+        hourly,
+        keys=["event_type"],
+        order_by=["window_start"],
+        specs=[("delta", "n_events", "delta_n", 0)],
+        num_shards=8,
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    df["window_start"], type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(df["n_events"], type=pa.int64()),
+                "delta_n": pa.array(
+                    df["delta_n"].astype("int64"), type=pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_user_top_event(sf_dir: str):
+    """Most frequent event type per user (grouped mode, ties to the
+    smaller value) — `ops/topk.group_mode` (per-batch pair-count
+    partials, one key-sharded fold)."""
+    from ...ops.topk import group_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = group_mode(ev, ["user_id"], "event_type", num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"], type=pa.int64()),
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "n": pa.array(df["n"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_hll_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users as HLL register state —
+    `ops/sketch.hll_registers_by`: per-batch register partials (dedup +
+    max) make the one group-sharded exchange carry sketch cells, never
+    user ids; registers are bit-equal to the SQL mirror per group."""
+    from ...ops.sketch import hll_registers_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = hll_registers_by(ev, "event_type", "user_id", num_shards=8)
+
+    def typed(df):
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "idx": pa.array(df["idx"], type=pa.int64()),
+                "rho": pa.array(df["rho"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """EXACT distinct users per event type — the ground-truth companion
+    to `hll_by_type`: one (type, user) dedup exchange (per-batch
+    pre-dedup bounds it to distinct pairs per block), then a bounded
+    per-type count fold."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.setops import distinct_rows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    pairs = distinct_rows(ev, ["event_type", "user_id"], num_shards=8)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": g.index.to_numpy(),
+                "n_users": g.to_numpy().astype("int64"),
+            }
+        )
+
+    # distinct pairs are already type-sharded? no — dedup shards on the
+    # PAIR; re-shard on type for the count (tiny: one row per pair)
+    return sharded_groupby_apply(pairs, ["event_type"], count, num_shards=4)
+
+
+def q_user_first_event(sf_dir: str):
+    """Accumulating-snapshot fact: each user's FIRST event (type + time,
+    (ts, event_id) total order) — `ops/topk.group_argmin`, per-batch
+    per-key minima bound the exchange to one row per key per block."""
+    from ...ops.topk import group_argmin
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = group_argmin(ev, ["user_id"], ["ts", "event_id"], num_shards=16)
+
+    def typed(df):
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"], type=pa.int64()),
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def q_event_pivot(sf_dir: str):
+    """Per-user event-type counts as a wide table (pivot with a pinned
+    category schema)."""
+    from ...ops.reshape import pivot
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot(events, index="user_id", columns_from="event_type",
+                 categories=EVENT_TYPES)
+
+
+def q_click_buyers(sf_dir: str):
+    """SQL INTERSECT: users who both clicked and purchased."""
+    from ...ops.setops import intersect_rows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clickers = ev.filter(expr="event_type == 'click'").select_columns(["user_id"])
+    buyers = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    return intersect_rows(clickers, buyers, cols=["user_id"])
+
+
+def q_retention(sf_dir: str):
+    """Weekly retention-cohort matrix over the events table: one
+    user-sharded exchange + a bounded (weeks x weeks) final fold
+    (`ops/events.py:retention_cohorts`)."""
+    from ...ops.events import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
+def q_hist_quantiles(sf_dir: str):
+    """Mergeable histogram-quantile sketch of event value per event_type
+    (bounded-memory companion to the exact key_quantiles; bin counts, not
+    values, cross the wire — `ops/sketch.py:histogram_quantiles`)."""
+    from ...ops.sketch import histogram_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return histogram_quantiles(ev, "event_type", "value")
+
+
+def q_value_buckets(sf_dir: str):
+    """Equi-depth quartile bucket per event (within event_type): exact
+    quantile grid broadcast as a LUT, stateless map, zero row exchange
+    (`ops/feature.py:quantile_bucketize`)."""
+    from ...ops.feature import quantile_bucketize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return quantile_bucketize(ev, "event_type", "value", n_buckets=4)
+QUERIES["event_running"] = q_event_running
+QUERIES["max_concurrent"] = q_max_concurrent
+QUERIES["user_first_event"] = q_user_first_event
+QUERIES["hll_by_type"] = q_hll_by_type
+QUERIES["distinct_users_by_type"] = q_distinct_users_by_type
+QUERIES["user_top_event"] = q_user_top_event
+QUERIES["event_deltas"] = q_event_deltas
+QUERIES["event_share"] = q_event_share
+QUERIES["value_mad"] = q_value_mad
+QUERIES["event_funnel"] = q_event_funnel
+QUERIES["event_ohlc"] = q_event_ohlc
+QUERIES["asof_clicks"] = q_asof_clicks
+QUERIES["event_sessions"] = q_event_sessions
+QUERIES["value_quantiles"] = q_value_quantiles
+QUERIES["sliding_window"] = q_sliding_window
+QUERIES["events_window"] = q_events_window
+QUERIES["sessionize"] = q_sessionize
+QUERIES["event_pivot"] = q_event_pivot
+QUERIES["click_buyers"] = q_click_buyers
+QUERIES["retention"] = q_retention
+QUERIES["hist_quantiles"] = q_hist_quantiles
+QUERIES["value_buckets"] = q_value_buckets
+ORACLE_SQL["events_window"] = """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(SUM(COALESCE(value, 0)), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+ORACLE_SQL["sessionize"] = """
+        WITH e AS (SELECT user_id, event_id, ts,
+                          CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_s
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, event_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM s GROUP BY 1, 2
+    """
+
+# native DuckDB ASOF LEFT JOIN — identical backward semantics
+ORACLE_SQL["asof_clicks"] = """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS event_id_r, r.ts AS ts_r
+    FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+# range join replay: the sessionize oracle as a CTE, then an interval join
+ORACLE_SQL["event_sessions"] = f"""
+    WITH sess AS ({ORACLE_SQL["sessionize"]})
+    SELECT e.event_id, e.user_id, e.ts, sess.session_id
+    FROM events e JOIN sess
+      ON e.user_id = sess.user_id
+     AND e.ts BETWEEN sess.start_ts AND sess.end_ts
+"""
+
+# each event in its 4 covering 60-min/15-min-slide windows
+ORACLE_SQL["sliding_window"] = """
+    WITH off AS (SELECT unnest(generate_series(0, 3)) AS j),
+    w AS (SELECT e.event_type,
+                 make_timestamp(((epoch_us(e.ts) // 900000000) - off.j) * 900000000)
+                     AS window_start,
+                 COALESCE(e.value, 0) AS v
+          FROM events e, off)
+    SELECT event_type, window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(v), 4) AS sum_value
+    FROM w GROUP BY 1, 2
+"""
+
+# exact discrete quantiles (lower interpolation == quantile_disc)
+ORACLE_SQL["value_quantiles"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.5)  AS p50,
+           quantile_disc(value, 0.9)  AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY 1
+"""
+
+ORACLE_SQL["event_pivot"] = """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["click_buyers"] = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+def _hll_by_sql():
+    from ...ops.sketch import hll_by_oracle_sql
+
+    return hll_by_oracle_sql("events", "event_type", "user_id")
+
+
+ORACLE_SQL["hll_by_type"] = _hll_by_sql()
+
+ORACLE_SQL["distinct_users_by_type"] = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["user_first_event"] = """
+    SELECT user_id, event_type, ts
+    FROM (SELECT user_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+"""
+
+ORACLE_SQL["event_ohlc"] = """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           arg_min(value, ts) AS open, MAX(value) AS high,
+           MIN(value) AS low, arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+ORACLE_SQL["event_funnel"] = """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM s1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+ORACLE_SQL["value_mad"] = """
+    WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+          FROM events e JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+           FROM d GROUP BY event_type)
+    SELECT m.event_type, m.med, md.mad FROM m JOIN md USING (event_type)
+"""
+
+ORACLE_SQL["event_share"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, window_start, n_events,
+           round(CAST(n_events AS DOUBLE)
+                 / SUM(n_events) OVER (PARTITION BY window_start), 8)
+               AS share
+    FROM h
+"""
+
+ORACLE_SQL["event_deltas"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, window_start, n_events,
+           CAST(n_events - COALESCE(
+               LAG(n_events) OVER (PARTITION BY event_type
+                                   ORDER BY window_start), n_events)
+               AS BIGINT) AS delta_n
+    FROM h
+"""
+
+ORACLE_SQL["user_top_event"] = """
+    WITH c AS (SELECT user_id, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) = 1
+"""
+
+ORACLE_SQL["event_running"] = """
+    SELECT event_id,
+           CAST(SUM(CAST(round(value * 100.0) AS BIGINT))
+                OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS run_total
+    FROM events
+"""
+
+ORACLE_SQL["max_concurrent"] = """
+    WITH iv AS (SELECT epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value) AS BIGINT) * 1000000 AS e
+                FROM events),
+    d AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+          UNION ALL
+          SELECT e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+    r AS (SELECT SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING)
+                 AS run FROM d)
+    SELECT CAST(MAX(run) AS BIGINT) AS max_concurrent FROM r
+"""
+
+
+ORACLE_SQL["retention"] = """
+    WITH uw AS (SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+                FROM events),
+    first AS (SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id)
+    SELECT CAST(w0 AS BIGINT) AS cohort_week,
+           CAST(uw.w - w0 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+from ...ops.sketch import histogram_quantiles_sql as _hq_sql  # noqa: E402
+
+ORACLE_SQL["hist_quantiles"] = _hq_sql("events", "event_type", "value")
+
+
+ORACLE_SQL["value_buckets"] = """
+    WITH thr AS (SELECT event_type,
+                        quantile_disc(value, 0.25) AS q1,
+                        quantile_disc(value, 0.5)  AS q2,
+                        quantile_disc(value, 0.75) AS q3
+                 FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           CAST((CASE WHEN e.value >= q1 THEN 1 ELSE 0 END)
+              + (CASE WHEN e.value >= q2 THEN 1 ELSE 0 END)
+              + (CASE WHEN e.value >= q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+    FROM events e JOIN thr USING (event_type)
+"""
