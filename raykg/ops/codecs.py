@@ -1,27 +1,34 @@
-"""Pure-python/numpy media codecs for the uncompressed container formats.
+"""Pure-python/numpy media codecs — no external library needed.
 
-PIL / libsndfile / ffmpeg are not available in this environment, but the
-classic uncompressed formats need no external library, so the multimodal
-stages (`ops/multimodal.py`) decode these for REAL:
+PIL / libsndfile / ffmpeg are not available in this environment, but
+these classic formats decode with the stdlib alone, so the multimodal
+stages (`ops/multimodal.py`) decode them for REAL:
 
 - **PPM (P6)** binary portable pixmap, maxval 255 — 2-byte magic header.
 - **BMP** Windows bitmap, BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up
   rows with 4-byte padding (the only variant these codecs emit; the
   decoder validates and rejects anything else).
 - **WAV** RIFF PCM 16-bit via the stdlib ``wave`` module.
+- **PNG** 8-bit gray / RGB / palette / gray+alpha / RGBA, non-interlaced:
+  stdlib ``zlib`` inflate + all five scanline filters (None/Sub/Up/
+  Average/Paeth, RFC 2083 §6).  Adam7 interlace raises.
+- **GIF** 87a/89a with global or local color tables: a full LZW
+  decoder (variable code width 3–12 bits, clear/end codes); multi-frame
+  GIFs double as a video container (`decode_gif_frames`).
 - **PPM stream**: concatenated P6 frames as a minimal video container
   (each frame self-describes its size, so the stream parses without an
   index).
 
-Compressed formats (JPEG/PNG/MP3/MP4…) still raise
-``NotImplementedError`` — that is the honest plug-point for a real
-decoder library on a production image.
+Still raising ``NotImplementedError``: JPEG / MP3 / MP4 — DCT and
+psychoacoustic codecs genuinely need a decoder library; that is the
+honest plug-point for PIL/ffmpeg on a production image.
 """
 from __future__ import annotations
 
 import io
 import struct
 import wave
+import zlib
 from typing import List, Tuple
 
 import numpy as np
@@ -150,14 +157,390 @@ def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
     return rate, samples
 
 
+# --- PNG (stdlib zlib; 8-bit depth, filters 0-4, no interlace) ----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, line: np.ndarray, prev: np.ndarray,
+                    bpp: int) -> np.ndarray:
+    """Forward filter (encoder side) — the exact inverse of _png_unfilter."""
+    line = line.astype(np.int64)
+    a = np.zeros_like(line)
+    a[bpp:] = line[:-bpp]
+    b = prev.astype(np.int64)
+    c = np.zeros_like(b)
+    c[bpp:] = b[:-bpp]
+    if ftype == 0:
+        out = line
+    elif ftype == 1:
+        out = line - a
+    elif ftype == 2:
+        out = line - b
+    elif ftype == 3:
+        out = line - (a + b) // 2
+    elif ftype == 4:
+        p = a + b - c
+        pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
+        out = line - pred
+    else:
+        raise ValueError(f"bad PNG filter {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWx3 uint8 RGB -> PNG (color type 2, bit depth 8).  ``filter_type``
+    applies one filter to every scanline — 0 for speed; 1-4 exist so tests
+    can exercise every decoder unfilter path."""
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_png needs HxWx3 RGB")
+    arr = arr.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        raw.append(filter_type)
+        raw += _png_filter_row(filter_type, line, prev, 3).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters -> (h, stride) uint8 recon array.
+    None/Up are fully vectorized; Sub is a per-lane modular cumsum;
+    Average/Paeth are sequential along x by definition (each byte needs
+    the already-reconstructed left neighbor)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
+        pos += stride
+        prev = out[y - 1] if y else zero_row
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256 by itself)
+            out[y] = line + prev
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] -> lane cumsum
+            lanes = line.reshape(-1, bpp).astype(np.uint64)
+            out[y] = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(stride)
+        elif ftype == 3:  # Average
+            cur = out[y]
+            li = line.astype(np.int64)
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (li[x] + ((a + pv[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            li = line.astype(np.int64)
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(pv[x])
+                c = int(pv[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                cur[x] = (li[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype} at row {y}")
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8 RGB (alpha dropped, gray replicated, palette
+    resolved).  Supports bit depth 8, color types 0/2/3/4/6, interlace 0."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    ctype_ = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, chunk = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if chunk == b"IHDR":
+            width, height, depth, ctype_, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if ctype_ not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {ctype_}")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG")
+        elif chunk == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif chunk == b"IDAT":
+            idat += data
+        elif chunk == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[ctype_]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+    recon = _png_unfilter(raw, height, stride, ch)
+    px = recon.reshape(height, width, ch)
+    if ctype_ == 2:
+        return px
+    if ctype_ == 6:
+        return px[:, :, :3]
+    if ctype_ == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_ == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
+# --- GIF (87a/89a, LZW) -------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code: int) -> List[int]:
+    """GIF-flavor LZW: LSB-first bitstream, variable code width
+    ``min_code+1``..12, clear/end codes."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: List[Tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    next_code = end + 1
+    out: List[int] = []
+    prev: Tuple[int, ...] = ()
+    acc = 0
+    bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                next_code = end + 1
+                width = min_code + 1
+                prev = ()
+                continue
+            if code == end:
+                return out
+            if not prev:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+                next_code += 1
+            elif code == next_code:
+                entry = prev + (prev[0],)
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if prev and next_code == (1 << width) and width < 12:
+                width += 1
+            out.extend(entry)
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: List[int], min_code: int) -> bytes:
+    """Mirror image of ``_lzw_decode``: the decoder's table lags the
+    encoder's by one entry (it adds an entry per RECEIVED code from the
+    second after a clear), so the code width is driven by a simulated
+    decoder next_code (``dec_next``), not the encoder's own."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1  # encoder's own next entry id
+    dec_next = end + 1   # the decoder's simulated next_code
+    first = True         # no decoder entry for the first code after clear
+    outbuf = bytearray()
+    acc = 0
+    bits = 0
+
+    def putbits(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            outbuf.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    def emit(code: int) -> None:
+        # width may only grow AFTER this code is written (the decoder
+        # grows after processing it)
+        nonlocal first, dec_next, width
+        putbits(code)
+        if first:
+            first = False
+            return
+        dec_next += 1
+        if dec_next == (1 << width) and width < 12:
+            width += 1
+
+    putbits(clear)
+    buf: Tuple[int, ...] = ()
+    for k in indices:
+        cand = buf + (int(k),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == 4096:  # decoder table would overflow: hard reset
+            putbits(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            dec_next = end + 1
+            width = min_code + 1
+            first = True
+        buf = (int(k),)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if bits:
+        outbuf.append(acc & 0xFF)
+    return bytes(outbuf)
+
+def encode_gif(frames: List[np.ndarray]) -> bytes:
+    """List of HxWx3 uint8 frames (same size, <=256 distinct colors across
+    all frames) -> multi-frame GIF89a with one global color table."""
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w, _ = frames[0].shape
+    allpx = np.concatenate([f.reshape(-1, 3).astype(np.uint8) for f in frames])
+    palette, inverse = np.unique(allpx, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(palette)}")
+    # color-table size field: 2^(n+1) entries, padded
+    n = 0
+    while (2 << n) < max(2, len(palette)):
+        n += 1
+    pal = np.zeros((2 << n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, n + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (n << 4) | n, 0, 0)
+    out += pal.tobytes()
+    pos = 0
+    for f in frames:
+        npx = f.shape[0] * f.shape[1]
+        idx = inverse[pos : pos + npx]
+        pos += npx
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        data = _lzw_encode(idx.tolist(), min_code)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> List[np.ndarray]:
+    """GIF -> list of HxWx3 uint8 frames (full logical-screen frames; no
+    disposal compositing — each frame renders over black).  Interlaced
+    frames raise."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    frames: List[np.ndarray] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+            pos += size * 3
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frame")
+        if ct is None:
+            raise ValueError("GIF frame without any color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(data), min_code), dtype=np.int64)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data truncated")
+        px = ct[idx[: fw * fh]].reshape(fh, fw, 3)
+        frame = np.zeros((h, w, 3), dtype=np.uint8)
+        frame[top : top + fh, left : left + fw] = px
+        frames.append(frame)
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    return decode_gif_frames(payload)[0]
+
+
 # --- sniffing + resize --------------------------------------------------------
 
 def sniff(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'unknown' by magic bytes."""
+    """'ppm' | 'bmp' | 'png' | 'gif' | 'wav' | 'unknown' by magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -169,8 +552,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "gif":
+        return decode_gif(payload)
     raise NotImplementedError(
-        "compressed image formats need PIL (not in env); supported: PPM, BMP"
+        "JPEG needs a DCT decoder library (PIL, not in env); "
+        "supported: PPM, BMP, PNG, GIF"
     )
 
 

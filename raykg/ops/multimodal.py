@@ -5,14 +5,17 @@ Decode support is three-tiered:
 - ``fake=True`` (default): deterministic digest-derived metadata — the
   harness mode the driver queries run, exercising schema, batching and
   the binary plumbing without any decoding.
-- ``fake=False`` with an UNCOMPRESSED payload: REAL decode via the
-  pure-python/numpy codecs in `ops/codecs.py` — PPM and 24-bit BMP
-  images, 16-bit PCM WAV audio, and concatenated-P6 streams as the video
-  container.  Feature extraction, nearest-neighbor resize and frame
-  sampling all run on genuinely decoded pixels/samples.
-- ``fake=False`` with a compressed payload (JPEG/PNG/MP3/MP4…): raises
-  ``NotImplementedError`` — the honest plug-point for PIL/ffmpeg on a
-  production image (not available in this environment).
+- ``fake=False`` with a stdlib-decodable payload: REAL decode via the
+  pure-python/numpy codecs in `ops/codecs.py` — PPM / 24-bit BMP /
+  PNG (zlib inflate, all five filters) / GIF (full LZW) images, 16-bit
+  PCM WAV audio, and concatenated-P6 streams or multi-frame GIFs as the
+  video container.  Feature extraction, nearest-neighbor resize and
+  frame sampling all run on genuinely decoded pixels/samples; the
+  `media_png` / `media_gif` queries pin encode->decode bit-exactness
+  against SQL oracles.
+- ``fake=False`` with JPEG/MP3/MP4: raises ``NotImplementedError`` —
+  the honest plug-point for PIL/ffmpeg on a production image (DCT /
+  psychoacoustic decoders genuinely need a library).
 
 The Ray-side shape is the same in every tier: binary columns ride
 through Arrow blocks untouched, decode/feature stages are actor pools
@@ -63,6 +66,113 @@ def documents_to_media(batch: pa.Table, id_column: str = "doc_id",
     )
 
 
+def _doc_digest(text) -> bytes:
+    return hashlib.md5((text or "").encode("utf-8")).digest()
+
+
+def documents_to_png_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL PNG payloads derived from document-text digests:
+    a (1+d4%8) x (1+d3%8) gradient image with channel c at pixel (x, y) =
+    (d_c + k_c*x + m_c*y) mod 256, PNG-encoded with filter type
+    ``doc_id % 5`` — so the corpus exercises every scanline filter and the
+    whole pixel content is mirrorable in SQL (integer arithmetic only)."""
+    from . import codecs
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for i, t in zip(ids, batch["text"].to_pylist()):
+        d = _doc_digest(t)
+        w, h = 1 + d[3] % 8, 1 + d[4] % 8
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        arr = np.stack(
+            [
+                (d[0] + 7 * xx + 13 * yy) % 256,
+                (d[1] + 11 * xx + 3 * yy) % 256,
+                (d[2] + 5 * xx + 17 * yy) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        payloads.append(codecs.encode_png(arr, filter_type=int(i) % 5))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def documents_to_gif_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL multi-frame GIF payloads (1+d5%3 frames of a
+    16-gray-level gradient, value (d0 + 3x + 5y + 7f) mod 16 scaled x17)
+    — same SQL-mirrorable construction as ``documents_to_png_media``."""
+    from . import codecs
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        w, h, n = 1 + d[3] % 8, 1 + d[4] % 8, 1 + d[5] % 3
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        frames = []
+        for f in range(n):
+            v = ((d[0] + 3 * xx + 5 * yy + 7 * f) % 16 * 17).astype(np.uint8)
+            frames.append(np.stack([v, v, v], axis=2))
+        payloads.append(codecs.encode_gif(frames))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def decode_image_sums(batch: pa.Table) -> pa.Table:
+    """REAL image decode -> exact integer per-channel pixel sums (the
+    SQL-mirrorable feature reduction used by the correctness oracles)."""
+    from . import codecs
+
+    widths, heights, sr, sg, sb = [], [], [], [], []
+    for p in batch["payload"].to_pylist():
+        arr = codecs.decode_image(bytes(p))
+        heights.append(arr.shape[0])
+        widths.append(arr.shape[1])
+        s = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        sr.append(int(s[0]))
+        sg.append(int(s[1]))
+        sb.append(int(s[2]))
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "sum_r": pa.array(sr, type=pa.int64()),
+            "sum_g": pa.array(sg, type=pa.int64()),
+            "sum_b": pa.array(sb, type=pa.int64()),
+        }
+    )
+
+
+def decode_gif_frame_sums(batch: pa.Table) -> pa.Table:
+    """REAL GIF decode -> frame count + exact gray-channel pixel sum over
+    all frames."""
+    from . import codecs
+
+    n_frames, sums = [], []
+    for p in batch["payload"].to_pylist():
+        frames = codecs.decode_gif_frames(bytes(p))
+        n_frames.append(len(frames))
+        sums.append(
+            int(sum(int(f[:, :, 0].astype(np.int64).sum()) for f in frames))
+        )
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+            "sum_px": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
 class MediaFeatureActor:
     """Actor-pool stage: decode + feature-extract one batch of payloads.
 
@@ -102,18 +212,23 @@ class MediaFeatureActor:
         )
 
     def _decode_real(self, payload: bytes, media_type: str):
-        """Real decode for the uncompressed containers (`ops/codecs.py`);
-        compressed formats raise NotImplementedError — plug PIL/ffmpeg
-        there on a production image."""
+        """Real decode via `ops/codecs.py` (PPM/BMP/PNG/GIF images,
+        16-bit WAV audio, PPM-stream or multi-frame GIF video); JPEG/MP3/
+        MP4 raise NotImplementedError — plug PIL/ffmpeg there on a
+        production image."""
         from . import codecs
 
         kind = codecs.sniff(payload)
-        if media_type == "video" and kind == "ppm":
-            frames = codecs.decode_ppm_stream(payload)
+        if media_type == "video" and kind in ("ppm", "gif"):
+            frames = (
+                codecs.decode_ppm_stream(payload)
+                if kind == "ppm"
+                else codecs.decode_gif_frames(payload)
+            )
             dur = len(frames) / 24.0  # nominal 24 fps
             first = frames[0]
             return first.shape[1], first.shape[0], dur, self._image_features(first)
-        if kind in ("ppm", "bmp"):
+        if kind in ("ppm", "bmp", "png", "gif"):
             arr = codecs.decode_image(payload)
             return arr.shape[1], arr.shape[0], None, self._image_features(arr)
         if kind == "wav":
@@ -127,7 +242,8 @@ class MediaFeatureActor:
             return None, None, len(x) / rate, feats
         raise NotImplementedError(
             f"compressed/unknown payload (magic {payload[:4]!r}); supported "
-            "real decoders: PPM, BMP, WAV, PPM-stream — plug PIL/ffmpeg for the rest"
+            "real decoders: PPM, BMP, PNG, GIF, WAV, PPM-stream, GIF-video "
+            "— plug PIL/ffmpeg for JPEG/MP3/MP4"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -168,12 +284,17 @@ class MediaResizeActor:
         if not self.fake:
             from . import codecs
 
+            encoders = {
+                "ppm": codecs.encode_ppm,
+                "bmp": codecs.encode_bmp,
+                "png": codecs.encode_png,
+                "gif": lambda a: codecs.encode_gif([a]),
+            }
             for p in batch["payload"].to_pylist():
                 arr = codecs.decode_image(p or b"")
                 small = codecs.nn_resize(arr, self.width, self.height)
                 # re-encode in the source container
-                enc = codecs.encode_ppm if codecs.sniff(p) == "ppm" else codecs.encode_bmp
-                payloads.append(enc(small))
+                payloads.append(encoders[codecs.sniff(p)](small))
         else:
             for p in batch["payload"].to_pylist():
                 digest = hashlib.md5(p or b"").digest()
@@ -209,7 +330,12 @@ class FrameSampleActor:
             if not self.fake:
                 from . import codecs
 
-                frames = codecs.decode_ppm_stream(p or b"")
+                if codecs.sniff(p or b"") == "gif":
+                    frames = codecs.decode_gif_frames(p or b"")
+                    enc = lambda a: codecs.encode_gif([a])  # noqa: E731
+                else:
+                    frames = codecs.decode_ppm_stream(p or b"")
+                    enc = codecs.encode_ppm
                 picks = np.unique(
                     np.linspace(0, len(frames) - 1, min(self.n_frames, len(frames)))
                     .round()
@@ -218,7 +344,7 @@ class FrameSampleActor:
                 for f in picks:
                     out["media_id"].append(mid)
                     out["frame_idx"].append(int(f))
-                    out["frame"].append(codecs.encode_ppm(frames[f]))
+                    out["frame"].append(enc(frames[f]))
                 continue
             for f in range(self.n_frames):
                 out["media_id"].append(mid)

@@ -416,6 +416,30 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_media_png(sf_dir: str):
+    """REAL PNG encode -> decode through the pipeline: digest-derived
+    gradient images (filter type rotates doc_id % 5, so all five PNG
+    scanline filters run), decoded back by the stdlib-zlib decoder
+    (`ops/codecs.py:decode_png`) into exact integer channel sums the SQL
+    oracle reproduces with pure modular arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_png_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_image_sums, batch_format="pyarrow")
+
+
+def q_media_gif(sf_dir: str):
+    """REAL multi-frame GIF encode -> LZW decode through the pipeline
+    (`ops/codecs.py:decode_gif_frames`): digest-derived 16-gray gradient
+    frames, exact gray pixel sums mirrored in SQL."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_gif_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_gif_frame_sums, batch_format="pyarrow")
+
+
 DECONTAM_N = 4  # word-gram size: 13 in production pipelines; 4 keeps the
 DECONTAM_MOD = 13  # tiny-vocabulary sf corpora non-vacuous (test set = docs
 #                    with doc_id % 13 == 0, held out of the corpus side)
@@ -705,6 +729,8 @@ QUERIES["simhash_pairs"] = q_simhash_pairs
 QUERIES["entity_resolve"] = q_entity_resolve
 QUERIES["bpe_pairs"] = q_bpe_pairs
 QUERIES["media_features"] = q_media_features
+QUERIES["media_png"] = q_media_png
+QUERIES["media_gif"] = q_media_gif
 QUERIES["decontam"] = q_decontam
 QUERIES["redact"] = q_redact
 QUERIES["repetition"] = q_repetition
@@ -775,6 +801,45 @@ ORACLE_SQL["media_features"] = """
                CASE WHEN media_type IN ('audio','video') THEN round(d2 / 10.0, 1) END AS duration_s
         FROM d
     """
+# md5 digest bytes d0..d5 as integers, hex-sliced exactly like the Python
+# side's hashlib.md5(text).digest()[i]
+_MD5_BYTES_CTE = """
+    d AS (SELECT doc_id AS media_id,
+        CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 2)) AS INTEGER) AS d0,
+        CAST(concat('0x', substr(md5(COALESCE(text, '')), 3, 2)) AS INTEGER) AS d1,
+        CAST(concat('0x', substr(md5(COALESCE(text, '')), 5, 2)) AS INTEGER) AS d2,
+        CAST(concat('0x', substr(md5(COALESCE(text, '')), 7, 2)) AS INTEGER) AS d3,
+        CAST(concat('0x', substr(md5(COALESCE(text, '')), 9, 2)) AS INTEGER) AS d4,
+        CAST(concat('0x', substr(md5(COALESCE(text, '')), 11, 2)) AS INTEGER) AS d5
+      FROM documents)
+"""
+ORACLE_SQL["media_png"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d0, d1, d2,
+                    1 + d3 % 8 AS w, 1 + d4 % 8 AS h FROM d),
+    px AS (SELECT media_id, w, h, d0, d1, d2, xs.x, ys.y
+           FROM dims,
+                UNNEST(generate_series(0, w - 1)) xs(x),
+                UNNEST(generate_series(0, h - 1)) ys(y))
+    SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(SUM((d0 + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d1 + 11 * x + 3 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d2 + 5 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id, w, h
+"""
+ORACLE_SQL["media_gif"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d0, 1 + d3 % 8 AS w, 1 + d4 % 8 AS h,
+                    1 + d5 % 3 AS n FROM d),
+    px AS (SELECT media_id, n, d0, xs.x, ys.y, fs.f
+           FROM dims,
+                UNNEST(generate_series(0, w - 1)) xs(x),
+                UNNEST(generate_series(0, h - 1)) ys(y),
+                UNNEST(generate_series(0, n - 1)) fs(f))
+    SELECT media_id, CAST(n AS INTEGER) AS n_frames,
+           CAST(SUM((d0 + 3 * x + 5 * y + 7 * f) % 16 * 17) AS BIGINT) AS sum_px
+    FROM px GROUP BY media_id, n
+"""
 ORACLE_SQL["minhash_pairs"] = r"""
         WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
         s AS (SELECT doc_id,

@@ -57,19 +57,108 @@ def test_sniff_and_unknown_rejected():
     assert codecs.sniff(codecs.encode_ppm(rand_img(2, 2))) == "ppm"
     assert codecs.sniff(codecs.encode_bmp(rand_img(2, 2))) == "bmp"
     assert codecs.sniff(codecs.encode_wav(np.zeros(4, dtype="<i2"))) == "wav"
+    assert codecs.sniff(codecs.encode_png(rand_img(2, 2))) == "png"
+    assert codecs.sniff(codecs.encode_gif([rand_img(1, 2)])) == "gif"
     with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"\x89PNG\r\n\x1a\n....")
+        # JPEG magic: DCT decode is the remaining honest plug-point
+        codecs.decode_image(b"\xff\xd8\xff\xe0....JFIF....")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    img = rand_img(13, 9)
+    back = codecs.decode_png(codecs.encode_png(img, filter_type=filter_type))
+    assert (back == img).all()
+
+
+def test_png_gray_alpha_palette_decode():
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, ctype, raw, plte=b""):
+        body = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        if plte:
+            body += chunk(b"PLTE", plte)
+        return (
+            codecs._PNG_SIG + body
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    gray = RNG.integers(0, 256, (4, 6), dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(4))
+    out = codecs.decode_png(png(6, 4, 0, raw))
+    assert (out == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+    rgba = RNG.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    assert (codecs.decode_png(png(5, 3, 6, raw)) == rgba[:, :, :3]).all()
+
+    plte = RNG.integers(0, 256, (5, 3), dtype=np.uint8)
+    pix = RNG.integers(0, 5, (4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(4))
+    assert (codecs.decode_png(png(4, 4, 3, raw, plte.tobytes())) == plte[pix]).all()
+
+
+def test_png_interlace_rejected():
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    data = (
+        codecs._PNG_SIG
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        codecs.decode_png(data)
+
+
+def test_gif_roundtrip_single_and_multiframe():
+    pal = np.unique(RNG.integers(0, 256, (40, 3), dtype=np.uint8), axis=0)
+    frame = pal[RNG.integers(0, len(pal), (11, 7))]
+    assert (codecs.decode_gif(codecs.encode_gif([frame])) == frame).all()
+    frames = [pal[RNG.integers(0, len(pal), (6, 9))] for _ in range(5)]
+    back = codecs.decode_gif_frames(codecs.encode_gif(frames))
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    # 128x128 with ~200 colors: the LZW table passes every width step and
+    # overflows 4096 entries, exercising the clear-code reset path
+    pal = np.unique(RNG.integers(0, 256, (220, 3), dtype=np.uint8), axis=0)
+    img = pal[RNG.integers(0, len(pal), (128, 128))]
+    assert (codecs.decode_gif(codecs.encode_gif([img])) == img).all()
+
+
+def test_gif_too_many_colors_rejected():
+    img = np.arange(2048 * 3, dtype=np.uint8).reshape(32, 64, 3)
+    img[:, :, 0] = np.arange(2048).reshape(32, 64) % 256
+    img[:, :, 1] = np.arange(2048).reshape(32, 64) // 256
+    with pytest.raises(ValueError):
+        codecs.encode_gif([img])
 
 
 def _media_table():
     img = rand_img(6, 4)
     wav = codecs.encode_wav((RNG.standard_normal(3200) * 8000).astype("<i2"), 16000)
     vid = codecs.encode_ppm_stream([rand_img(3, 3) for _ in range(12)])
+    gif_vid = codecs.encode_gif([rand_img(3, 3) for _ in range(12)])
     rows = [
         (1, "image", codecs.encode_ppm(img), "image/x-portable-pixmap"),
         (2, "image", codecs.encode_bmp(img), "image/bmp"),
         (3, "audio", wav, "audio/wav"),
         (4, "video", vid, "video/x-ppm-stream"),
+        (5, "image", codecs.encode_png(img, filter_type=4), "image/png"),
+        (6, "image", codecs.encode_gif([img]), "image/gif"),
+        (7, "video", gif_vid, "image/gif"),
     ]
     return pa.Table.from_pydict(
         {
@@ -89,10 +178,13 @@ def test_real_feature_extraction(ray_session):
     out = out.set_index("media_id")
     assert out.loc[1, "width"] == 4 and out.loc[1, "height"] == 6
     assert out.loc[2, "width"] == 4 and out.loc[2, "height"] == 6
-    # same pixels via ppm and bmp -> identical features
+    # same pixels via ppm / bmp / png / gif -> identical features
     assert out.loc[1, "features"] == pytest.approx(out.loc[2, "features"])
+    assert out.loc[1, "features"] == pytest.approx(out.loc[5, "features"])
+    assert out.loc[1, "features"] == pytest.approx(out.loc[6, "features"])
     assert out.loc[3, "duration_s"] == pytest.approx(3200 / 16000)
     assert out.loc[4, "duration_s"] == pytest.approx(12 / 24.0)
+    assert out.loc[7, "duration_s"] == pytest.approx(12 / 24.0)  # gif video
     assert all(len(f) == 16 for f in out["features"])
 
 
@@ -111,7 +203,8 @@ def test_real_resize(ray_session):
 def test_real_frame_sampling(ray_session):
     ds = ray.data.from_arrow(_media_table())
     out = sample_frames(ds, n_frames=4, fake=False, concurrency=1).to_pandas()
-    assert len(out) == 4
-    assert sorted(out["frame_idx"]) == [0, 4, 7, 11]  # evenly spaced over 12
+    assert len(out) == 8  # 2 videos (ppm-stream + gif) x 4 frames
+    for mid, g in out.groupby("media_id"):
+        assert sorted(g["frame_idx"]) == [0, 4, 7, 11]  # evenly spaced over 12
     for f in out["frame"]:
-        assert codecs.decode_ppm(bytes(f)).shape == (3, 3, 3)
+        assert codecs.decode_image(bytes(f)).shape == (3, 3, 3)
