@@ -9,6 +9,8 @@ Usage: python scripts/oracle_check.py [--sf DIR] [name ...]
 from __future__ import annotations
 
 import argparse
+import json
+import time
 import hashlib
 import sys
 
@@ -54,6 +56,20 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--budget",
+        type=float,
+        default=None,
+        metavar="MIN",
+        help="fail (exit 1) if the whole sweep exceeds this many minutes — "
+        "breadth insurance so the registry never outgrows the driver gate",
+    )
+    ap.add_argument(
+        "--timings",
+        default=None,
+        metavar="PATH",
+        help="write per-query wall seconds (ray + oracle) as JSON",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -73,7 +89,10 @@ def main() -> int:
         )
 
     failures = 0
+    timings = {}
+    sweep_t0 = time.monotonic()
     for name in names:
+        t0 = time.monotonic()
         if name not in qs:
             print(f"{name}: UNKNOWN QUERY")
             failures += 1
@@ -85,7 +104,8 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"{name}: no_oracle rows={len(mine)}")
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"{name}: no_oracle rows={len(mine)} sec={timings[name]}")
             continue
         try:
             oracle = con.execute(oracles[name]).fetchdf()
@@ -99,11 +119,30 @@ def main() -> int:
         status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
         if status == "FAIL":
             failures += 1
+        timings[name] = round(time.monotonic() - t0, 3)
         print(
             f"{name}: {status} rows={len(mine)}/{len(oracle)} "
             f"schema={'ok' if schema_ok else f'{sorted(mine.columns)} vs {sorted(oracle.columns)}'} "
-            f"hash={'ok' if hash_ok else 'MISMATCH'}"
+            f"hash={'ok' if hash_ok else 'MISMATCH'} sec={timings[name]}"
         )
+    total_min = (time.monotonic() - sweep_t0) / 60.0
+    if args.timings:
+        with open(args.timings, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "total_min": round(total_min, 2),
+                    "n_queries": len(names),
+                    "per_query_sec": timings,
+                },
+                f,
+                indent=1,
+            )
+    print(f"sweep: {len(names)} queries, {failures} failures, "
+          f"{total_min:.2f} min total")
+    if args.budget is not None and total_min > args.budget:
+        print(f"BUDGET EXCEEDED: {total_min:.2f} min > {args.budget} min")
+        failures += 1
     ray.shutdown()
     return 1 if failures else 0
 
