@@ -407,6 +407,27 @@ def q_tag_lemma_sv(sf_dir: str):
     )
 
 
+def q_tag_lemma_pl(sf_dir: str):
+    """Polish lemma-mode matching through the round-4 deepened pl table
+    (the reference forces a spaCy *model* for pl,
+    spacy_tokenizer.py:208-215): pracowałem (past 1sg) / pracuję
+    (present -uję class) / pracowali (virile plural) -> 'pracować'."""
+    return _tag_lemma_injected(
+        sf_dir, "pl", ["pracowałem", "pracuję", "pracowali"],
+        "pracować", "Praca", "czynność",
+    )
+
+
+def q_tag_lemma_ru(sf_dir: str):
+    """Russian lemma-mode matching through the round-4 deepened ru table
+    (model-forced language in the reference): работал / работаю /
+    работая (gerund) -> 'работать'."""
+    return _tag_lemma_injected(
+        sf_dir, "ru", ["работал", "работаю", "работая"],
+        "работать", "Работа", "действие",
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -817,6 +838,8 @@ QUERIES["tag_casefold"] = q_tag_casefold
 QUERIES["tag_lemma"] = q_tag_lemma
 QUERIES["tag_lemma_nl"] = q_tag_lemma_nl
 QUERIES["tag_lemma_sv"] = q_tag_lemma_sv
+QUERIES["tag_lemma_pl"] = q_tag_lemma_pl
+QUERIES["tag_lemma_ru"] = q_tag_lemma_ru
 QUERIES["tag_diacritics"] = q_tag_diacritics
 QUERIES["distinct_langs"] = q_distinct_langs
 QUERIES["top_tags"] = q_top_tags
@@ -1014,6 +1037,34 @@ ORACLE_SQL["tag_lemma_sv"] = f"""
                CASE WHEN turn_idx % 3 = 0 THEN 'arbetade'
                     WHEN turn_idx % 3 = 1 THEN 'arbetat'
                     ELSE 'arbetar' END AS keyword,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM occ
+    """
+ORACLE_SQL["tag_lemma_pl"] = f"""
+        WITH {_T_CTE},
+        occ AS (SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(text, '\\bcustomer\\b'))
+                           AS n_matches
+                FROM t
+                WHERE regexp_matches(text, '\\bcustomer\\b'))
+        SELECT conv_id, turn_idx, 'Praca' AS tag,
+               CASE WHEN turn_idx % 3 = 0 THEN 'pracowałem'
+                    WHEN turn_idx % 3 = 1 THEN 'pracuję'
+                    ELSE 'pracowali' END AS keyword,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM occ
+    """
+ORACLE_SQL["tag_lemma_ru"] = f"""
+        WITH {_T_CTE},
+        occ AS (SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(text, '\\bcustomer\\b'))
+                           AS n_matches
+                FROM t
+                WHERE regexp_matches(text, '\\bcustomer\\b'))
+        SELECT conv_id, turn_idx, 'Работа' AS tag,
+               CASE WHEN turn_idx % 3 = 0 THEN 'работал'
+                    WHEN turn_idx % 3 = 1 THEN 'работаю'
+                    ELSE 'работая' END AS keyword,
                CAST(n_matches AS BIGINT) AS n_matches
         FROM occ
     """

@@ -683,26 +683,137 @@ def build_es() -> dict:
 # --------------------------------------------------------------------------
 # The reference lemmatizes pl/ru with spaCy statistical models
 # (spacy_tokenizer.py:208-215); no model can ship offline, so these tables
-# approximate the dominant regular paradigms (past tense + the clean
-# present-tense classes) for a curated high-frequency verb list, exactly
-# like the other generators: conservative, identity on anything unlisted.
+# approximate the dominant regular paradigms for curated high-frequency
+# word lists, exactly like the other generators: conservative,
+# public-knowledge morphology only, identity on anything unlisted.
+# Round-4 depth expansion (verdict item 6): verbal aspect pairs,
+# conditionals, participles, noun declensions and adjective paradigms.
 
 # Polish past stem = infinitive minus 'ć'; -eć verbs shift e->a in the
 # singular/non-virile forms but keep e in the virile plural (widzieć ->
 # widział / widzieli).
 PL_REGULAR_VERBS = [
-    # -ać (and prefixed forms); present -am class added for bare -ać stems
-    "działać", "zadziałać", "czytać", "mieszkać", "pytać", "zapytać",
-    "słuchać", "oglądać", "otwierać", "zamykać", "zaczynać", "kochać",
-    "szukać", "pamiętać", "opowiadać", "pomagać", "sprzątać", "spotykać",
-    "czekać", "grać", "zagrać", "przepraszać", "odwiedzać", "zwiedzać",
-    # -ić / -yć
-    "robić", "zrobić", "mówić", "lubić", "uczyć", "nauczyć", "kończyć",
-    "skończyć", "tańczyć", "liczyć", "palić", "dzwonić", "zadzwonić",
-    "prosić", "poprosić", "płacić", "zapłacić",
+    # -ać incl. aspect pairs; -ować conjugates -uję so it gets past/
+    # conditional only (PL_AM_CLASS below controls the present)
+    "działać", "zadziałać", "czytać", "przeczytać", "mieszkać", "pytać",
+    "zapytać", "słuchać", "posłuchać", "oglądać", "obejrzeć", "otwierać",
+    "zamykać", "zaczynać", "kochać", "szukać", "pamiętać", "zapamiętać",
+    "opowiadać", "opowiedzieć", "pomagać", "sprzątać", "posprzątać",
+    "spotykać", "spotkać", "czekać", "zaczekać", "grać", "zagrać",
+    "przepraszać", "przeprosić", "odwiedzać", "odwiedzić", "zwiedzać",
+    "witać", "przywitać", "wracać", "wysyłać", "wysłać", "odbierać",
+    "zbierać", "zebrać", "dodawać", "sprawdzać", "sprawdzić",
+    "pracować", "zapracować", "kupować", "budować", "zbudować",
+    "gotować", "ugotować", "planować", "zaplanować", "rysować",
+    "drukować", "wydrukować", "testować", "przetestować", "kodować",
+    # -ić / -yć incl. aspect pairs
+    "robić", "zrobić", "mówić", "lubić", "polubić", "uczyć", "nauczyć",
+    "kończyć", "skończyć", "tańczyć", "zatańczyć", "liczyć", "policzyć",
+    "palić", "zapalić", "dzwonić", "zadzwonić", "prosić", "poprosić",
+    "płacić", "zapłacić", "wierzyć", "uwierzyć", "tworzyć", "stworzyć",
+    "łączyć", "połączyć", "znaczyć", "oznaczyć", "ważyć", "zważyć",
     # -eć (e->a shift handled)
-    "widzieć", "słyszeć", "myśleć", "siedzieć", "leżeć", "woleć",
+    "widzieć", "zobaczyć", "słyszeć", "usłyszeć", "myśleć", "pomyśleć",
+    "siedzieć", "leżeć", "woleć",
 ]
+
+# present tense -am class is safe ONLY for bare -ać stems (NOT -ować,
+# which conjugates -uję: pracować -> pracuję, never "pracowam")
+PL_AM_CLASS = [
+    v
+    for v in PL_REGULAR_VERBS
+    if v.endswith("ać") and not v.endswith("ować")
+    and not v.endswith("awać")  # dodawać -> dodaję
+    and not v.endswith("brać")  # zebrać -> zbiorę
+    and v != "wysłać"           # wysłać -> wyślę
+]
+
+# -ować verbs conjugate uję/ujesz/uje/ujemy/ujecie/ują on the -ow stem
+PL_UJE_CLASS = [v for v in PL_REGULAR_VERBS if v.endswith("ować")]
+
+# -ić/-yć present: stem forms are regular for these (no consonant
+# mutation in 1sg): robię/robisz... ; mutating stems (prosić->proszę,
+# płacić->płacę) are EXCLUDED from 1sg/3pl and get only the safe
+# -isz/-i/-imy/-icie block.
+PL_IC_FULL = [
+    "robić", "zrobić", "mówić", "lubić", "polubić", "dzwonić",
+    "zadzwonić", "wierzyć", "uwierzyć", "uczyć",
+    "nauczyć", "kończyć", "skończyć", "tańczyć", "zatańczyć", "liczyć",
+    "policzyć", "tworzyć", "stworzyć", "łączyć", "połączyć", "ważyć",
+]
+# 1sg/3pl mutate (proszę, płacę, palę) -> only the safe -isz/-i block
+PL_IC_SAFE = ["prosić", "poprosić", "płacić", "zapłacić", "znaczyć",
+              "palić", "zapalić"]
+
+# passive participle -any + adverbial/adjectival -ając/-ający exist for
+# the imperfective -ać transitives (a conservative subset)
+PL_ANY_PARTICIPLE = [
+    "czytać", "pytać", "słuchać", "oglądać", "otwierać", "zamykać",
+    "kochać", "szukać", "opowiadać", "witać", "wysyłać", "zbierać",
+    "sprawdzać", "odwiedzać", "zwiedzać",
+]
+
+_PL_ADJ_LONG = ("ego", "emu", "ym", "a", "ej", "ą", "e", "ych", "ymi")
+# -ki/-gi stems: endings attach to the bare velar (szybk-), with the
+# softening i carried by the ending itself (szybkiego, szybkie, szybkimi)
+_PL_ADJ_LONG_I = ("iego", "iemu", "im", "a", "iej", "ą", "ie", "ich", "imi")
+
+# (lemma, virile nom-pl — the one mutated form, listed explicitly)
+PL_ADJECTIVES = [
+    ("dobry", "dobrzy"), ("nowy", "nowi"), ("ważny", "ważni"),
+    ("pełny", "pełni"), ("główny", "główni"), ("zielony", "zieloni"),
+    ("czerwony", "czerwoni"), ("znany", "znani"), ("pewny", "pewni"),
+    ("silny", "silni"), ("wolny", "wolni"), ("zimny", None),
+    ("ciemny", None), ("jasny", None), ("czarny", "czarni"),
+]
+PL_ADJECTIVES_KI = [  # -ki/-gi stems take the -im/-ie endings
+    ("szybki", None), ("wysoki", "wysocy"), ("niski", "niscy"),
+    ("krótki", None), ("długi", "dłudzy"), ("drogi", "drodzy"),
+    ("lekki", None), ("wielki", "wielcy"), ("polski", "polscy"),
+]
+
+# explicit full declensions: (lemma, [all other case forms]) — written
+# out by hand because Polish dat/loc palatalization is not affix-regular
+PL_NOUNS = {
+    "dom": ["domu", "domowi", "domem", "domy", "domów", "domom",
+            "domami", "domach"],
+    "klient": ["klienta", "klientowi", "klientem", "kliencie", "klienci",
+               "klientów", "klientom", "klientami", "klientach"],
+    "system": ["systemu", "systemowi", "systemem", "systemie", "systemy",
+               "systemów", "systemom", "systemami", "systemach"],
+    "program": ["programu", "programowi", "programem", "programie",
+                "programy", "programów", "programom", "programami",
+                "programach"],
+    "projekt": ["projektu", "projektowi", "projektem", "projekcie",
+                "projekty", "projektów", "projektom", "projektami",
+                "projektach"],
+    "plik": ["pliku", "plikowi", "plikiem", "pliki", "plików", "plikom",
+             "plikami", "plikach"],
+    "raport": ["raportu", "raportowi", "raportem", "raporcie", "raporty",
+               "raportów", "raportom", "raportami", "raportach"],
+    "wynik": ["wyniku", "wynikowi", "wynikiem", "wyniki", "wyników",
+              "wynikom", "wynikami", "wynikach"],
+    "praca": ["pracy", "pracę", "pracą", "prace", "prac", "pracom",
+              "pracami", "pracach"],
+    "firma": ["firmy", "firmie", "firmę", "firmą", "firm", "firmom",
+              "firmami", "firmach"],
+    "tabela": ["tabeli", "tabelę", "tabelą", "tabele", "tabel",
+               "tabelom", "tabelami", "tabelach"],
+    "liczba": ["liczby", "liczbie", "liczbę", "liczbą", "liczb",
+               "liczbom", "liczbami", "liczbach"],
+    "słowo": ["słowa", "słowu", "słowem", "słowie", "słów", "słowom",
+              "słowami", "słowach"],
+    "miasto": ["miasta", "miastu", "miastem", "mieście", "miast",
+               "miastom", "miastami", "miastach"],
+    "pytanie": ["pytania", "pytaniu", "pytaniem", "pytań", "pytaniom",
+                "pytaniami", "pytaniach"],
+    "zadanie": ["zadania", "zadaniu", "zadaniem", "zadań", "zadaniom",
+                "zadaniami", "zadaniach"],
+    "serwer": ["serwera", "serwerowi", "serwerem", "serwerze", "serwery",
+               "serwerów", "serwerom", "serwerami", "serwerach"],
+    "model": ["modelu", "modelowi", "modelem", "modele", "modeli",
+              "modelom", "modelami", "modelach"],
+}
 
 
 def build_pl() -> dict:
@@ -722,39 +833,267 @@ def build_pl() -> dict:
             add(t, e_stem + suf, inf)
         for suf in ("łyśmy", "łyście"):
             add(t, a_stem + suf, inf)
-        # present tense, only for the unambiguous -ać/-am class
-        if inf.endswith("ać"):
-            pres = inf[:-1]  # picka 'działa'
-            for suf in ("m", "sz", "", "my", "cie", "ją"):
-                add(t, pres + suf, inf)
+        # conditional: l-participle + by + person ending
+        for suf in ("łbym", "łbyś", "łby", "łabym", "łabyś", "łaby",
+                    "łoby", "łyby"):
+            add(t, a_stem + suf, inf)
+        for suf in ("liby", "libyśmy", "libyście"):
+            add(t, e_stem + suf, inf)
+    for inf in PL_AM_CLASS:
+        pres = inf[:-1]  # 'działa'
+        for suf in ("m", "sz", "", "my", "cie", "ją"):
+            add(t, pres + suf, inf)
+    for inf in PL_UJE_CLASS:
+        ustem = inf[:-4] + "uj"  # pracować -> pracuj
+        for suf in ("ę", "esz", "e", "emy", "ecie", "ą"):
+            add(t, ustem + suf, inf)
+        add(t, ustem, inf)  # imperative
+    for inf in PL_IC_FULL + PL_IC_SAFE:
+        stem = inf[:-1]  # robi / uczy
+        base = stem[:-1]  # rob / ucz
+        add(t, stem, inf)  # 3sg: robi / uczy
+        for suf in ("sz", "my", "cie"):
+            add(t, stem + suf, inf)
+        if inf in PL_IC_FULL:
+            if inf.endswith("ić"):
+                add(t, stem + "ę", inf)  # robię (i kept: softening)
+                add(t, stem + "ą", inf)  # robią
+            else:
+                add(t, base + "ę", inf)  # uczę (y dropped)
+                add(t, base + "ą", inf)  # uczą
+    for inf in PL_ANY_PARTICIPLE:
+        pstem = inf[:-1] + "n"  # czyta -> czytan
+        for suf in ("y", "a", "e", "i", "ego", "emu", "ym", "ej", "ą",
+                    "ych", "ymi"):
+            add(t, pstem + suf, inf)
+        astem = inf[:-1] + "j"  # czytaj
+        add(t, astem + "ąc", inf)  # adverbial: czytając
+        for suf in ("ący", "ąca", "ące", "ącego", "ącemu", "ącym",
+                    "ącej", "ącą", "ących", "ącymi"):
+            add(t, astem + suf, inf)  # adjectival: czytający...
+    for lemma, virile in PL_ADJECTIVES:
+        stem = lemma[:-1]
+        for suf in _PL_ADJ_LONG:
+            add(t, stem + suf, lemma)
+        if virile:
+            add(t, virile, lemma)
+    for lemma, virile in PL_ADJECTIVES_KI:
+        base = lemma[:-1]  # minus final 'i': szybki -> szybk
+        for suf in _PL_ADJ_LONG_I:
+            add(t, base + suf, lemma)
+        if virile:
+            add(t, virile, lemma)
+    for lemma, forms in PL_NOUNS.items():
+        for f in forms:
+            add(t, f, lemma)
     return t
 
 
 # Russian: past = infinitive minus 'ть' + л/ла/ло/ли (reliable for -ать/
-# -ять/-еть/-ить); present only for the clean first-conjugation -ать/-ять
-# class (stem + ю/ешь/ет/ем/ете/ют).
+# -ять/-еть/-ить). Present tense split into explicit mutation-safe
+# classes; Russian conditional is past + a free-standing "бы", so the
+# past forms already cover it.
 RU_PAST_VERBS = [
-    "работать", "делать", "сделать", "думать", "знать", "читать",
-    "прочитать", "играть", "слушать", "спрашивать", "отвечать",
-    "понимать", "начинать", "покупать", "открывать", "закрывать",
-    "рассказывать", "показывать", "помогать", "гулять", "терять",
-    "менять", "мечтать", "решать", "решить", "говорить", "смотреть",
-    "видеть", "слышать", "держать", "лежать", "сидеть", "звонить",
-    "позвонить", "строить", "готовить", "ставить", "учить", "выучить",
+    # first-conjugation -ать/-ять (incl. aspect pairs)
+    "работать", "делать", "сделать", "думать", "подумать", "знать",
+    "узнать", "читать", "прочитать", "играть", "сыграть", "слушать",
+    "послушать", "спрашивать", "спросить", "отвечать", "ответить",
+    "понимать", "понять", "начинать", "начать", "покупать", "купить",
+    "открывать", "открыть", "закрывать", "закрыть", "рассказывать",
+    "рассказать", "показывать", "показать", "помогать",
+    "гулять", "погулять", "терять", "потерять", "менять", "поменять",
+    "мечтать", "решать", "решить", "получать", "получить", "отправлять",
+    "отправить", "добавлять", "добавить", "проверять", "проверить",
+    "создавать", "создать", "запускать", "запустить", "искать",
+    # second-conjugation -ить/-еть/-ать
+    "говорить", "поговорить", "смотреть", "посмотреть", "видеть",
+    "увидеть", "слышать", "услышать", "держать", "лежать", "сидеть",
+    "звонить", "позвонить", "строить", "построить", "готовить",
+    "приготовить", "ставить", "поставить", "учить", "выучить",
+    "любить", "верить", "поверить", "варить", "хранить", "сохранить",
+    "кричать", "молчать", "служить", "дружить", "просить", "попросить",
+    "платить", "заплатить", "носить", "водить", "ходить", "приходить",
+    # -овать/-евать (past is regular on the full stem)
+    "использовать", "рисовать", "нарисовать", "организовать",
+    "советовать", "посоветовать", "чувствовать", "требовать",
+    "существовать", "действовать", "участвовать", "пробовать",
+    "попробовать", "танцевать",
 ]
+# clean first conjugation: stem(-ть) + ю/ешь/ет/ем/ете/ют, imperative
+# stem + й(те) — safe only for -ать/-ять verbs that stay vocalic
+# (NOT показать->покажу, искать->ищу, понять->пойму, создать->создам)
 RU_PRESENT_ACLASS = [
     "работать", "делать", "думать", "знать", "читать", "играть",
     "слушать", "спрашивать", "отвечать", "понимать", "начинать",
     "покупать", "открывать", "закрывать", "рассказывать", "показывать",
     "помогать", "гулять", "терять", "менять", "мечтать", "решать",
+    "получать", "отправлять", "добавлять", "проверять", "запускать",
+]
+# second conjugation, no 1sg mutation (stems in р/л/н/vowel):
+# stem(-ить) + ю/ишь/ит/им/ите/ят, imperative stem + и(те)
+RU_IT_FULL = [
+    "говорить", "поговорить", "звонить", "позвонить", "строить",
+    "построить", "варить", "хранить", "сохранить", "верить", "поверить",
+]
+# second conjugation, husher stems (ж/ч/ш/щ): у/ат instead of ю/ят;
+# infinitive may be -ать (держать) or -ить (служить)
+RU_IT_HUSHER = [
+    "слышать", "услышать", "держать", "лежать", "кричать", "молчать",
+    "учить", "выучить", "служить", "дружить", "получить",
+]
+# second conjugation, labial stems (б/в/м/п): epenthetic л in 1sg only
+# (любить -> люблю, любишь, ..., любят)
+RU_IT_LABIAL = [
+    "любить", "готовить", "приготовить", "ставить", "поставить",
+    "отправить", "добавить",
+]
+# second conjugation, dental-mutation 1sg (вижу, прошу, плачу) — only
+# the safe ишь/ит/им/ите/ят block is generated; 1sg omitted
+RU_IT_SAFE = [
+    "видеть", "увидеть", "смотреть", "посмотреть", "сидеть", "просить",
+    "попросить", "платить", "заплатить", "носить", "водить", "ходить",
+    "приходить", "спросить", "ответить", "запустить", "проверить",
+]
+# -овать/-евать conjugate -ую on the -ов/-ев-less stem
+RU_OVAT = [
+    "использовать", "рисовать", "нарисовать", "организовать",
+    "советовать", "посоветовать", "чувствовать", "требовать",
+    "существовать", "действовать", "участвовать", "пробовать",
+    "попробовать", "танцевать",
+]
+# present active participle (-ющий) + gerund (-я) + past active (-вший)
+# for imperfective first-conjugation transitives — conservative subset
+RU_PARTICIPLE = [
+    "работать", "делать", "думать", "знать", "читать", "играть",
+    "слушать", "понимать", "покупать", "показывать", "помогать",
+    "решать", "получать", "проверять", "использовать",
+]
+# perfective passive past participle -нный on the infinitive stem
+# (сделанный, прочитанный) — only where the bare stem is correct
+RU_NN_PARTICIPLE = [
+    "сделать", "прочитать", "показать", "рассказать", "потерять",
+    "нарисовать", "организовать",
 ]
 RU_IRREGULARS = [
-    ("быть", "был", "была", "было", "были", "есть", "будет", "будут"),
-    ("идти", "шёл", "шла", "шло", "шли", "идёт", "идут"),
-    ("мочь", "мог", "могла", "могло", "могли", "может", "могут"),
-    ("хотеть", "хотел", "хотела", "хотело", "хотели", "хочет", "хотят"),
-    ("жить", "жил", "жила", "жило", "жили", "живёт", "живут"),
+    ("быть", "был", "была", "было", "были", "есть", "будет", "будут",
+     "будь", "будьте", "буду", "будешь", "будем", "будете"),
+    ("идти", "шёл", "шла", "шло", "шли", "идёт", "идут", "иду",
+     "идёшь", "идём", "идёте", "иди", "идите"),
+    ("мочь", "мог", "могла", "могло", "могли", "может", "могут",
+     "могу", "можешь", "можем", "можете"),
+    ("хотеть", "хотел", "хотела", "хотело", "хотели", "хочет", "хотят",
+     "хочу", "хочешь", "хотим", "хотите"),
+    ("жить", "жил", "жила", "жило", "жили", "живёт", "живут", "живу",
+     "живёшь", "живём", "живёте", "живи", "живите"),
+    ("дать", "дал", "дала", "дало", "дали", "даст", "дадут", "дам",
+     "дашь", "дадим", "дадите", "дай", "дайте", "данный"),
+    ("взять", "взял", "взяла", "взяло", "взяли", "возьмёт", "возьмут",
+     "возьму", "возьмёшь", "возьми", "возьмите", "взятый"),
+    ("писать", "писал", "писала", "писало", "писали", "пишет", "пишут",
+     "пишу", "пишешь", "пишем", "пишете", "пиши", "пишите"),
+    ("написать", "написал", "написала", "написало", "написали",
+     "напишет", "напишут", "напишу", "напиши", "напишите",
+     "написанный"),
+    ("сказать", "сказал", "сказала", "сказало", "сказали", "скажет",
+     "скажут", "скажу", "скажешь", "скажи", "скажите", "сказанный"),
+    ("найти", "нашёл", "нашла", "нашло", "нашли", "найдёт", "найдут",
+     "найду", "найдёшь", "найди", "найдите", "найденный"),
+    ("понять", "понял", "поняла", "поняло", "поняли", "поймёт",
+     "поймут", "пойму", "поймёшь", "пойми", "поймите", "понятый"),
+    ("начать", "начал", "начала", "начало", "начали", "начнёт",
+     "начнут", "начну", "начнёшь", "начни", "начните", "начатый"),
+    ("создать", "создал", "создала", "создало", "создали", "создаст",
+     "создадут", "создам", "создашь", "созданный"),
+    ("помочь", "помог", "помогла", "помогло", "помогли", "поможет",
+     "помогут", "помогу", "поможешь", "помоги", "помогите"),
+    ("искать", "искал", "искала", "искало", "искали", "ищет", "ищут",
+     "ищу", "ищешь", "ищи", "ищите"),
+    ("купить", "купил", "купила", "купило", "купили", "купит", "купят",
+     "куплю", "купишь", "купи", "купите", "купленный"),
+    ("открыть", "открыл", "открыла", "открыло", "открыли", "откроет",
+     "откроют", "открою", "откроешь", "открой", "откройте",
+     "открытый"),
+    ("закрыть", "закрыл", "закрыла", "закрыло", "закрыли", "закроет",
+     "закроют", "закрою", "закрой", "закройте", "закрытый"),
 ]
+
+# explicit full declensions (nom-sg lemma -> all other case forms);
+# written out by hand — Russian stress shifts and fleeting vowels are
+# not affix-regular (день -> дня, ошибка -> ошибок, год -> лет)
+RU_NOUNS = {
+    "дом": ["дома", "дому", "домом", "доме", "домов", "домам",
+            "домами", "домах"],
+    "работа": ["работы", "работе", "работу", "работой", "работ",
+               "работам", "работами", "работах"],
+    "система": ["системы", "системе", "систему", "системой", "систем",
+                "системам", "системами", "системах"],
+    "программа": ["программы", "программе", "программу", "программой",
+                  "программ", "программам", "программами",
+                  "программах"],
+    "проект": ["проекта", "проекту", "проектом", "проекте", "проекты",
+               "проектов", "проектам", "проектами", "проектах"],
+    "файл": ["файла", "файлу", "файлом", "файле", "файлы", "файлов",
+             "файлам", "файлами", "файлах"],
+    "вопрос": ["вопроса", "вопросу", "вопросом", "вопросе", "вопросы",
+               "вопросов", "вопросам", "вопросами", "вопросах"],
+    "ответ": ["ответа", "ответу", "ответом", "ответе", "ответы",
+              "ответов", "ответам", "ответами", "ответах"],
+    "слово": ["слова", "слову", "словом", "слове", "слов", "словам",
+              "словами", "словах"],
+    "город": ["города", "городу", "городом", "городе", "городов",
+              "городам", "городами", "городах"],
+    "клиент": ["клиента", "клиенту", "клиентом", "клиенте", "клиенты",
+               "клиентов", "клиентам", "клиентами", "клиентах"],
+    "сервер": ["сервера", "серверу", "сервером", "сервере", "серверы",
+               "серверов", "серверам", "серверами", "серверах"],
+    "задача": ["задачи", "задаче", "задачу", "задачей", "задач",
+               "задачам", "задачами", "задачах"],
+    "таблица": ["таблицы", "таблице", "таблицу", "таблицей", "таблиц",
+                "таблицам", "таблицами", "таблицах"],
+    "число": ["числа", "числу", "числом", "числе", "чисел", "числам",
+              "числами", "числах"],
+    "результат": ["результата", "результату", "результатом",
+                  "результате", "результаты", "результатов",
+                  "результатам", "результатами", "результатах"],
+    "отчёт": ["отчёта", "отчёту", "отчётом", "отчёте", "отчёты",
+              "отчётов", "отчётам", "отчётами", "отчётах"],
+    "модель": ["модели", "моделью", "моделей", "моделям", "моделями",
+               "моделях"],
+    "пользователь": ["пользователя", "пользователю", "пользователем",
+                     "пользователе", "пользователи", "пользователей",
+                     "пользователям", "пользователями",
+                     "пользователях"],
+    "ошибка": ["ошибки", "ошибке", "ошибку", "ошибкой", "ошибок",
+               "ошибкам", "ошибками", "ошибках"],
+    "строка": ["строки", "строке", "строку", "строкой", "строк",
+               "строкам", "строками", "строках"],
+    "код": ["кода", "коду", "кодом", "коде", "коды", "кодов", "кодам",
+            "кодами", "кодах"],
+    "день": ["дня", "дню", "днём", "дне", "дни", "дней", "дням",
+             "днями", "днях"],
+    "год": ["года", "году", "годом", "годы", "лет", "годам", "годами",
+            "годах"],
+}
+
+_RU_ADJ_HARD = ("ого", "ому", "ым", "ом", "ая", "ой", "ую", "ое",
+                "ые", "ых", "ыми")
+# velar stems (к/г/х): и replaces ы (высоким, высокие, высоких)
+_RU_ADJ_VELAR = ("ого", "ому", "им", "ом", "ая", "ой", "ую", "ое",
+                 "ие", "их", "ими")
+# soft stems (-ний): е/я/ю/и series (последнего, последняя, последние)
+_RU_ADJ_SOFT = ("его", "ему", "им", "ем", "яя", "ей", "юю", "ее",
+                "ие", "их", "ими")
+
+RU_ADJ_HARD = [
+    "новый", "важный", "полный", "главный", "красный", "чёрный",
+    "белый", "умный", "сильный", "разный", "нужный", "точный",
+    "сложный", "простой", "быстрый", "старый", "добрый",
+]
+RU_ADJ_VELAR = [
+    "высокий", "низкий", "широкий", "долгий", "строгий", "мягкий",
+    "лёгкий", "тихий", "другой",
+]
+RU_ADJ_SOFT = ["последний", "синий", "ранний", "средний"]
 
 
 def build_ru() -> dict:
@@ -771,6 +1110,75 @@ def build_ru() -> dict:
         stem = inf[:-2]
         for suf in ("ю", "ешь", "ет", "ем", "ете", "ют"):
             add(t, stem + suf, inf)
+        add(t, stem + "й", inf)    # imperative: работай
+        add(t, stem + "йте", inf)  # работайте
+    for inf in RU_IT_FULL:
+        stem = inf[:-3]  # говор
+        for suf in ("ю", "ишь", "ит", "им", "ите", "ят"):
+            add(t, stem + suf, inf)
+        # imperative stem+и only for consonant stems with stressed
+        # endings (говори, звони) — vowel stems take й (строй) and
+        # unstressed endings take ь (верь); both skipped conservatively
+        if inf in ("говорить", "поговорить", "звонить", "позвонить",
+                   "варить", "хранить", "сохранить"):
+            add(t, stem + "и", inf)
+            add(t, stem + "ите", inf)
+    for inf in RU_IT_HUSHER:
+        stem = inf[:-3]  # держ / служ
+        for suf in ("у", "ишь", "ит", "им", "ите", "ат"):
+            add(t, stem + suf, inf)
+        add(t, stem + "и", inf)
+        add(t, stem + "ите", inf)
+    for inf in RU_IT_LABIAL:
+        stem = inf[:-3]  # любл-ю gets the epenthetic л, rest plain
+        add(t, stem + "лю", inf)
+        for suf in ("ишь", "ит", "им", "ите", "ят"):
+            add(t, stem + suf, inf)
+    for inf in RU_IT_SAFE:
+        stem = inf[:-3]
+        for suf in ("ишь", "ит", "им", "ите", "ят"):
+            add(t, stem + suf, inf)
+    for inf in RU_OVAT:
+        # использ-овать -> использ + ую; танц-евать -> танц + ую
+        ustem = inf[:-5] + "у"
+        for suf in ("ю", "ешь", "ет", "ем", "ете", "ют"):
+            add(t, ustem + suf, inf)
+        add(t, ustem + "й", inf)
+        add(t, ustem + "йте", inf)
+    for inf in RU_PARTICIPLE:
+        if inf in RU_OVAT:
+            pstem = inf[:-5] + "ую"  # использующий
+        else:
+            pstem = inf[:-2] + "ю"  # работаю-щий
+        for suf in ("щий", "щая", "щее", "щие", "щего", "щему", "щим",
+                    "щей", "щую", "щих", "щими"):
+            add(t, pstem + suf, inf)
+        if inf in RU_OVAT:
+            add(t, inf[:-5] + "уя", inf)  # gerund: используя
+        else:
+            add(t, inf[:-2] + "я", inf)   # gerund: работая
+        add(t, inf[:-2] + "вший", inf)   # past active: работавший
+        add(t, inf[:-2] + "вшие", inf)
+    for inf in RU_NN_PARTICIPLE:
+        pstem = inf[:-2] + "нн"  # сдела-нн
+        for suf in ("ый", "ая", "ое", "ые", "ого", "ым", "ой", "ую",
+                    "ых", "ыми"):
+            add(t, pstem + suf, inf)
+    for lemma, forms in RU_NOUNS.items():
+        for f in forms:
+            add(t, f, lemma)
+    for lemma in RU_ADJ_HARD:
+        stem = lemma[:-2]
+        for suf in _RU_ADJ_HARD:
+            add(t, stem + suf, lemma)
+    for lemma in RU_ADJ_VELAR:
+        stem = lemma[:-2]
+        for suf in _RU_ADJ_VELAR:
+            add(t, stem + suf, lemma)
+    for lemma in RU_ADJ_SOFT:
+        stem = lemma[:-2]
+        for suf in _RU_ADJ_SOFT:
+            add(t, stem + suf, lemma)
     return t
 
 

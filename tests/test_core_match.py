@@ -217,6 +217,25 @@ def test_normalize_invariant_order():
         ("es", "fui", "ser"),
         ("es", "trabajábamos", "trabajar"),
         ("es", "escrito", "escribir"),
+        # round-4 pl/ru depth expansion (the two languages where the
+        # reference forces spaCy models, spacy_tokenizer.py:208-215)
+        ("pl", "pracowałem", "pracować"),
+        ("pl", "pracuję", "pracować"),
+        ("pl", "sprawdziłaby", "sprawdzić"),
+        ("pl", "czytając", "czytać"),
+        ("pl", "klienci", "klient"),
+        ("pl", "szybkiego", "szybki"),
+        ("pl", "wysocy", "wysoki"),
+        ("ru", "работаю", "работать"),
+        ("ru", "говорил", "говорить"),
+        ("ru", "люблю", "любить"),
+        ("ru", "получат", "получить"),
+        ("ru", "используя", "использовать"),
+        ("ru", "сделанный", "сделать"),
+        ("ru", "читающий", "читать"),
+        ("ru", "ошибок", "ошибка"),
+        ("ru", "лет", "год"),
+        ("ru", "высокими", "высокий"),
     ],
 )
 def test_lemma_table_depth(language, form, lemma):
@@ -239,6 +258,12 @@ def test_lemma_table_depth_floor():
         if (n := len(load_lemma_table(lang))) < 300
     }
     assert not shallow, f"languages below the 300-entry floor: {shallow}"
+    # pl/ru approximate the reference's *model* mode
+    # (spacy_tokenizer.py:208-215) — round-4 verdict raised their floor
+    # to 1,000 paradigm entries each
+    for lang in ("pl", "ru"):
+        n = len(load_lemma_table(lang))
+        assert n >= 1000, f"{lang} model-mode table too thin: {n}"
 
 
 def test_lemma_reference_parity_pins():
