@@ -428,6 +428,32 @@ def q_tag_lemma_ru(sf_dir: str):
     )
 
 
+def q_tag_match_ja(sf_dir: str):
+    """Japanese dictionary-segmentation matching end-to-end (round-4
+    verdict item 8): every 'customer' token is replaced by the unspaced
+    phrase その会社です and the ontology carries the keyword 会社 —
+    matches exist ONLY if the greedy segmenter (core/segdict.py) splits
+    the phrase その|会社|です so the keyword aligns on token boundaries.
+    The injection rule IS the oracle: one match per original 'customer'
+    occurrence."""
+    from ..tag import extract_mention_counts
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text2 = pc.replace_substring(batch["text"], "customer", "その会社です")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text2
+        )
+
+    ds = read_transcripts(sf_dir).map_batches(inject, batch_format="pyarrow")
+    return extract_mention_counts(
+        ds,
+        [("Kaisha", "会社", "組織")],
+        _cfg(language="ja", category_column="category"),
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -840,6 +866,7 @@ QUERIES["tag_lemma_nl"] = q_tag_lemma_nl
 QUERIES["tag_lemma_sv"] = q_tag_lemma_sv
 QUERIES["tag_lemma_pl"] = q_tag_lemma_pl
 QUERIES["tag_lemma_ru"] = q_tag_lemma_ru
+QUERIES["tag_match_ja"] = q_tag_match_ja
 QUERIES["tag_diacritics"] = q_tag_diacritics
 QUERIES["distinct_langs"] = q_distinct_langs
 QUERIES["top_tags"] = q_top_tags
@@ -1065,6 +1092,18 @@ ORACLE_SQL["tag_lemma_ru"] = f"""
                CASE WHEN turn_idx % 3 = 0 THEN 'работал'
                     WHEN turn_idx % 3 = 1 THEN 'работаю'
                     ELSE 'работая' END AS keyword,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM occ
+    """
+ORACLE_SQL["tag_match_ja"] = f"""
+        WITH {_T_CTE},
+        occ AS (SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(text, '\\bcustomer\\b'))
+                           AS n_matches
+                FROM t
+                WHERE regexp_matches(text, '\\bcustomer\\b'))
+        SELECT conv_id, turn_idx, 'Kaisha' AS tag,
+               '会社' AS keyword,
                CAST(n_matches AS BIGINT) AS n_matches
         FROM occ
     """
