@@ -28,30 +28,58 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceTopK:
-    """Actor: holds the normalized query matrix; emits batch-local top-k."""
+    """Actor: holds the normalized query matrix; emits batch-local top-k.
+
+    When ``probe_masks`` is given (IVF path), it is a (nq, nlist) boolean
+    matrix and batches must carry an ``ivf_list`` column: each query only
+    scores rows whose list is in ITS OWN probe set — true per-query IVF
+    semantics, not a union over all queries."""
 
     def __init__(self, queries, query_ids, k: int,
-                 embedding_column: str = "embedding", id_column: str = "vec_id"):
+                 embedding_column: str = "embedding", id_column: str = "vec_id",
+                 probe_masks=None):
         if isinstance(queries, ray.ObjectRef):
             queries = ray.get(queries)
+        if isinstance(probe_masks, ray.ObjectRef):
+            probe_masks = ray.get(probe_masks)
         self.q = _normalize(np.asarray(queries, dtype=np.float64))
         self.query_ids = list(query_ids)
         self.k = k
         self.embedding_column = embedding_column
         self.id_column = id_column
+        self.probe_masks = probe_masks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            })
         ids = np.asarray(batch[self.id_column].to_pylist())
         m = _normalize(np.array(batch[self.embedding_column].to_pylist(), dtype=np.float64))
         sims = m @ self.q.T  # (batch, nq)
+        lists = (
+            np.asarray(batch["ivf_list"].to_pylist(), dtype=np.int64)
+            if self.probe_masks is not None
+            else None
+        )
         out = {"query_id": [], "vec_id": [], "score": []}
-        k = min(self.k, len(ids))
         for qi, qid in enumerate(self.query_ids):
             col = np.round(sims[:, qi], 6)
+            if lists is not None:
+                keep = self.probe_masks[qi][lists]
+                if not keep.any():
+                    continue
+                col = col[keep]
+                qids = ids[keep]
+            else:
+                qids = ids
+            k = min(self.k, len(qids))
             # partial top-k within the batch; ties -> lower vec_id
-            order = np.lexsort((ids, -col))[:k]
+            order = np.lexsort((qids, -col))[:k]
             out["query_id"].extend([qid] * len(order))
-            out["vec_id"].extend(ids[order].tolist())
+            out["vec_id"].extend(qids[order].tolist())
             out["score"].extend(col[order].tolist())
         return pa.Table.from_pydict(
             {
@@ -70,19 +98,23 @@ def topk_cosine(
     embedding_column: str = "embedding",
     id_column: str = "vec_id",
     concurrency=2,
+    probe_masks=None,
 ) -> "ray.data.Dataset":
     """Global top-k per query: batch-local partials -> groupby(query_id) ->
     exact top-k over the partials (k x num_blocks rows, tiny)."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
+    kwargs = {
+        "queries": qref,
+        "query_ids": list(query_ids),
+        "k": k,
+        "embedding_column": embedding_column,
+        "id_column": id_column,
+    }
+    if probe_masks is not None:
+        kwargs["probe_masks"] = ray.put(np.asarray(probe_masks, dtype=bool))
     partials = ds.map_batches(
         BruteForceTopK,
-        fn_constructor_kwargs={
-            "queries": qref,
-            "query_ids": list(query_ids),
-            "k": k,
-            "embedding_column": embedding_column,
-            "id_column": id_column,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -168,7 +200,14 @@ class IVFIndex:
     ) -> "ray.data.Dataset":
         q = _normalize(np.asarray(queries, dtype=np.float64))
         probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.nprobe]
+        # union prune first (drops rows in NO query's probe set before the
+        # matmul), then per-query probe masks inside the scoring actor so
+        # each query scans only ITS nprobe lists — true IVF semantics
         probe_lists = sorted({int(x) for row in probes for x in row})
+        nlist = len(self.centroids)
+        masks = np.zeros((len(q), nlist), dtype=bool)
+        for qi, row in enumerate(probes):
+            masks[qi, row] = True
 
         def keep(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -181,4 +220,5 @@ class IVFIndex:
         return topk_cosine(
             filtered, q, query_ids, k=k,
             embedding_column=embedding_column, id_column=id_column,
+            probe_masks=masks,
         )
