@@ -66,8 +66,29 @@ def build_graph(
     # edges derive from the written mentions table plus a text-free
     # (conv_id, turn_idx, tool) projection — the dominant stage (string
     # matching over every turn) never runs twice per corpus.
-    mentions = extract_mentions(transcripts, ontology, config)
     w_m = PartitionedWriter(os.path.join(out_dir, "mentions"), num_partitions)
+    matcher_input = transcripts
+    done_m = w_m.done_partitions(fingerprint=fingerprint) if resume else set()
+    if done_m and len(done_m) < num_partitions:
+        # resume: prune completed conversations BEFORE the matcher — the
+        # dominant stage runs only over the missing hash slice, not the
+        # whole corpus (partition key is conv_id for both the filter and
+        # the writer, so the pruned rows are exactly the skipped ones)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .ops.hashing import bucket_column
+
+        done_arr = pa.array(sorted(done_m), type=pa.int32())
+
+        def drop_done_convs(batch: pa.Table) -> pa.Table:
+            pcol = bucket_column(batch["conv_id"], num_partitions, stable_str=True)
+            return batch.filter(pc.invert(pc.is_in(pcol, value_set=done_arr)))
+
+        matcher_input = transcripts.map_batches(
+            drop_done_convs, batch_format="pyarrow"
+        )
+    mentions = extract_mentions(matcher_input, ontology, config)
     s = w_m.write(mentions, key_column="conv_id", resume=resume, fingerprint=fingerprint)
     report["tables"]["mentions"] = {"rows": int(s["rows"].sum()), "partitions": len(s)}
 
@@ -321,6 +342,9 @@ def main(argv=None) -> int:
                         "(out/entity_ids, embedding-trainer handoff)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone runs; under ray job submit the cluster decides")
+    p.add_argument("--object-store-gb", type=float, default=None,
+                   help="cap the plasma store (standalone runs only) — "
+                        "exercises spill-to-disk under memory pressure")
     args = p.parse_args(argv)
 
     import ray
@@ -329,12 +353,16 @@ def main(argv=None) -> int:
     if owns_session:
         if args.num_cpus is not None:
             # explicit standalone run: force a fresh local instance
+            extra = {}
+            if args.object_store_gb is not None:
+                extra["object_store_memory"] = int(args.object_store_gb * 1e9)
             ray.init(
                 address="local",
                 num_cpus=args.num_cpus,
                 include_dashboard=False,
                 ignore_reinit_error=True,
                 logging_level="ERROR",
+                **extra,
             )
         else:
             # honors RAY_ADDRESS — under `ray job submit` this attaches to

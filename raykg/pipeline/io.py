@@ -108,8 +108,16 @@ class PartitionedWriter:
         is derived, e.g. the node table's source-conv key).
         """
         num_partitions = self.num_partitions
-        with_part = add_partition_column(ds, key_column, num_partitions)
         done = self.done_partitions(fingerprint=fingerprint) if resume else set()
+        if len(done) == num_partitions:
+            # full resume: every partition complete — pure metadata check,
+            # the input pipeline is never executed (a skip-all re-run of a
+            # finished job costs manifest scans, not a corpus pass)
+            return pd.DataFrame(
+                {"part": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64"),
+                 "content_md5": pd.Series(dtype="object")}
+            )
+        with_part = add_partition_column(ds, key_column, num_partitions)
         if done:
             done_arr = sorted(done)
 

@@ -1,0 +1,211 @@
+"""Memory-pressure job proof (round-4 verdict item 3).
+
+Runs ``python -m raykg.job`` at 512x replication of the sf0.1 corpus
+(2.56M turns) with the plasma store capped, so the run exercises
+object-store eviction + spill-to-disk — the mechanism a 100 TB run
+lives on.  (The sandbox has 128 GiB of RAM; capping the store reaches
+the same code paths as out-sizing it.)
+
+Protocol:
+  1. write the 512x transcripts input once (deterministic shifted ids);
+  2. run the job and ``kill -9`` it mid-run;
+  3. re-run: the resumable writer must complete ONLY the missing
+     partitions;
+  4. run a third time: everything skips;
+  5. validate total rows == 4x the recorded 128x row counts
+     (replication is linear in every table except concept_scores);
+  6. record wall, rows/s, spill bytes (parsed from the session's raylet
+     logs) into BENCH/job512x_r04.json.
+
+Usage: python scripts/job_pressure.py [--replication 512]
+                                      [--object-store-gb 2.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# per-replica row counts, derived from the recorded 128x run
+# (BENCH/job128x_r03b.json) and a 32x run: mentions/edges are EXACTLY
+# linear in replication; nodes are near-linear (18,172/replica ±
+# a small shared tool/concept remainder deduped across replicas);
+# concept_scores stays 6 rows at any replication
+PER_REPLICA = {"mentions": 28_286, "edges": 18_548}
+NODES_PER_REPLICA = 18_172
+
+
+def write_input(sf_dir: str, replication: int, path: str) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             logging_level="ERROR")
+    from raykg.pipeline.transcripts import read_transcripts_scaled
+
+    ds = read_transcripts_scaled(sf_dir, replication)
+    ds.write_parquet(path)
+    n = ray.data.read_parquet(path).count()
+    ray.shutdown()
+    return n
+
+
+def newest_session_logs() -> str:
+    sessions = sorted(glob.glob("/tmp/ray/session_*"), key=os.path.getmtime)
+    return os.path.join(sessions[-1], "logs") if sessions else ""
+
+
+def spill_stats(logdir: str) -> dict:
+    """Parse cumulative spill volume from raylet logs ("Spilled N MiB, M
+    objects" progress lines)."""
+    best = {"spilled_mib": 0.0, "spilled_objects": 0, "restored_mib": 0.0}
+    for f in glob.glob(os.path.join(logdir, "raylet*.out")):
+        try:
+            text = open(f, errors="replace").read()
+        except OSError:
+            continue
+        for m in re.finditer(r"Spilled (\d+) MiB, (\d+) objects", text):
+            best["spilled_mib"] = max(best["spilled_mib"], float(m.group(1)))
+            best["spilled_objects"] = max(best["spilled_objects"], int(m.group(2)))
+        for m in re.finditer(r"Restored (\d+) MiB", text):
+            best["restored_mib"] = max(best["restored_mib"], float(m.group(1)))
+    return best
+
+
+def run_job(input_path: str, out: str, store_gb: float, kill_after: float | None):
+    cmd = [
+        sys.executable, "-m", "raykg.job",
+        "--input", input_path, "--out", out,
+        "--num-partitions", "512", "--num-cpus", "32",
+        "--object-store-gb", str(store_gb),
+    ]
+    t0 = time.perf_counter()
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True)
+    if kill_after is not None:
+        time.sleep(kill_after)
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+        return {"killed_after_sec": kill_after}, time.perf_counter() - t0
+    out_text, _ = proc.communicate()
+    wall = time.perf_counter() - t0
+    report = {}
+    for line in out_text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                report = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return report, wall
+
+
+def manifests_done(out: str) -> int:
+    return len(glob.glob(os.path.join(out, "*", "part=*", "manifest.json")))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replication", type=int, default=512)
+    ap.add_argument("--object-store-gb", type=float, default=2.0)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--kill-after", type=float, default=120.0)
+    ap.add_argument("--out", default="BENCH/job512x_r04.json")
+    args = ap.parse_args()
+
+    work = "/tmp/raykg_job_pressure"
+    input_path = os.path.join(work, f"input_x{args.replication}")
+    out_dir = os.path.join(work, f"out_x{args.replication}")
+    subprocess.run(["rm", "-rf", out_dir], check=True)
+
+    if not os.path.isdir(input_path):
+        print("writing input ...", flush=True)
+        n_rows = write_input(args.sf, args.replication, input_path)
+    else:
+        import pyarrow.parquet as pq
+        n_rows = pq.ParquetDataset(input_path).read(columns=["turn_idx"]).num_rows
+    size_mb = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(input_path, "*"))
+    ) / 1e6
+    print(f"input: {n_rows} turns, {size_mb:.0f} MB", flush=True)
+
+    load_before = os.getloadavg()[0]
+    print(f"loadavg before: {load_before:.2f}", flush=True)
+
+    # run 1: kill mid-run
+    print(f"run 1 (kill -9 at {args.kill_after}s) ...", flush=True)
+    _, wall1 = run_job(input_path, out_dir, args.object_store_gb,
+                       kill_after=args.kill_after)
+    done_after_kill = manifests_done(out_dir)
+    print(f"manifests complete after kill: {done_after_kill}", flush=True)
+
+    # run 2: resume to completion
+    print("run 2 (resume) ...", flush=True)
+    report2, wall2 = run_job(input_path, out_dir, args.object_store_gb, None)
+    logs2 = newest_session_logs()
+    spill2 = spill_stats(logs2)
+    done_after_resume = manifests_done(out_dir)
+
+    # run 3: everything skips
+    print("run 3 (skip-all) ...", flush=True)
+    report3, wall3 = run_job(input_path, out_dir, args.object_store_gb, None)
+
+    expected = {k: v * args.replication for k, v in PER_REPLICA.items()}
+    tables2 = report2.get("tables", {})
+    got = {
+        k: tables2.get(k, {}).get("rows")
+        for k in ("mentions", "edges", "nodes")
+    }
+    n_nodes = got["nodes"] or 0
+    rows_ok = (
+        all(got[k] == expected[k] for k in expected)
+        and 0 <= n_nodes - NODES_PER_REPLICA * args.replication <= 1000
+    )
+    total_rows = sum(v for v in got.values() if v) + (
+        tables2.get("concept_scores", {}).get("rows") or 0
+    )
+    skip_all_zero = all(
+        t.get("rows") == 0 and t.get("partitions") == 0
+        for t in report3.get("tables", {}).values()
+    )
+
+    artifact = {
+        "harness": "scripts/job_pressure.py",
+        "replication": args.replication,
+        "input_turns": n_rows,
+        "input_mb": round(size_mb, 1),
+        "object_store_gb": args.object_store_gb,
+        "loadavg_before": round(load_before, 2),
+        "run1_killed_after_sec": args.kill_after,
+        "manifests_after_kill": done_after_kill,
+        "resume_wall_sec": round(wall2, 1),
+        "resume_report": report2,
+        "manifests_after_resume": done_after_resume,
+        "skip_all_wall_sec": round(wall3, 1),
+        "skip_all_wrote_nothing": skip_all_zero,
+        "spill": spill2,
+        "rows_expected_linear": expected,
+        "nodes_expected_at_least": NODES_PER_REPLICA * args.replication,
+        "rows_got": got,
+        "rows_linear_in_replication": rows_ok,
+        "turns_per_sec_resume_leg": round(n_rows / wall2, 1),
+        "output_rows_per_sec_resume_leg": round(total_rows / wall2, 1),
+        "value": round(wall2, 1),
+        "unit": "sec",
+    }
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
