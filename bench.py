@@ -279,11 +279,29 @@ def run_scaling() -> dict:
     # with every round's numbers kept for the variance record.
     rep = int(os.environ.get("RAYKG_REPLICATION", "512"))
     rounds = int(os.environ.get("RAYKG_SCALE_RUNS", "3"))
+    # round-4 protocol: gate each round on a quiet host (loadavg below
+    # RAYKG_SCALE_LOADGATE, default 2.0; wait up to RAYKG_SCALE_LOADWAIT
+    # seconds, then run anyway and record the load) and record the
+    # 1-minute loadavg before each leg in the artifact
+    load_gate = float(os.environ.get("RAYKG_SCALE_LOADGATE", "2.0"))
+    load_wait = float(os.environ.get("RAYKG_SCALE_LOADWAIT", "600"))
+
+    def wait_quiet() -> float:
+        deadline = time.monotonic() + load_wait
+        while True:
+            load = os.getloadavg()[0]
+            if load < load_gate or time.monotonic() >= deadline:
+                return load
+            time.sleep(15)
+
     os.environ["RAYKG_NO_VECTOR"] = "1"
     os.environ["RAYKG_REPLICATION"] = str(rep * 2)  # amortize pool startup
     all_rounds = []
     for _ in range(rounds):
-        a, b = one(lo), one(hi)
+        load_lo = wait_quiet()
+        a = one(lo)
+        load_hi = wait_quiet()
+        b = one(hi)
         all_rounds.append(
             {
                 "sec_lo": a["value"],
@@ -291,6 +309,8 @@ def run_scaling() -> dict:
                 "eff": round((a["value"] / b["value"]) / (hi / lo), 3),
                 "tps_lo": a["triples_per_sec"],
                 "tps_hi": b["triples_per_sec"],
+                "loadavg_lo": round(load_lo, 2),
+                "loadavg_hi": round(load_hi, 2),
             }
         )
     os.environ.pop("RAYKG_NO_VECTOR", None)
