@@ -70,6 +70,19 @@ _KEEP_WHOLE_EXC = {
         "Vds.", "etc.", "p.ej.", "EE.UU.", "núm.", "pág.", "Av.",
         "Avda.", "Gral.", "Lic.", "aprox.", "dna.", "esq.", "Ing.",
     },
+    "nl": {
+        "bijv.", "bv.", "o.a.", "d.w.z.", "i.p.v.", "m.b.t.", "enz.",
+        "evt.", "dhr.", "mevr.", "dr.", "prof.", "nr.", "blz.", "afd.",
+        "ca.", "incl.", "excl.", "t.o.v.", "a.u.b.",
+    },
+    "pt": {
+        "Sr.", "Sra.", "Dr.", "Dra.", "Prof.", "etc.", "p.ex.",
+        "pág.", "Av.", "tel.", "Exmo.", "Exma.", "Lda.", "séc.",
+    },
+    "it": {
+        "ecc.", "es.", "Sig.", "Sig.ra", "Dott.", "Prof.", "Ing.",
+        "Avv.", "p.es.", "pag.", "tel.", "Spett.", "c.a.",
+    },
 }
 _SPLIT_EXC = {
     "de": {

@@ -69,6 +69,18 @@ def test_tokenize_spanish_exceptions():
         "¿", "Qué", "haces", "?", "¡", "No", "lo", "sé", "!"]
 
 
+def test_tokenize_nl_pt_it_abbreviations():
+    # same keep-whole exception mechanism, three more languages
+    assert toks("Neem o.a. brood mee, d.w.z. vandaag.", lang="nl") == [
+        "Neem", "o.a.", "brood", "mee", ",", "d.w.z.", "vandaag", "."]
+    assert toks("O Sr. Silva chegou, p.ex. ontem.", lang="pt") == [
+        "O", "Sr.", "Silva", "chegou", ",", "p.ex.", "ontem", "."]
+    assert toks("Frutta, verdura ecc. al mercato.", lang="it") == [
+        "Frutta", ",", "verdura", "ecc.", "al", "mercato", "."]
+    # Italian elision still splits (shared _ELISION_LANGS path)
+    assert toks("l'acqua", lang="it") == ["l'", "acqua"]
+
+
 def test_tokenize_leading_space_token():
     # spaCy emits whitespace tokens for runs != single space
     out = toks("a  b")
