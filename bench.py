@@ -294,12 +294,45 @@ def run_scaling() -> dict:
                 return load
             time.sleep(15)
 
+    # RAYKG_SCALE_EQUALIZE=1: during the LO leg, occupy the idle
+    # (total - lo) cores with nice-19 busy loops.  On this shared KVM
+    # host an 8-cpu leg leaves 24 vCPUs idle, which the hypervisor/turbo
+    # converts into a per-core frequency boost the 32-cpu leg cannot
+    # have — a single-node artifact a real cluster doesn't show (every
+    # node of both cluster sizes runs fully busy).  Equalizing the leg
+    # measures the engine's scaling with that artifact removed; raw and
+    # equalized rounds are both recorded, never mixed.
+    equalize = os.environ.get("RAYKG_SCALE_EQUALIZE") == "1"
+    total_cpus = os.cpu_count() or 32
+
+    class _Spinners:
+        def __init__(self, n: int):
+            self.procs = [
+                subprocess.Popen(
+                    [sys.executable, "-c",
+                     "import os\nos.nice(19)\nwhile True: pass"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                for _ in range(max(0, n))
+            ]
+
+        def stop(self) -> None:
+            for p in self.procs:
+                p.kill()
+            for p in self.procs:
+                p.wait()
+
     os.environ["RAYKG_NO_VECTOR"] = "1"
     os.environ["RAYKG_REPLICATION"] = str(rep * 2)  # amortize pool startup
     all_rounds = []
     for _ in range(rounds):
         load_lo = wait_quiet()
-        a = one(lo)
+        spin = _Spinners(total_cpus - lo) if equalize else None
+        try:
+            a = one(lo)
+        finally:
+            if spin:
+                spin.stop()
         load_hi = wait_quiet()
         b = one(hi)
         all_rounds.append(
@@ -311,6 +344,7 @@ def run_scaling() -> dict:
                 "tps_hi": b["triples_per_sec"],
                 "loadavg_lo": round(load_lo, 2),
                 "loadavg_hi": round(load_hi, 2),
+                "lo_leg_equalized": equalize,
             }
         )
     os.environ.pop("RAYKG_NO_VECTOR", None)
@@ -341,6 +375,7 @@ def run_scaling() -> dict:
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
         "scaling_efficiency": eff,
+        "lo_leg_equalized": equalize,
         "rounds": all_rounds,
         "vectorized_peak": {
             "sec_lo": v_lo["value"], "sec_hi": v_hi["value"],

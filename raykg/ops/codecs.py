@@ -19,9 +19,22 @@ stages (`ops/multimodal.py`) decode them for REAL:
   (each frame self-describes its size, so the stream parses without an
   index).
 
-Still raising ``NotImplementedError``: JPEG / MP3 / MP4 — DCT and
-psychoacoustic codecs genuinely need a decoder library; that is the
-honest plug-point for PIL/ffmpeg on a production image.
+- **JPEG** baseline (SOF0/SOF1) AND progressive (SOF2: spectral
+  selection + successive approximation) live in ``ops/jpeg.py`` —
+  Annex-K tables, numpy DCT, Huffman entropy coding, 4:2:0/4:2:2/4:4:4,
+  restart markers; ``decode_image`` dispatches to it by magic bytes.
+- **MJPEG**: concatenated JPEG frames as the intra-only video container
+  (AVI/MOV's classic payload); the splitter is marker-aware.
+- **G.711 mu-law / A-law WAV** (format tags 0x07/0x06): the ITU-T
+  telephony companding codecs, vectorized compress + exact 256-entry
+  expansion tables.
+- **IMA ADPCM WAV** (format tag 0x11): 4-bit adaptive-delta compressed
+  audio, step/index tables from the IMA spec.
+
+Still raising ``NotImplementedError``: arithmetic-coded / lossless /
+hierarchical JPEG and MP3 / MP4 — psychoacoustic and video codecs
+genuinely need a decoder library; that is the honest plug-point for
+PIL/ffmpeg on a production image.
 """
 from __future__ import annotations
 
@@ -146,6 +159,11 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
+    tag = _wav_format_tag(payload)
+    if tag == 0x11:  # IMA ADPCM
+        return decode_wav_adpcm(payload)
+    if tag in (0x06, 0x07):  # G.711 A-law / mu-law
+        return decode_wav_g711(payload)
     with wave.open(io.BytesIO(payload), "rb") as f:
         if f.getsampwidth() != 2:
             raise NotImplementedError("only 16-bit PCM WAV supported")
@@ -155,6 +173,250 @@ def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
         if f.getnchannels() > 1:
             samples = samples.reshape(-1, f.getnchannels()).mean(axis=1).astype("<i2")
     return rate, samples
+
+
+# --- IMA ADPCM WAV (format tag 0x11): real COMPRESSED audio decode ------------
+#
+# 4-bit IMA/DVI ADPCM, the classic adaptive-step-size delta codec — pure
+# public integer arithmetic (step + index tables from the IMA spec), so
+# compressed audio decodes for real with no library.  Mono only (the
+# variant these codecs emit; the decoder validates).
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+
+
+def _ima_step_nibble(pred: int, idx: int, nib: int) -> Tuple[int, int]:
+    """One IMA decode step: (pred, idx) + 4-bit code -> new (pred, idx)."""
+    step = int(_IMA_STEP[idx])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nib])))
+    return pred, idx
+
+
+def _wav_format_tag(payload: bytes) -> int:
+    """wFormatTag from the fmt chunk (0 if not a parseable WAV)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return 0
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            return struct.unpack_from("<H", payload, pos + 8)[0]
+        pos += 8 + ln + (ln & 1)
+    return 0
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 16000,
+                     block_align: int = 256) -> bytes:
+    """int16 mono -> IMA ADPCM WAV (format 0x11), 4 bits/sample."""
+    samples = samples.astype(np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block (header carries one)
+    n = len(samples)
+    blocks = bytearray()
+    idx = 0
+    pos = 0
+    while pos < n:
+        chunk = samples[pos : pos + spb]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEP[idx])
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            d = -delta if delta < 0 else delta
+            if d >= step:
+                nib |= 4
+                d -= step
+            if d >= step >> 1:
+                nib |= 2
+                d -= step >> 1
+            if d >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step_nibble(pred, idx, nib)
+            nibbles.append(nib)
+        # pad the block's data area (low nibble first within each byte)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))
+        for i in range(0, len(nibbles), 2):
+            blocks.append(nibbles[i] | (nibbles[i + 1] << 4))
+        pos += spb
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav_adpcm(payload: bytes) -> Tuple[int, np.ndarray]:
+    """IMA ADPCM WAV (format 0x11, mono) -> (rate, int16 samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = data = None
+    total = None
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            total = struct.unpack_from("<I", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 0x11 or bits != 4:
+        raise NotImplementedError("only 4-bit IMA ADPCM (format 0x11)")
+    if channels != 1:
+        raise NotImplementedError("only mono IMA ADPCM")
+    spb = (block_align - 4) * 2 + 1
+    out: List[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break  # truncated trailing fragment
+        pred, idx = struct.unpack_from("<hB", block, 0)
+        idx = max(0, min(88, idx))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_step_nibble(pred, idx, nib)
+                out.append(pred)
+    if total is not None:
+        out = out[:total]
+    return rate, np.array(out, dtype=np.int16)
+
+
+# --- G.711 mu-law / A-law WAV (format tags 0x07 / 0x06) ------------------------
+#
+# The ITU-T G.711 companding codecs — 8 bits/sample logarithmic PCM, the
+# telephony standard.  Pure public integer arithmetic (segment/quantile
+# bit layout from the spec), fully vectorized; expansion is an exact
+# 256-entry table, which is what makes decoded sums SQL-mirrorable.
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def _ulaw_expand_table() -> np.ndarray:
+    v = np.arange(256, dtype=np.int32) ^ 0xFF  # ~u for every code byte
+    t = (((v & 0x0F) << 3) + _ULAW_BIAS) << ((v >> 4) & 7)
+    return np.where(v & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def _alaw_expand_table() -> np.ndarray:
+    v = np.arange(256, dtype=np.int32) ^ 0x55
+    mant, seg = (v & 0x0F) << 4, (v >> 4) & 7
+    t = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(v & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_TABLE = _ulaw_expand_table()
+_ALAW_TABLE = _alaw_expand_table()
+
+
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 mu-law code bytes (vectorized linear2ulaw)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS  # in [132, 32767]
+    exp = np.floor(np.log2(mag)).astype(np.int32) - 7  # exact: bounds are 2^k
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def alaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 A-law code bytes (vectorized linear2alaw)."""
+    x = samples.astype(np.int32) >> 3  # to 13-bit magnitude domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(
+        np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]),
+        mag, side="left",
+    ).astype(np.int32)
+    seg = np.minimum(seg, 7)
+    aval = (seg << 4) | ((mag >> np.where(seg < 2, 1, seg)) & 0x0F)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _wrap_wav_g711(codes: bytes, rate: int, tag: int) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    fact = struct.pack("<I", len(codes))
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(codes)) + codes
+    if len(codes) & 1:
+        out += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def wrap_wav_ulaw(codes: bytes, rate: int = 8000) -> bytes:
+    """Raw mu-law code bytes -> WAV container (format tag 0x07)."""
+    return _wrap_wav_g711(codes, rate, 0x07)
+
+
+def encode_wav_ulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono -> G.711 mu-law WAV (format 0x07), 8 bits/sample."""
+    return _wrap_wav_g711(ulaw_compress(samples).tobytes(), rate, 0x07)
+
+
+def encode_wav_alaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono -> G.711 A-law WAV (format 0x06), 8 bits/sample."""
+    return _wrap_wav_g711(alaw_compress(samples).tobytes(), rate, 0x06)
+
+
+def decode_wav_g711(payload: bytes) -> Tuple[int, np.ndarray]:
+    """G.711 WAV (format 0x06 A-law / 0x07 mu-law, mono) -> (rate, int16)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = data = None
+    total = None
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            total = struct.unpack_from("<I", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag not in (0x06, 0x07) or bits != 8:
+        raise NotImplementedError("only 8-bit G.711 (format 0x06/0x07)")
+    if channels != 1:
+        raise NotImplementedError("only mono G.711")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    if total is not None:
+        codes = codes[:total]
+    table = _ULAW_TABLE if tag == 0x07 else _ALAW_TABLE
+    return rate, table[codes]
 
 
 # --- PNG (stdlib zlib; 8-bit depth, filters 0-4, no interlace) ----------------
@@ -529,10 +791,71 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return decode_gif_frames(payload)[0]
 
 
+# --- MJPEG (concatenated JPEG frames as a video container) ---------------------
+#
+# Motion JPEG: each frame is an independent JPEG stream (SOI..EOI), laid
+# back to back — the classic intra-only video payload inside AVI/MOV.
+# The splitter is marker-aware (length-prefixed segments are skipped
+# wholesale, entropy data is scanned honoring byte stuffing and RSTn),
+# so an FFD9 inside an APP/COM segment can never split a frame.
+
+def encode_mjpeg(frames: List[np.ndarray], quality: int = 90,
+                 subsample: str = "420", **kw) -> bytes:
+    """List of HxWx3 uint8 frames -> concatenated baseline JPEGs."""
+    from raykg.ops.jpeg import encode_jpeg
+
+    return b"".join(encode_jpeg(f, quality=quality, subsample=subsample, **kw)
+                    for f in frames)
+
+
+def split_mjpeg(payload: bytes) -> List[bytes]:
+    """Concatenated JPEG streams -> list of single-frame JPEG payloads."""
+    frames: List[bytes] = []
+    i, n = 0, len(payload)
+    while i < n:
+        if payload[i : i + 2] != b"\xff\xd8":
+            raise ValueError("expected SOI at MJPEG frame boundary")
+        start = i
+        i += 2
+        eoi = False
+        while i < n and not eoi:
+            if payload[i] != 0xFF:
+                i += 1  # entropy-coded data
+                continue
+            j = i + 1
+            while j < n and payload[j] == 0xFF:
+                j += 1  # fill bytes
+            if j >= n:
+                break
+            m = payload[j]
+            if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffed FF / RSTn
+                i = j + 1
+            elif m == 0xD9:  # EOI
+                i = j + 1
+                frames.append(payload[start:i])
+                eoi = True
+            elif m == 0x01:  # TEM (standalone)
+                i = j + 1
+            else:  # length-prefixed segment (incl. SOS header)
+                if j + 3 > n:
+                    break
+                i = j + 1 + struct.unpack_from(">H", payload, j + 1)[0]
+        if not eoi:
+            raise ValueError("truncated MJPEG stream (missing EOI)")
+    return frames
+
+
+def decode_mjpeg_frames(payload: bytes) -> List[np.ndarray]:
+    """MJPEG payload -> list of HxWx3 decoded frames."""
+    from raykg.ops.jpeg import decode_jpeg
+
+    return [decode_jpeg(f) for f in split_mjpeg(payload)]
+
+
 # --- sniffing + resize --------------------------------------------------------
 
 def sniff(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'png' | 'gif' | 'wav' | 'unknown' by magic bytes."""
+    """'ppm'|'bmp'|'png'|'gif'|'jpeg'|'wav'|'unknown' by magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -541,6 +864,8 @@ def sniff(payload: bytes) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -556,9 +881,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if kind == "gif":
         return decode_gif(payload)
+    if kind == "jpeg":
+        from raykg.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG needs a DCT decoder library (PIL, not in env); "
-        "supported: PPM, BMP, PNG, GIF"
+        "unrecognized image container; supported: PPM, BMP, PNG, GIF, "
+        "JPEG baseline+progressive (MP3 / MP4 remain the library "
+        "plug-point)"
     )
 
 

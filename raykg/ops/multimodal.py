@@ -6,16 +6,21 @@ Decode support is three-tiered:
   harness mode the driver queries run, exercising schema, batching and
   the binary plumbing without any decoding.
 - ``fake=False`` with a stdlib-decodable payload: REAL decode via the
-  pure-python/numpy codecs in `ops/codecs.py` — PPM / 24-bit BMP /
-  PNG (zlib inflate, all five filters) / GIF (full LZW) images, 16-bit
-  PCM WAV audio, and concatenated-P6 streams or multi-frame GIFs as the
-  video container.  Feature extraction, nearest-neighbor resize and
-  frame sampling all run on genuinely decoded pixels/samples; the
-  `media_png` / `media_gif` queries pin encode->decode bit-exactness
-  against SQL oracles.
-- ``fake=False`` with JPEG/MP3/MP4: raises ``NotImplementedError`` —
-  the honest plug-point for PIL/ffmpeg on a production image (DCT /
-  psychoacoustic decoders genuinely need a library).
+  pure-python/numpy codecs in `ops/codecs.py` + `ops/jpeg.py` — PPM /
+  24-bit BMP / PNG (zlib inflate, all five filters) / GIF (full LZW) /
+  JPEG baseline AND progressive (Annex-K tables, numpy DCT, Huffman,
+  successive approximation, 4:2:0, restart markers) images, 16-bit PCM
+  WAV audio (PCM 16-bit, IMA ADPCM, G.711 mu-law/A-law), and
+  concatenated-P6 streams, multi-frame GIFs or MJPEG (concatenated
+  JPEGs) as the video container.  Feature extraction, nearest-neighbor
+  resize and frame sampling all run on genuinely decoded
+  pixels/samples; the `media_png` / `media_gif` / `media_jpeg` /
+  `media_mjpeg` / `media_wav` / `media_ulaw` queries pin encode->decode
+  exactness against SQL oracles.
+- ``fake=False`` with MP3/MP4 (or arithmetic-coded JPEG): raises
+  ``NotImplementedError`` — the honest plug-point for PIL/ffmpeg on a
+  production image (psychoacoustic / video decoders genuinely need a
+  library).
 
 The Ray-side shape is the same in every tier: binary columns ride
 through Arrow blocks untouched, decode/feature stages are actor pools
@@ -126,6 +131,179 @@ def documents_to_gif_media(batch: pa.Table) -> pa.Table:
     )
 
 
+def documents_to_jpeg_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL baseline-JPEG payloads (``ops/jpeg.py``).
+
+    Each doc becomes an 8*(1+d3%3) x 8*(1+d4%3) image of 8x8-constant
+    gray tiles, tile (tx, ty) = (d0 + 11*tx + 23*ty) mod 256 on all three
+    channels.  Blockwise-constant gray images are DC-only with zero
+    chroma, so the lossy codec round-trips them BYTE-EXACTLY at quality
+    90 (DC quant step 3 < 8 => per-pixel error < 0.5 before rounding) —
+    which is what lets a SQL oracle mirror the decoded sums of a lossy
+    format.  Even doc_ids get baseline payloads (4:2:0 + restart markers:
+    the interleaved-MCU + RST decode path); odd doc_ids get PROGRESSIVE
+    (SOF2) payloads (spectral selection + successive approximation: the
+    multi-scan EOB-run/refinement decode path) — both reconstruct the
+    same pixels, so one oracle pins both entropy decoders."""
+    from . import jpeg
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for i, t in zip(ids, batch["text"].to_pylist()):
+        d = _doc_digest(t)
+        tw, th = 1 + d[3] % 3, 1 + d[4] % 3
+        tx, ty = np.meshgrid(np.arange(tw), np.arange(th))
+        tiles = ((d[0] + 11 * tx + 23 * ty) % 256).astype(np.uint8)
+        gray = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+        arr = np.repeat(gray[:, :, None], 3, axis=2)
+        if int(i) % 2:
+            payloads.append(
+                jpeg.encode_jpeg_progressive(arr, quality=90, subsample="420",
+                                             levels=2)
+            )
+        else:
+            payloads.append(
+                jpeg.encode_jpeg(arr, quality=90, subsample="420",
+                                 restart_interval=2)
+            )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def documents_to_adpcm_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL IMA-ADPCM WAV payloads (``ops/codecs.py``).
+
+    Each doc becomes 1+d5%4 compression blocks (block_align=12 -> 17
+    samples/block) of a per-block CONSTANT amplitude
+    ((d1 + 37*b) % 256 - 128) * 13.  A constant block encodes as header
+    predictor + all-zero nibbles, and zero nibbles at step 7 decode to
+    diff 0 — so the lossy codec round-trips these payloads EXACTLY and
+    a SQL oracle can mirror the decoded sample sums."""
+    from . import codecs
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        nb = 1 + d[5] % 4
+        sig = np.concatenate(
+            [
+                np.full(17, ((d[1] + 37 * b) % 256 - 128) * 13, dtype=np.int16)
+                for b in range(nb)
+            ]
+        )
+        payloads.append(codecs.encode_wav_adpcm(sig, 8000, block_align=12))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def documents_to_ulaw_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL G.711 mu-law WAV payloads (``ops/codecs.py``,
+    format 0x07).
+
+    Each doc becomes 16+d2%32 code BYTES b_i = (d1 + 13*i) mod 256
+    wrapped directly in the WAV container; decode is the exact 256-entry
+    ITU-T expansion table, so a SQL oracle mirrors the decoded sample
+    sums with pure integer arithmetic (no lossy-round-trip argument
+    needed — the payload IS the compressed domain)."""
+    from . import codecs
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        n = 16 + d[2] % 32
+        codes = ((d[1] + 13 * np.arange(n)) % 256).astype(np.uint8)
+        payloads.append(codecs.wrap_wav_ulaw(codes.tobytes(), 8000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def documents_to_mjpeg_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL MJPEG (concatenated baseline JPEG) payloads.
+
+    Each doc becomes 1+d5%3 frames of the same 8x8-constant-tile shape
+    as ``documents_to_jpeg_media`` with a per-frame offset: tile
+    (tx, ty) of frame f = (d0 + 11*tx + 23*ty + 31*f) mod 256.  DC-only
+    gray frames round-trip the lossy codec byte-exactly at quality 90,
+    so the per-frame pixel sums are SQL-mirrorable."""
+    from . import codecs
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        tw, th, nf = 1 + d[3] % 3, 1 + d[4] % 3, 1 + d[5] % 3
+        tx, ty = np.meshgrid(np.arange(tw), np.arange(th))
+        frames = []
+        for f in range(nf):
+            tiles = ((d[0] + 11 * tx + 23 * ty + 31 * f) % 256).astype(np.uint8)
+            gray = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+            frames.append(np.repeat(gray[:, :, None], 3, axis=2))
+        payloads.append(codecs.encode_mjpeg(frames, quality=90,
+                                            subsample="420"))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def decode_mjpeg_frame_sums(batch: pa.Table) -> pa.Table:
+    """REAL MJPEG decode -> frame count + exact gray-channel pixel sum
+    over all frames (mirrors ``decode_gif_frame_sums``)."""
+    from . import codecs
+
+    n_frames, sums = [], []
+    for p in batch["payload"].to_pylist():
+        frames = codecs.decode_mjpeg_frames(bytes(p))
+        n_frames.append(len(frames))
+        sums.append(
+            int(sum(int(f[:, :, 0].astype(np.int64).sum()) for f in frames))
+        )
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+            "sum_px": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
+def decode_audio_sums(batch: pa.Table) -> pa.Table:
+    """REAL audio decode -> exact integer sample count + amplitude sum
+    (the SQL-mirrorable reduction used by the correctness oracles)."""
+    from . import codecs
+
+    rates, counts, sums = [], [], []
+    for p in batch["payload"].to_pylist():
+        rate, samples = codecs.decode_wav(bytes(p))
+        rates.append(rate)
+        counts.append(len(samples))
+        sums.append(int(samples.astype(np.int64).sum()))
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "rate": pa.array(rates, type=pa.int32()),
+            "n_samples": pa.array(counts, type=pa.int64()),
+            "sum_amp": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
 def decode_image_sums(batch: pa.Table) -> pa.Table:
     """REAL image decode -> exact integer per-channel pixel sums (the
     SQL-mirrorable feature reduction used by the correctness oracles)."""
@@ -212,23 +390,26 @@ class MediaFeatureActor:
         )
 
     def _decode_real(self, payload: bytes, media_type: str):
-        """Real decode via `ops/codecs.py` (PPM/BMP/PNG/GIF images,
-        16-bit WAV audio, PPM-stream or multi-frame GIF video); JPEG/MP3/
-        MP4 raise NotImplementedError — plug PIL/ffmpeg there on a
-        production image."""
+        """Real decode via `ops/codecs.py` + `ops/jpeg.py` (PPM/BMP/PNG/
+        GIF/JPEG images incl. progressive; PCM/ADPCM/G.711 WAV audio;
+        PPM-stream, multi-frame GIF or MJPEG video); MP3 / MP4 raise
+        NotImplementedError — plug PIL/ffmpeg there on a production
+        image."""
         from . import codecs
 
         kind = codecs.sniff(payload)
-        if media_type == "video" and kind in ("ppm", "gif"):
+        if media_type == "video" and kind in ("ppm", "gif", "jpeg"):
             frames = (
                 codecs.decode_ppm_stream(payload)
                 if kind == "ppm"
                 else codecs.decode_gif_frames(payload)
+                if kind == "gif"
+                else codecs.decode_mjpeg_frames(payload)
             )
             dur = len(frames) / 24.0  # nominal 24 fps
             first = frames[0]
             return first.shape[1], first.shape[0], dur, self._image_features(first)
-        if kind in ("ppm", "bmp", "png", "gif"):
+        if kind in ("ppm", "bmp", "png", "gif", "jpeg"):
             arr = codecs.decode_image(payload)
             return arr.shape[1], arr.shape[0], None, self._image_features(arr)
         if kind == "wav":
@@ -242,8 +423,9 @@ class MediaFeatureActor:
             return None, None, len(x) / rate, feats
         raise NotImplementedError(
             f"compressed/unknown payload (magic {payload[:4]!r}); supported "
-            "real decoders: PPM, BMP, PNG, GIF, WAV, PPM-stream, GIF-video "
-            "— plug PIL/ffmpeg for JPEG/MP3/MP4"
+            "real decoders: PPM, BMP, PNG, GIF, JPEG (baseline + "
+            "progressive), WAV, PPM-stream, GIF-video — plug PIL/ffmpeg "
+            "for MP3/MP4"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -330,9 +512,13 @@ class FrameSampleActor:
             if not self.fake:
                 from . import codecs
 
-                if codecs.sniff(p or b"") == "gif":
+                kind = codecs.sniff(p or b"")
+                if kind == "gif":
                     frames = codecs.decode_gif_frames(p or b"")
                     enc = lambda a: codecs.encode_gif([a])  # noqa: E731
+                elif kind == "jpeg":
+                    frames = codecs.decode_mjpeg_frames(p or b"")
+                    enc = lambda a: codecs.encode_mjpeg([a])  # noqa: E731
                 else:
                     frames = codecs.decode_ppm_stream(p or b"")
                     enc = codecs.encode_ppm

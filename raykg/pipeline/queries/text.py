@@ -429,6 +429,59 @@ def q_media_png(sf_dir: str):
     return media.map_batches(mm_ops.decode_image_sums, batch_format="pyarrow")
 
 
+def q_media_jpeg(sf_dir: str):
+    """REAL JPEG encode -> decode through the pipeline (baseline AND progressive payloads alternating by doc parity)
+    (`ops/jpeg.py`: Annex-K tables, Huffman entropy coding, 4:2:0
+    subsampling, restart markers): digest-derived 8x8-constant-tile gray
+    images round-trip the lossy codec byte-exactly (DC-only blocks,
+    quant step < 8), so the decoded channel sums are mirrored in SQL
+    with pure modular arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_jpeg_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_image_sums, batch_format="pyarrow")
+
+
+def q_media_wav(sf_dir: str):
+    """REAL compressed-audio decode through the pipeline
+    (`ops/codecs.py` IMA ADPCM, format 0x11): digest-derived
+    per-block-constant payloads round-trip the 4-bit adaptive-delta
+    codec exactly (constant blocks encode as all-zero nibbles), so the
+    decoded sample sums are mirrored in SQL with integer arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_adpcm_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
+
+
+def q_media_mjpeg(sf_dir: str):
+    """REAL MJPEG video decode through the pipeline
+    (`ops/codecs.py split_mjpeg` marker-aware frame splitter +
+    `ops/jpeg.py` per-frame decode): digest-derived DC-only frames
+    round-trip the lossy codec byte-exactly, so frame counts and
+    per-frame pixel sums are mirrored in SQL with modular arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_mjpeg_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_mjpeg_frame_sums, batch_format="pyarrow")
+
+
+def q_media_ulaw(sf_dir: str):
+    """REAL G.711 mu-law audio decode through the pipeline
+    (`ops/codecs.py` format 0x07, the ITU-T telephony codec): payloads
+    are digest-derived code BYTES, decode is the exact 256-entry
+    expansion table, so decoded sample sums are mirrored in SQL by
+    reproducing the expansion formula in integer arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_ulaw_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
+
+
 def q_media_gif(sf_dir: str):
     """REAL multi-frame GIF encode -> LZW decode through the pipeline
     (`ops/codecs.py:decode_gif_frames`): digest-derived 16-gray gradient
@@ -731,6 +784,10 @@ QUERIES["bpe_pairs"] = q_bpe_pairs
 QUERIES["media_features"] = q_media_features
 QUERIES["media_png"] = q_media_png
 QUERIES["media_gif"] = q_media_gif
+QUERIES["media_jpeg"] = q_media_jpeg
+QUERIES["media_wav"] = q_media_wav
+QUERIES["media_mjpeg"] = q_media_mjpeg
+QUERIES["media_ulaw"] = q_media_ulaw
 QUERIES["decontam"] = q_decontam
 QUERIES["redact"] = q_redact
 QUERIES["repetition"] = q_repetition
@@ -826,6 +883,63 @@ ORACLE_SQL["media_png"] = f"""
            CAST(SUM((d1 + 11 * x + 3 * y) % 256) AS BIGINT) AS sum_g,
            CAST(SUM((d2 + 5 * x + 17 * y) % 256) AS BIGINT) AS sum_b
     FROM px GROUP BY media_id, w, h
+"""
+ORACLE_SQL["media_jpeg"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d0,
+                    1 + d3 % 3 AS tw, 1 + d4 % 3 AS th FROM d),
+    tiles AS (SELECT media_id, tw, th, d0, xs.tx, ys.ty
+              FROM dims,
+                   UNNEST(generate_series(0, tw - 1)) xs(tx),
+                   UNNEST(generate_series(0, th - 1)) ys(ty)),
+    s AS (SELECT media_id, tw, th,
+                 CAST(64 * SUM((d0 + 11 * tx + 23 * ty) % 256) AS BIGINT) AS sum_c
+          FROM tiles GROUP BY media_id, tw, th)
+    SELECT media_id, CAST(8 * tw AS INTEGER) AS width,
+           CAST(8 * th AS INTEGER) AS height,
+           sum_c AS sum_r, sum_c AS sum_g, sum_c AS sum_b
+    FROM s
+"""
+ORACLE_SQL["media_wav"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d1, 1 + d5 % 4 AS nb FROM d),
+    blk AS (SELECT media_id, nb, d1, bs.b
+            FROM dims, UNNEST(generate_series(0, nb - 1)) bs(b))
+    SELECT media_id, CAST(8000 AS INTEGER) AS rate,
+           CAST(17 * nb AS BIGINT) AS n_samples,
+           CAST(SUM(17 * (((d1 + 37 * b) % 256) - 128) * 13) AS BIGINT) AS sum_amp
+    FROM blk GROUP BY media_id, nb
+"""
+ORACLE_SQL["media_mjpeg"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d0, 1 + d3 % 3 AS tw, 1 + d4 % 3 AS th,
+                    1 + d5 % 3 AS nf FROM d),
+    cells AS (SELECT media_id, nf, d0, xs.tx, ys.ty, fs.f
+              FROM dims,
+                   UNNEST(generate_series(0, tw - 1)) xs(tx),
+                   UNNEST(generate_series(0, th - 1)) ys(ty),
+                   UNNEST(generate_series(0, nf - 1)) fs(f))
+    SELECT media_id, CAST(nf AS INTEGER) AS n_frames,
+           CAST(64 * SUM((d0 + 11 * tx + 23 * ty + 31 * f) % 256) AS BIGINT)
+               AS sum_px
+    FROM cells GROUP BY media_id, nf
+"""
+ORACLE_SQL["media_ulaw"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d1, 16 + d2 % 32 AS n FROM d),
+    codes AS (SELECT media_id, n, 255 - (d1 + 13 * i.i) % 256 AS v
+              FROM dims, UNNEST(generate_series(0, n - 1)) i(i)),
+    -- ITU-T G.711 mu-law expansion in integer arithmetic:
+    -- t = ((mant<<3)+132) << exp; sample = sign ? 132-t : t-132
+    ex AS (SELECT media_id, n,
+                  ((v % 16) * 8 + 132) * (1 << (v // 16 % 8)) AS t,
+                  v >= 128 AS neg
+           FROM codes)
+    SELECT media_id, CAST(8000 AS INTEGER) AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN neg THEN 132 - t ELSE t - 132 END) AS BIGINT)
+               AS sum_amp
+    FROM ex GROUP BY media_id, n
 """
 ORACLE_SQL["media_gif"] = f"""
     WITH {_MD5_BYTES_CTE},

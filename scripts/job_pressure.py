@@ -92,10 +92,19 @@ def run_job(input_path: str, out: str, store_gb: float, kill_after: float | None
     proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                             stderr=subprocess.DEVNULL, text=True)
     if kill_after is not None:
-        time.sleep(kill_after)
+        # adaptive kill: fire once manifests start landing (mid-write of
+        # the first table) so the resume leg has genuinely partial state;
+        # kill_after is the fallback deadline if none appear in time
+        deadline = t0 + kill_after
+        while time.perf_counter() < deadline:
+            n = manifests_done(out)
+            if 32 <= n < 480:
+                break
+            time.sleep(2)
+        killed_at = time.perf_counter() - t0
         proc.send_signal(signal.SIGKILL)
         proc.wait()
-        return {"killed_after_sec": kill_after}, time.perf_counter() - t0
+        return {"killed_after_sec": round(killed_at, 1)}, killed_at
     out_text, _ = proc.communicate()
     wall = time.perf_counter() - t0
     report = {}
@@ -113,12 +122,32 @@ def manifests_done(out: str) -> int:
     return len(glob.glob(os.path.join(out, "*", "part=*", "manifest.json")))
 
 
+def manifest_rows(out: str) -> dict:
+    """Total rows per table summed over ALL completed partition manifests.
+
+    This is the authoritative output count: the resume leg's own report
+    only covers the partitions IT wrote (everything run 1 finished before
+    the kill is skipped and thus absent from that report)."""
+    totals: dict[str, int] = {}
+    for m in glob.glob(os.path.join(out, "*", "part=*", "manifest.json")):
+        table = os.path.basename(os.path.dirname(os.path.dirname(m)))
+        with open(m) as f:
+            totals[table] = totals.get(table, 0) + json.load(f).get("rows", 0)
+    return totals
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replication", type=int, default=512)
-    ap.add_argument("--object-store-gb", type=float, default=2.0)
+    # 4 GB store: small enough that the 512x job MUST spill (the input's
+    # working set is ~6 GB of blocks), large enough not to thrash — at
+    # 2 GB the executor grinds to a backpressured crawl (~10x wall).
+    ap.add_argument("--object-store-gb", type=float, default=4.0)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--kill-after", type=float, default=120.0)
+    # fallback only: the adaptive loop above kills as soon as the first
+    # table's manifests start landing, so the kill is mid-write by
+    # construction; 900 s covers a slow spilling run reaching that point
+    ap.add_argument("--kill-after", type=float, default=900.0)
     ap.add_argument("--out", default="BENCH/job512x_r04.json")
     args = ap.parse_args()
 
@@ -141,10 +170,10 @@ def main() -> None:
     load_before = os.getloadavg()[0]
     print(f"loadavg before: {load_before:.2f}", flush=True)
 
-    # run 1: kill mid-run
-    print(f"run 1 (kill -9 at {args.kill_after}s) ...", flush=True)
-    _, wall1 = run_job(input_path, out_dir, args.object_store_gb,
-                       kill_after=args.kill_after)
+    # run 1: kill mid-run (adaptive: as manifests start landing)
+    print(f"run 1 (kill -9, fallback at {args.kill_after}s) ...", flush=True)
+    r1, wall1 = run_job(input_path, out_dir, args.object_store_gb,
+                        kill_after=args.kill_after)
     done_after_kill = manifests_done(out_dir)
     print(f"manifests complete after kill: {done_after_kill}", flush=True)
 
@@ -160,18 +189,17 @@ def main() -> None:
     report3, wall3 = run_job(input_path, out_dir, args.object_store_gb, None)
 
     expected = {k: v * args.replication for k, v in PER_REPLICA.items()}
-    tables2 = report2.get("tables", {})
-    got = {
-        k: tables2.get(k, {}).get("rows")
-        for k in ("mentions", "edges", "nodes")
-    }
+    # authoritative totals from the partition manifests (run 1's completed
+    # partitions + run 2's) — report2 alone only counts what run 2 wrote
+    all_rows = manifest_rows(out_dir)
+    got = {k: all_rows.get(k) for k in ("mentions", "edges", "nodes")}
     n_nodes = got["nodes"] or 0
     rows_ok = (
         all(got[k] == expected[k] for k in expected)
         and 0 <= n_nodes - NODES_PER_REPLICA * args.replication <= 1000
     )
-    total_rows = sum(v for v in got.values() if v) + (
-        tables2.get("concept_scores", {}).get("rows") or 0
+    total_rows = sum(v for v in got.values() if v) + all_rows.get(
+        "concept_scores", 0
     )
     skip_all_zero = all(
         t.get("rows") == 0 and t.get("partitions") == 0
@@ -185,7 +213,7 @@ def main() -> None:
         "input_mb": round(size_mb, 1),
         "object_store_gb": args.object_store_gb,
         "loadavg_before": round(load_before, 2),
-        "run1_killed_after_sec": args.kill_after,
+        "run1_killed_after_sec": r1.get("killed_after_sec"),
         "manifests_after_kill": done_after_kill,
         "resume_wall_sec": round(wall2, 1),
         "resume_report": report2,
@@ -197,8 +225,11 @@ def main() -> None:
         "nodes_expected_at_least": NODES_PER_REPLICA * args.replication,
         "rows_got": got,
         "rows_linear_in_replication": rows_ok,
+        "total_output_rows": total_rows,
         "turns_per_sec_resume_leg": round(n_rows / wall2, 1),
-        "output_rows_per_sec_resume_leg": round(total_rows / wall2, 1),
+        "rows_written_resume_leg": sum(
+            t.get("rows") or 0 for t in report2.get("tables", {}).values()
+        ),
         "value": round(wall2, 1),
         "unit": "sec",
     }
