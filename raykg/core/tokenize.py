@@ -83,6 +83,26 @@ _KEEP_WHOLE_EXC = {
         "ecc.", "es.", "Sig.", "Sig.ra", "Dott.", "Prof.", "Ing.",
         "Avv.", "p.es.", "pag.", "tel.", "Spett.", "c.a.",
     },
+    "sv": {
+        "t.ex.", "bl.a.", "m.m.", "osv.", "dvs.", "etc.", "fr.o.m.",
+        "t.o.m.", "ca.", "nr.", "s.k.", "p.g.a.", "resp.", "jfr.",
+        "kl.", "st.", "tel.", "dr.", "prof.", "m.fl.", "obs.",
+    },
+    "da": {
+        "f.eks.", "bl.a.", "osv.", "dvs.", "m.m.", "ca.", "evt.",
+        "mht.", "pga.", "hhv.", "nr.", "jf.", "mio.", "mia.", "kr.",
+        "tlf.", "dr.", "prof.", "inkl.", "ekskl.", "vedr.",
+    },
+    "nb": {
+        "f.eks.", "bl.a.", "osv.", "dvs.", "m.m.", "ca.", "evt.",
+        "nr.", "jf.", "mht.", "pga.", "hhv.", "tlf.", "kr.", "mill.",
+        "mrd.", "inkl.", "vedr.", "ang.", "ifm.",
+    },
+    "fi": {
+        "esim.", "jne.", "mm.", "ym.", "yms.", "ks.", "vrt.", "ts.",
+        "em.", "ko.", "ml.", "pl.", "nk.", "ns.", "tms.", "prof.",
+        "oy.", "ry.",
+    },
 }
 _SPLIT_EXC = {
     "de": {

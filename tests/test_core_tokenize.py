@@ -81,6 +81,21 @@ def test_tokenize_nl_pt_it_abbreviations():
     assert toks("l'acqua", lang="it") == ["l'", "acqua"]
 
 
+def test_tokenize_nordic_finnish_abbreviations():
+    # sv/da/nb/fi keep-whole exception sets (same shared mechanism)
+    assert toks("Vi tar t.ex. bröd, m.m. idag.", lang="sv") == [
+        "Vi", "tar", "t.ex.", "bröd", ",", "m.m.", "idag", "."]
+    assert toks("Kom f.eks. i morgen, bl.a. her.", lang="da") == [
+        "Kom", "f.eks.", "i", "morgen", ",", "bl.a.", "her", "."]
+    assert toks("Det er f.eks. bra, dvs. fint.", lang="nb") == [
+        "Det", "er", "f.eks.", "bra", ",", "dvs.", "fint", "."]
+    assert toks("Osta esim. leipää, jne. huomenna.", lang="fi") == [
+        "Osta", "esim.", "leipää", ",", "jne.", "huomenna", "."]
+    # a language without a table still splits the trailing period
+    assert toks("bread etc. today", lang="xx") == [
+        "bread", "etc", ".", "today"]
+
+
 def test_tokenize_leading_space_token():
     # spaCy emits whitespace tokens for runs != single space
     out = toks("a  b")
