@@ -59,25 +59,41 @@ def write_input(sf_dir: str, replication: int, path: str) -> int:
     return n
 
 
-def newest_session_logs() -> str:
-    sessions = sorted(glob.glob("/tmp/ray/session_*"), key=os.path.getmtime)
-    return os.path.join(sessions[-1], "logs") if sessions else ""
-
-
-def spill_stats(logdir: str) -> dict:
-    """Parse cumulative spill volume from raylet logs ("Spilled N MiB, M
-    objects" progress lines)."""
+def spill_stats(since: float) -> dict:
+    """Max cumulative spill volume from the raylet logs of EVERY Ray
+    session started after ``since`` (wall time).  Each harness leg is its
+    own session (and Ray's temp root varies: /tmp/ray or $RAY_TMPDIR/ray),
+    so scraping only session_latest would read the no-spill skip-all leg
+    and report 0 even when the kill/resume legs spilled tens of GiB."""
     best = {"spilled_mib": 0.0, "spilled_objects": 0, "restored_mib": 0.0}
-    for f in glob.glob(os.path.join(logdir, "raylet*.out")):
-        try:
-            text = open(f, errors="replace").read()
-        except OSError:
-            continue
-        for m in re.finditer(r"Spilled (\d+) MiB, (\d+) objects", text):
-            best["spilled_mib"] = max(best["spilled_mib"], float(m.group(1)))
-            best["spilled_objects"] = max(best["spilled_objects"], int(m.group(2)))
-        for m in re.finditer(r"Restored (\d+) MiB", text):
-            best["restored_mib"] = max(best["restored_mib"], float(m.group(1)))
+    roots = ("/tmp/ray/session_*", "/tmp/ray/ray/session_*",
+             os.path.join(os.environ.get("RAY_TMPDIR", "/tmp/ray"),
+                          "ray", "session_*"))
+    seen = set()
+    for pat in roots:
+        for s in glob.glob(pat):
+            if s in seen or os.path.islink(s):
+                continue
+            seen.add(s)
+            try:
+                if os.path.getmtime(s) < since:
+                    continue
+            except OSError:
+                continue
+            for f in glob.glob(os.path.join(s, "logs", "raylet*.out")):
+                try:
+                    text = open(f, errors="replace").read()
+                except OSError:
+                    continue
+                mib = obj = rest = 0.0
+                for m in re.finditer(r"Spilled (\d+) MiB, (\d+) objects", text):
+                    mib = max(mib, float(m.group(1)))
+                    obj = max(obj, int(m.group(2)))
+                for m in re.finditer(r"Restored (\d+) MiB", text):
+                    rest = max(rest, float(m.group(1)))
+                best["spilled_mib"] += mib
+                best["spilled_objects"] += int(obj)
+                best["restored_mib"] += rest
     return best
 
 
@@ -169,6 +185,7 @@ def main() -> None:
 
     load_before = os.getloadavg()[0]
     print(f"loadavg before: {load_before:.2f}", flush=True)
+    t_start = time.time()
 
     # run 1: kill mid-run (adaptive: as manifests start landing)
     print(f"run 1 (kill -9, fallback at {args.kill_after}s) ...", flush=True)
@@ -180,8 +197,7 @@ def main() -> None:
     # run 2: resume to completion
     print("run 2 (resume) ...", flush=True)
     report2, wall2 = run_job(input_path, out_dir, args.object_store_gb, None)
-    logs2 = newest_session_logs()
-    spill2 = spill_stats(logs2)
+    spill2 = spill_stats(t_start)  # run 1 + resume legs (skip-all not run yet)
     done_after_resume = manifests_done(out_dir)
 
     # run 3: everything skips
