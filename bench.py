@@ -223,6 +223,17 @@ def run_bench() -> dict:
     timed("basket_pairs")
     timed("basket_rules")
     timed("conv_splits")
+    # round-4 additions: model-depth lemmas, ja segmentation, real
+    # compressed-media decode across image/audio/video
+    timed("tag_lemma_pl")
+    timed("tag_lemma_ru")
+    timed("tag_match_ja")
+    timed("media_png")
+    timed("media_gif")
+    timed("media_jpeg")
+    timed("media_mjpeg")
+    timed("media_wav")
+    timed("media_ulaw")
 
     headline = timings["triples_scaled"]
     result = {
