@@ -30,6 +30,9 @@ stages (`ops/multimodal.py`) decode them for REAL:
   expansion tables.
 - **IMA ADPCM WAV** (format tag 0x11): 4-bit adaptive-delta compressed
   audio, step/index tables from the IMA spec.
+- **FLAC** (lossless audio) lives in ``ops/flac.py`` — rice-coded
+  fixed/LPC predictors, CRC-8/16 + audio-MD5 verified;
+  ``decode_audio`` dispatches WAV vs FLAC by magic bytes.
 
 Still raising ``NotImplementedError``: arithmetic-coded / lossless /
 hierarchical JPEG and MP3 / MP4 — psychoacoustic and video codecs
@@ -868,7 +871,25 @@ def sniff(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     return "unknown"
+
+
+def decode_audio(payload: bytes) -> Tuple[int, np.ndarray]:
+    """Audio container dispatch -> (rate, int16 samples): RIFF/WAVE
+    (PCM, IMA ADPCM, G.711 u-law/A-law) or native FLAC (``ops/flac.py``)."""
+    kind = sniff(payload)
+    if kind == "wav":
+        return decode_wav(payload)
+    if kind == "flac":
+        from raykg.ops.flac import decode_flac
+
+        return decode_flac(payload)
+    raise NotImplementedError(
+        "unrecognized audio container; supported: WAV (PCM/ADPCM/G.711), "
+        "FLAC (MP3 remains the library plug-point)"
+    )
 
 
 def decode_image(payload: bytes) -> np.ndarray:

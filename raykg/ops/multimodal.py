@@ -231,6 +231,35 @@ def documents_to_ulaw_media(batch: pa.Table) -> pa.Table:
     )
 
 
+def documents_to_flac_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL FLAC payloads (``ops/flac.py``).
+
+    Each doc becomes 64+d2%192 samples s_i = ((d1 + 13*i) % 256 - 128)
+    * (1 + d4 % 9) at block_size=64 (so 1-4 frames exercise the frame
+    loop); odd-d5 docs encode through the LPC subframe layout.  FLAC is
+    LOSSLESS, so an ARBITRARY digest-derived waveform round-trips
+    bit-exactly — the SQL oracle mirrors the decoded sample sums with no
+    "payload happens to survive the lossy codec" argument needed."""
+    from . import flac
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        n = 64 + d[2] % 192
+        gain = 1 + d[4] % 9
+        sig = (((d[1] + 13 * np.arange(n)) % 256 - 128) * gain).astype(np.int16)
+        payloads.append(
+            flac.encode_flac(sig, 16000, block_size=64, lpc_order1=bool(d[5] % 2))
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
 def documents_to_mjpeg_media(batch: pa.Table) -> pa.Table:
     """Deterministic REAL MJPEG (concatenated baseline JPEG) payloads.
 
@@ -290,7 +319,7 @@ def decode_audio_sums(batch: pa.Table) -> pa.Table:
 
     rates, counts, sums = [], [], []
     for p in batch["payload"].to_pylist():
-        rate, samples = codecs.decode_wav(bytes(p))
+        rate, samples = codecs.decode_audio(bytes(p))
         rates.append(rate)
         counts.append(len(samples))
         sums.append(int(samples.astype(np.int64).sum()))
@@ -390,11 +419,11 @@ class MediaFeatureActor:
         )
 
     def _decode_real(self, payload: bytes, media_type: str):
-        """Real decode via `ops/codecs.py` + `ops/jpeg.py` (PPM/BMP/PNG/
-        GIF/JPEG images incl. progressive; PCM/ADPCM/G.711 WAV audio;
-        PPM-stream, multi-frame GIF or MJPEG video); MP3 / MP4 raise
-        NotImplementedError — plug PIL/ffmpeg there on a production
-        image."""
+        """Real decode via `ops/codecs.py` + `ops/jpeg.py` + `ops/flac.py`
+        (PPM/BMP/PNG/GIF/JPEG images incl. progressive; PCM/ADPCM/G.711
+        WAV + FLAC audio; PPM-stream, multi-frame GIF or MJPEG video);
+        MP3 / MP4 raise NotImplementedError — plug PIL/ffmpeg there on a
+        production image."""
         from . import codecs
 
         kind = codecs.sniff(payload)
@@ -412,8 +441,8 @@ class MediaFeatureActor:
         if kind in ("ppm", "bmp", "png", "gif", "jpeg"):
             arr = codecs.decode_image(payload)
             return arr.shape[1], arr.shape[0], None, self._image_features(arr)
-        if kind == "wav":
-            rate, samples = codecs.decode_wav(payload)
+        if kind in ("wav", "flac"):
+            rate, samples = codecs.decode_audio(payload)
             x = samples.astype(np.float64) / 32768.0
             zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
             hist = np.histogram(np.abs(x), bins=13, range=(0.0, 1.0))[0]
@@ -424,8 +453,8 @@ class MediaFeatureActor:
         raise NotImplementedError(
             f"compressed/unknown payload (magic {payload[:4]!r}); supported "
             "real decoders: PPM, BMP, PNG, GIF, JPEG (baseline + "
-            "progressive), WAV, PPM-stream, GIF-video — plug PIL/ffmpeg "
-            "for MP3/MP4"
+            "progressive), WAV, FLAC, PPM-stream, GIF-video — plug "
+            "PIL/ffmpeg for MP3/MP4"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

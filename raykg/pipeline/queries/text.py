@@ -456,6 +456,20 @@ def q_media_wav(sf_dir: str):
     return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
 
 
+def q_media_flac(sf_dir: str):
+    """REAL FLAC encode -> decode through the pipeline (`ops/flac.py`:
+    STREAMINFO + fixed-blocksize frames, CONSTANT/VERBATIM/FIXED/LPC
+    subframes, rice residuals, CRC-8/16 + audio-MD5 verified).  FLAC is
+    LOSSLESS, so arbitrary digest-derived int16 waveforms round-trip
+    bit-exactly and the SQL oracle mirrors decoded sample sums with pure
+    integer arithmetic — the strongest oracle in the media family."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_flac_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
+
+
 def q_media_mjpeg(sf_dir: str):
     """REAL MJPEG video decode through the pipeline
     (`ops/codecs.py split_mjpeg` marker-aware frame splitter +
@@ -786,6 +800,7 @@ QUERIES["media_png"] = q_media_png
 QUERIES["media_gif"] = q_media_gif
 QUERIES["media_jpeg"] = q_media_jpeg
 QUERIES["media_wav"] = q_media_wav
+QUERIES["media_flac"] = q_media_flac
 QUERIES["media_mjpeg"] = q_media_mjpeg
 QUERIES["media_ulaw"] = q_media_ulaw
 QUERIES["decontam"] = q_decontam
@@ -909,6 +924,17 @@ ORACLE_SQL["media_wav"] = f"""
            CAST(17 * nb AS BIGINT) AS n_samples,
            CAST(SUM(17 * (((d1 + 37 * b) % 256) - 128) * 13) AS BIGINT) AS sum_amp
     FROM blk GROUP BY media_id, nb
+"""
+ORACLE_SQL["media_flac"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d1, 1 + d4 % 9 AS g, 64 + d2 % 192 AS n FROM d),
+    samp AS (SELECT media_id, n,
+                    g * (((d1 + 13 * i.i) % 256) - 128) AS v
+             FROM dims, UNNEST(generate_series(0, n - 1)) i(i))
+    SELECT media_id, CAST(16000 AS INTEGER) AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_amp
+    FROM samp GROUP BY media_id, n
 """
 ORACLE_SQL["media_mjpeg"] = f"""
     WITH {_MD5_BYTES_CTE},
