@@ -381,6 +381,11 @@ def wrap_wav_ulaw(codes: bytes, rate: int = 8000) -> bytes:
     return _wrap_wav_g711(codes, rate, 0x07)
 
 
+def wrap_wav_alaw(codes: bytes, rate: int = 8000) -> bytes:
+    """Raw A-law code bytes -> WAV container (format tag 0x06)."""
+    return _wrap_wav_g711(codes, rate, 0x06)
+
+
 def encode_wav_ulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono -> G.711 mu-law WAV (format 0x07), 8 bits/sample."""
     return _wrap_wav_g711(ulaw_compress(samples).tobytes(), rate, 0x07)

@@ -231,6 +231,31 @@ def documents_to_ulaw_media(batch: pa.Table) -> pa.Table:
     )
 
 
+def documents_to_alaw_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL G.711 A-law WAV payloads (``ops/codecs.py``,
+    format 0x06 — the European telephony companding variant).
+
+    Each doc becomes 16+d3%32 code BYTES c_i = (d3 + 11*i) mod 256;
+    decode is the exact 256-entry ITU-T expansion (XOR 0x55, segment
+    shift), so a SQL oracle mirrors decoded sample sums with pure
+    integer arithmetic."""
+    from . import codecs
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        n = 16 + d[3] % 32
+        codes = ((d[3] + 11 * np.arange(n)) % 256).astype(np.uint8)
+        payloads.append(codecs.wrap_wav_alaw(codes.tobytes(), 8000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
 def documents_to_flac_media(batch: pa.Table) -> pa.Table:
     """Deterministic REAL FLAC payloads (``ops/flac.py``).
 

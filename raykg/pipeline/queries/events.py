@@ -796,3 +796,63 @@ ORACLE_SQL["value_buckets"] = """
               + (CASE WHEN e.value >= q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
     FROM events e JOIN thr USING (event_type)
 """
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user union session coverage: each event opens a session of
+    floor(value) seconds; overlapping sessions count ONCE (the
+    islands-and-gaps sweep in `ops/intervals.py` — touching intervals
+    merge).  Complements q_max_concurrent's peak with total coverage +
+    merged-island counts, one hash exchange, vectorized per-group
+    kernel."""
+    from ...ops.intervals import interval_union
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) * np.int64(1_000_000)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "s": pa.array(s, type=pa.int64()),
+                "e": pa.array(s + dur, type=pa.int64()),
+            }
+        )
+
+    iv = ev.map_batches(to_iv, batch_format="pyarrow")
+    return interval_union(iv, "user_id", "s", "e").rename_columns(
+        {"covered": "covered_us"}
+    )
+
+
+QUERIES["interval_union"] = q_interval_union
+ORACLE_SQL["interval_union"] = """
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e
+                FROM events),
+    m AS (SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+                       AS new_isl
+            FROM m),
+    g AS (SELECT user_id, s, e,
+                 SUM(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl),
+    u AS (SELECT user_id, island, MAX(e) - MIN(s) AS len
+          FROM g GROUP BY user_id, island)
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM u GROUP BY user_id
+"""

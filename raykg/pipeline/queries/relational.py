@@ -1401,3 +1401,29 @@ ORACLE_SQL["basket_rules"] = f"""
     FROM both_dir b JOIN item i ON i.l_partkey = b.ante
     WHERE 8 * b.s >= i.n
 """
+
+
+def q_part_skyline(sf_dir: str):
+    """Skyline / Pareto frontier of the part table, minimizing
+    (p_retailprice, p_size): parts for which no other part is both
+    cheaper-or-equal AND smaller-or-equal with one strict.  Block-local
+    frontier pruning (`ops/skyline.py`) shrinks each block to
+    ~O((ln n)^(d-1)) candidates before a single-block final pass — the
+    ICDE'01 skyline operator expressed as two map_batches rounds with
+    no shuffle."""
+    from ...ops.skyline import skyline
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    return skyline(parts, ["p_retailprice", "p_size"])
+
+
+QUERIES["part_skyline"] = q_part_skyline
+ORACLE_SQL["part_skyline"] = """
+    SELECT p_partkey, p_size, p_retailprice FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+"""

@@ -496,6 +496,20 @@ def q_media_ulaw(sf_dir: str):
     return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
 
 
+def q_media_alaw(sf_dir: str):
+    """REAL G.711 A-law audio decode through the pipeline
+    (`ops/codecs.py` format 0x06, the European telephony companding
+    variant): payloads are digest-derived code BYTES, decode is the
+    exact 256-entry expansion (XOR 0x55 + segment shift), so decoded
+    sample sums are mirrored in SQL by reproducing the expansion
+    formula in integer arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_alaw_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
+
+
 def q_media_gif(sf_dir: str):
     """REAL multi-frame GIF encode -> LZW decode through the pipeline
     (`ops/codecs.py:decode_gif_frames`): digest-derived 16-gray gradient
@@ -803,6 +817,7 @@ QUERIES["media_wav"] = q_media_wav
 QUERIES["media_flac"] = q_media_flac
 QUERIES["media_mjpeg"] = q_media_mjpeg
 QUERIES["media_ulaw"] = q_media_ulaw
+QUERIES["media_alaw"] = q_media_alaw
 QUERIES["decontam"] = q_decontam
 QUERIES["redact"] = q_redact
 QUERIES["repetition"] = q_repetition
@@ -966,6 +981,26 @@ ORACLE_SQL["media_ulaw"] = f"""
            CAST(SUM(CASE WHEN neg THEN 132 - t ELSE t - 132 END) AS BIGINT)
                AS sum_amp
     FROM ex GROUP BY media_id, n
+"""
+ORACLE_SQL["media_alaw"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d3, 16 + d3 % 32 AS n FROM d),
+    codes AS (SELECT media_id, n, (d3 + 11 * i.i) % 256 AS c
+              FROM dims, UNNEST(generate_series(0, n - 1)) i(i)),
+    -- ITU-T G.711 A-law expansion in integer arithmetic:
+    -- v = c XOR 0x55; seg = (v>>4)&7; mant = (v&15)<<4
+    -- mag = seg=0 ? mant+8 : (mant+0x108) << (seg-1); sign bit = positive
+    ex AS (SELECT media_id, n, xor(c, 85) AS v FROM codes),
+    mg AS (SELECT media_id, n, v,
+                  CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                       ELSE ((v % 16) * 16 + 264) * (1 << ((v // 16) % 8 - 1))
+                  END AS mag
+           FROM ex)
+    SELECT media_id, CAST(8000 AS INTEGER) AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN v >= 128 THEN mag ELSE -mag END) AS BIGINT)
+               AS sum_amp
+    FROM mg GROUP BY media_id, n
 """
 ORACLE_SQL["media_gif"] = f"""
     WITH {_MD5_BYTES_CTE},
