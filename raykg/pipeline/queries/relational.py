@@ -1427,3 +1427,55 @@ ORACLE_SQL["part_skyline"] = """
         WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
           AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
 """
+
+
+def q_lineitem_spearman(sf_dir: str):
+    """Spearman rank correlation of quantity vs extended price with
+    tie-AVERAGED ranks, computed without ever ranking rows directly:
+    distinct-value counts -> prefix scan over distinct values ->
+    bucketed join-back -> streaming moment partials (`ops/spearman.py`).
+    The rank side of the join can be near row-cardinality for the price
+    column, so the join is bucketed, not broadcast."""
+    from ...ops.spearman import spearman
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    return spearman(li, "l_quantity", "l_extendedprice")
+
+
+def q_order_gini(sf_dir: str):
+    """Per-priority Gini coefficient of order value (the inequality
+    index: 2*sum(i*x_(i))/(n*sum x) - (n+1)/n over ascending order
+    totals) — one hash exchange via the sharded-groupby combinator, a
+    single vectorized lexsort + cumcount kernel per shard
+    (`ops/gini.py`)."""
+    from ...ops.gini import gini_by
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return gini_by(orders, ["o_orderpriority"], "o_totalprice")
+
+
+QUERIES["lineitem_spearman"] = q_lineitem_spearman
+QUERIES["order_gini"] = q_order_gini
+ORACLE_SQL["lineitem_spearman"] = """
+    WITH r AS (SELECT
+        RANK() OVER (ORDER BY l_quantity)
+            + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+        RANK() OVER (ORDER BY l_extendedprice)
+            + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+        FROM lineitem)
+    SELECT ROUND(corr(rx, ry), 6) AS spearman_rho FROM r
+"""
+ORACLE_SQL["order_gini"] = """
+    WITH r AS (SELECT o_orderpriority, o_totalprice AS v,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice) AS i
+               FROM orders)
+    SELECT o_orderpriority,
+           ROUND(2.0 * SUM(i * v) / (COUNT(*) * SUM(v))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r GROUP BY o_orderpriority
+"""

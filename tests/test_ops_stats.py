@@ -1,0 +1,74 @@
+"""Spearman (tie-averaged ranks) and per-group Gini vs brute force."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from raykg.ops.gini import gini_by
+from raykg.ops.spearman import spearman
+
+
+def avg_ranks(x):
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty(len(x), dtype=np.float64)
+    pos = np.arange(1, len(x) + 1, dtype=np.float64)
+    xs = x[order]
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j] == xs[i]:
+            j += 1
+        ranks[order[i:j]] = pos[i:j].mean()
+        i = j
+    return ranks
+
+
+def pearson(a, b):
+    a = a - a.mean()
+    b = b - b.mean()
+    return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+
+
+def test_spearman_matches_brute_force_with_ties():
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 12, 800).astype(np.float64)  # heavy ties
+    y = x * 3 + rng.integers(0, 40, 800)  # correlated, its own ties
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(7)
+    got = spearman(ds, "x", "y")["spearman_rho"][0].as_py()
+    expect = round(pearson(avg_ranks(x), avg_ranks(y)), 6)
+    assert got == expect
+
+
+def test_spearman_perfect_monotone():
+    x = np.arange(100, dtype=np.float64)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": np.exp(x / 30)}))
+    assert spearman(ds, "x", "y")["spearman_rho"][0].as_py() == 1.0
+    ds2 = ray.data.from_arrow(pa.table({"x": x, "y": -x}))
+    assert spearman(ds2, "x", "y")["spearman_rho"][0].as_py() == -1.0
+
+
+def brute_gini(v):
+    v = np.sort(np.asarray(v, dtype=np.float64))
+    n = len(v)
+    i = np.arange(1, n + 1)
+    return 2.0 * (i * v).sum() / (n * v.sum()) - (n + 1.0) / n
+
+
+def test_gini_by_matches_brute_force():
+    rng = np.random.default_rng(21)
+    keys = rng.choice(["a", "b", "c"], 600)
+    vals = rng.exponential(100.0, 600) + 1.0
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(5)
+    out = gini_by(ds, ["k"], "v").to_pandas().set_index("k")["gini"]
+    for k in "abc":
+        assert out[k] == round(brute_gini(vals[keys == k]), 6)
+
+
+def test_gini_extremes():
+    # all-equal values -> 0 inequality; one-owner -> (n-1)/n
+    eq = ray.data.from_arrow(pa.table({"k": ["x"] * 50, "v": [7.0] * 50}))
+    assert gini_by(eq, ["k"], "v").to_pandas()["gini"][0] == 0.0
+    one = ray.data.from_arrow(
+        pa.table({"k": ["x"] * 10, "v": [0.0] * 9 + [100.0]})
+    )
+    assert gini_by(one, ["k"], "v").to_pandas()["gini"][0] == round(9 / 10, 6)
