@@ -52,9 +52,11 @@ def _block_sum(block, value_col: str, sort_keys):
     from ray.data.block import BlockAccessor
 
     t = BlockAccessor.for_block(block).to_arrow()
-    v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    if t.num_rows == 0:
+    # Sort can emit empty blocks with an EMPTY (zero-column) schema at
+    # larger block counts — treat any block without the column as empty.
+    if t.num_rows == 0 or value_col not in t.column_names:
         return None, 0
+    v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
     first = tuple(t[k][0].as_py() for k in sort_keys)
     return first, int(v.sum())
 

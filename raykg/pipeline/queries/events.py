@@ -856,3 +856,27 @@ ORACLE_SQL["interval_union"] = """
            CAST(COUNT(*) AS BIGINT) AS n_islands
     FROM u GROUP BY user_id
 """
+
+
+def q_type_entropy(sf_dir: str):
+    """Per-event-type Shannon entropy (nats) of its user distribution —
+    how concentrated each event type is on few users.  (type, user)
+    pair counts via the sharded-groupby combinator (pair cardinality
+    scales with data), then additive (Σc, Σ c·ln c) partials folded per
+    type (`ops/entropy.py`); H = ln N - Σ c·ln c / N."""
+    from ...ops.entropy import group_entropy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return group_entropy(ev, ["event_type"], "user_id")
+
+
+QUERIES["type_entropy"] = q_type_entropy
+ORACLE_SQL["type_entropy"] = """
+    WITH c AS (SELECT event_type, user_id, COUNT(*) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+    FROM c GROUP BY event_type
+"""

@@ -1431,11 +1431,12 @@ ORACLE_SQL["part_skyline"] = """
 
 def q_lineitem_spearman(sf_dir: str):
     """Spearman rank correlation of quantity vs extended price with
-    tie-AVERAGED ranks, computed without ever ranking rows directly:
-    distinct-value counts -> prefix scan over distinct values ->
-    bucketed join-back -> streaming moment partials (`ops/spearman.py`).
-    The rank side of the join can be near row-cardinality for the price
-    column, so the join is bucketed, not broadcast."""
+    tie-AVERAGED ranks via rank-by-sort (`ops/rank.with_avg_ranks`):
+    one range-partitioned sort per column, block-local tie ranks with a
+    driver-merged boundary fix-up, streaming moment partials
+    (`ops/spearman.py`).  No joins — the value->rank table of the price
+    column is near row-cardinality, so a join-back plan would ship the
+    corpus twice more."""
     from ...ops.spearman import spearman
 
     li = ray.data.read_parquet(
@@ -1458,8 +1459,35 @@ def q_order_gini(sf_dir: str):
     return gini_by(orders, ["o_orderpriority"], "o_totalprice")
 
 
+def q_order_ranksum(sf_dir: str):
+    """Mann-Whitney U (rank-sum) of order value between URGENT and LOW
+    priorities — tie-averaged ranks of the combined sample via
+    rank-by-sort (the group column rides along through the sort),
+    two-row per-batch rank-sum partials (`ops/ranktest.py`);
+    U = R - n(n+1)/2."""
+    from ...ops.ranktest import rank_sum_test
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return rank_sum_test(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
 QUERIES["lineitem_spearman"] = q_lineitem_spearman
 QUERIES["order_gini"] = q_order_gini
+QUERIES["order_ranksum"] = q_order_ranksum
+ORACLE_SQL["order_ranksum"] = """
+    WITH f AS (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         r AS (SELECT grp, RANK() OVER (ORDER BY v)
+                           + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk
+               FROM f)
+    SELECT grp, COUNT(*) AS n, ROUND(SUM(rk), 2) AS rank_sum,
+           ROUND(SUM(rk) - COUNT(*) * (COUNT(*) + 1.0) / 2.0, 2) AS u_stat
+    FROM r GROUP BY grp
+"""
 ORACLE_SQL["lineitem_spearman"] = """
     WITH r AS (SELECT
         RANK() OVER (ORDER BY l_quantity)

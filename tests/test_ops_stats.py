@@ -72,3 +72,30 @@ def test_gini_extremes():
         pa.table({"k": ["x"] * 10, "v": [0.0] * 9 + [100.0]})
     )
     assert gini_by(one, ["k"], "v").to_pandas()["gini"][0] == round(9 / 10, 6)
+
+
+def test_with_avg_ranks_cross_block_ties():
+    from raykg.ops.rank import with_avg_ranks
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 9, 500).astype(np.float64)  # runs WILL span blocks
+    ds = ray.data.from_arrow(
+        pa.table({"x": x, "tag": np.arange(500)})
+    ).repartition(11)
+    out = with_avg_ranks(ds, "x", "r").to_pandas().sort_values("tag")
+    expect = avg_ranks(x)
+    assert np.array_equal(out["r"].to_numpy(), expect)
+
+
+def test_with_avg_ranks_single_value_and_nulls():
+    from raykg.ops.rank import with_avg_ranks
+
+    one = ray.data.from_arrow(pa.table({"x": [4.0] * 40})).repartition(4)
+    got = with_avg_ranks(one, "x", "r").to_pandas()["r"]
+    assert (got == 20.5).all()  # (1+40)/2 for a single 40-way tie
+
+    withnull = ray.data.from_arrow(pa.table({"x": [1.0, None, 3.0]}))
+    import pytest
+
+    with pytest.raises(ValueError, match="null"):
+        with_avg_ranks(withnull, "x", "r").materialize()
