@@ -103,6 +103,46 @@ _KEEP_WHOLE_EXC = {
         "em.", "ko.", "ml.", "pl.", "nk.", "ns.", "tms.", "prof.",
         "oy.", "ry.",
     },
+    "pl": {
+        "np.", "itp.", "itd.", "tzn.", "tzw.", "m.in.", "ok.", "ul.",
+        "św.", "dr.", "prof.", "nr.", "godz.", "tys.", "zł.", "ws.",
+        "cd.", "jw.", "ds.", "woj.", "płd.", "płn.", "wsch.", "zach.",
+    },
+    "cs": {
+        "např.", "tzv.", "atd.", "apod.", "tj.", "č.", "str.", "mj.",
+        "popř.", "resp.", "tzn.", "sv.", "mil.", "mld.", "Kč.", "vč.",
+        "příp.", "zvl.", "okr.", "hl.",
+    },
+    "ru": {
+        "т.е.", "т.д.", "т.п.", "напр.", "см.", "стр.", "гл.", "ул.",
+        "тыс.", "млн.", "млрд.", "др.", "проф.", "им.", "обл.", "гг.",
+        "руб.", "коп.", "пр.", "т.к.", "т.н.",
+    },
+    "ro": {
+        "etc.", "ex.", "d-na.", "dl.", "nr.", "pag.", "str.", "tel.",
+        "aprox.", "î.Hr.", "d.Hr.", "sec.", "art.", "alin.", "lit.",
+        "vol.", "cap.",
+    },
+    "tr": {
+        "Dr.", "Prof.", "Doç.", "vb.", "vs.", "örn.", "yy.", "Sok.",
+        "Cad.", "Apt.", "No.", "Tel.", "bkz.", "age.", "sf.", "Alb.",
+        "Gen.", "Av.", "Şti.", "A.Ş.",
+    },
+    "ca": {
+        "etc.", "p.ex.", "Sr.", "Sra.", "Dr.", "Dra.", "núm.", "pàg.",
+        "av.", "tel.", "aprox.", "St.", "Sta.", "c/e.", "dept.",
+        "àngl.", "esq.",
+    },
+    "hu": {
+        "pl.", "stb.", "kb.", "ún.", "ill.", "db.", "dr.", "prof.",
+        "ifj.", "özv.", "krt.", "tel.", "vö.", "ua.", "uo.", "kft.",
+        "bt.", "sz.", "vsz.", "máj.", "szept.",
+    },
+    "id": {
+        "dll.", "dsb.", "dst.", "tgl.", "tsb.", "yg.", "dgn.", "kpd.",
+        "a.n.", "s.d.", "u.p.", "hlm.", "no.", "tel.", "jl.", "dr.",
+        "drs.", "prof.", "thn.", "dkk.",
+    },
 }
 _SPLIT_EXC = {
     "de": {

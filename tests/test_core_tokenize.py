@@ -220,3 +220,29 @@ def test_tokenize_exotic_ascii_whitespace_fastpath_parity():
             assert Tokenizer("en").tokenize(text) == Tokenizer(
                 "en", strict=True
             ).tokenize(text), repr(text)
+
+
+def test_tokenize_slavic_abbreviations():
+    # pl/cs/ru keep-whole exception sets (same shared mechanism)
+    assert toks("Kup np. chleb, m.in. dzisiaj.", lang="pl") == [
+        "Kup", "np.", "chleb", ",", "m.in.", "dzisiaj", "."]
+    assert toks("Kupte např. chléb, atd. dnes.", lang="cs") == [
+        "Kupte", "např.", "chléb", ",", "atd.", "dnes", "."]
+    assert toks("Купи напр. хлеб, т.д. сегодня.", lang="ru") == [
+        "Купи", "напр.", "хлеб", ",", "т.д.", "сегодня", "."]
+
+
+def test_tokenize_ro_tr_ca_hu_id_abbreviations():
+    assert toks("Vezi pag. 3, aprox. acum.", lang="ro") == [
+        "Vezi", "pag.", "3", ",", "aprox.", "acum", "."]
+    assert toks("Detay için bkz. sayfa, vb. şeyler.", lang="tr") == [
+        "Detay", "için", "bkz.", "sayfa", ",", "vb.", "şeyler", "."]
+    assert toks("Vegeu p.ex. la pàg. cinc.", lang="ca") == [
+        "Vegeu", "p.ex.", "la", "pàg.", "cinc", "."]
+    assert toks("Hozz pl. kenyeret, kb. ötöt.", lang="hu") == [
+        "Hozz", "pl.", "kenyeret", ",", "kb.", "ötöt", "."]
+    assert toks("Beli dll. barang, tgl. lima.", lang="id") == [
+        "Beli", "dll.", "barang", ",", "tgl.", "lima", "."]
+    # catalan elision still splits (shared elision path unaffected)
+    assert toks("l'home d'aigua", lang="ca") == [
+        "l'", "home", "d'", "aigua"]
