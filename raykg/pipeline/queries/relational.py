@@ -1507,3 +1507,60 @@ ORACLE_SQL["order_gini"] = """
                  - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
     FROM r GROUP BY o_orderpriority
 """
+
+
+def q_order_chi2(sf_dir: str):
+    """Chi-square independence test of order priority vs order status —
+    observed-cells-only via the identity sum((o-e)^2/e) = sum(o^2/e) - n
+    (`ops/contingency.py`); per-batch vectorized pair counts, bounded
+    categorical grid, 9x3-row driver fold."""
+    from ...ops.contingency import chi_square
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    return chi_square(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_price_benford(sf_dir: str):
+    """Benford leading-digit audit of extended price: exact integer
+    digit extraction (scale to cents, vectorized integer division —
+    never floor(log10), whose float error flips digits of exact powers
+    of ten), 9-bin per-batch histograms, zero exchanges
+    (`ops/digits.py`)."""
+    from ...ops.digits import benford_digits
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return benford_digits(li, "l_extendedprice")
+
+
+QUERIES["order_chi2"] = q_order_chi2
+QUERIES["price_benford"] = q_price_benford
+ORACLE_SQL["order_chi2"] = """
+    WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                      CAST(COUNT(*) AS DOUBLE) AS c
+               FROM orders GROUP BY 1, 2),
+    ta AS (SELECT a, SUM(c) AS t FROM c GROUP BY a),
+    tb AS (SELECT b, SUM(c) AS t FROM c GROUP BY b),
+    tn AS (SELECT SUM(c) AS n FROM c)
+    SELECT ROUND(SUM(c.c * c.c / (ta.t * tb.t / tn.n)) - ANY_VALUE(tn.n), 6)
+               AS chi2,
+           CAST(((SELECT COUNT(*) FROM ta) - 1)
+                * ((SELECT COUNT(*) FROM tb) - 1) AS BIGINT) AS dof
+    FROM c JOIN ta USING (a) JOIN tb USING (b) CROSS JOIN tn
+"""
+ORACLE_SQL["price_benford"] = """
+    WITH i AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+               FROM lineitem
+               WHERE CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) > 0),
+    d AS (SELECT CAST(SUBSTR(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM i),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    g AS (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit)
+    SELECT g.digit, COALESCE(c.n, 0) AS n,
+           ROUND(COALESCE(c.n, 0) / (SELECT SUM(n) FROM c), 6) AS p,
+           ROUND(LN(1.0 + 1.0 / g.digit) / LN(10.0), 6) AS benford_p
+    FROM g LEFT JOIN c USING (digit) ORDER BY g.digit
+"""

@@ -99,3 +99,31 @@ def test_with_avg_ranks_single_value_and_nulls():
 
     with pytest.raises(ValueError, match="null"):
         with_avg_ranks(withnull, "x", "r").materialize()
+
+
+def test_chi_square_brute_force():
+    from raykg.ops.contingency import chi_square
+
+    rng = np.random.default_rng(5)
+    a = rng.choice(["x", "y", "z"], 700)
+    b = rng.choice(["p", "q"], 700)
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(6)
+    out = chi_square(ds, "a", "b")
+    ct = pd.crosstab(pd.Series(a), pd.Series(b)).to_numpy(dtype=np.float64)
+    e = ct.sum(1, keepdims=True) * ct.sum(0, keepdims=True) / ct.sum()
+    assert out["chi2"][0].as_py() == round(float(((ct - e) ** 2 / e).sum()), 6)
+    assert out["dof"][0].as_py() == 2
+
+
+def test_benford_exact_digits():
+    from raykg.ops.digits import benford_digits
+
+    # exact powers of ten are the floor(log10) trap: 10.00 -> digit 1
+    vals = [10.0, 100.0, 1000.0, 0.01, 9.99, 0.004, -5.0, 2.5]
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    out = benford_digits(ds, "v").to_pandas().set_index("digit")
+    # cents scaling: 1000,10000,100000,1,999,0(dropped),-500(dropped),250
+    assert out.loc[1, "n"] == 4  # 10.0, 100.0, 1000.0, 0.01
+    assert out.loc[9, "n"] == 1  # 9.99
+    assert out.loc[2, "n"] == 1  # 2.5
+    assert out["n"].sum() == 6
