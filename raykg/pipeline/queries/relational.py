@@ -1564,3 +1564,38 @@ ORACLE_SQL["price_benford"] = """
            ROUND(LN(1.0 + 1.0 / g.digit) / LN(10.0), 6) AS benford_p
     FROM g LEFT JOIN c USING (digit) ORDER BY g.digit
 """
+
+
+def q_cust_kendall(sf_dir: str):
+    """Exact Kendall tau-b between customer nation (bounded categorical
+    side) and account balance — one sort(y) exchange, per-block sparse
+    x-histograms, driver-merged cross-block y-tie groups, vectorized
+    prefix-histogram C/D scan (`ops/kendall.py`).  The general inversion
+    count doesn't distribute; the bounded-K contract is documented and
+    enforced (loud error above 4096 distinct)."""
+    from ...ops.kendall import kendall_tau
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    return kendall_tau(cust, "c_nationkey", "c_acctbal")
+
+
+QUERIES["cust_kendall"] = q_cust_kendall
+ORACLE_SQL["cust_kendall"] = """
+    WITH p AS (SELECT a.c_nationkey AS x1, a.c_acctbal AS y1,
+                      b.c_nationkey AS x2, b.c_acctbal AS y2
+               FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey),
+    s AS (SELECT
+            SUM(CASE WHEN (x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2)
+                     THEN 1 ELSE 0 END) AS c,
+            SUM(CASE WHEN (x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2)
+                     THEN 1 ELSE 0 END) AS d,
+            SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS nx,
+            SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS ny,
+            COUNT(*) AS n0
+          FROM p)
+    SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           ROUND((c - d) / SQRT((n0 - nx) * (n0 - ny)), 6) AS kendall_tau
+    FROM s
+"""

@@ -127,3 +127,48 @@ def test_benford_exact_digits():
     assert out.loc[9, "n"] == 1  # 9.99
     assert out.loc[2, "n"] == 1  # 2.5
     assert out["n"].sum() == 6
+
+
+def brute_kendall(x, y):
+    n = len(x)
+    C = D = nx = ny = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if x[i] == x[j]:
+                nx += 1
+            if y[i] == y[j]:
+                ny += 1
+            if x[i] != x[j] and y[i] != y[j]:
+                if (x[i] < x[j]) == (y[i] < y[j]):
+                    C += 1
+                else:
+                    D += 1
+    n0 = n * (n - 1) / 2
+    return C, D, round((C - D) / np.sqrt((n0 - nx) * (n0 - ny)), 6)
+
+
+def test_kendall_matches_brute_force_with_ties():
+    from raykg.ops.kendall import kendall_tau
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 6, 400).astype(np.int64)      # heavy x ties
+    y = (x * 2 + rng.integers(0, 10, 400)).astype(np.float64)  # y ties too
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(9)
+    out = kendall_tau(ds, "x", "y")
+    C, D, tau = brute_kendall(x, y)
+    assert out["concordant"][0].as_py() == C
+    assert out["discordant"][0].as_py() == D
+    assert out["kendall_tau"][0].as_py() == tau
+
+
+def test_kendall_cross_block_y_tie_chain():
+    from raykg.ops.kendall import kendall_tau
+
+    # one giant y-tie group spanning many blocks, plus outliers
+    x = np.concatenate([np.arange(5).repeat(40), [0, 4]])
+    y = np.concatenate([np.full(200, 7.0), [1.0, 9.0]])
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(13)
+    out = kendall_tau(ds, "x", "y")
+    C, D, tau = brute_kendall(x, y)
+    assert (out["concordant"][0].as_py(), out["discordant"][0].as_py()) == (C, D)
+    assert out["kendall_tau"][0].as_py() == tau
