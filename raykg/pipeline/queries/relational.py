@@ -1599,3 +1599,36 @@ ORACLE_SQL["cust_kendall"] = """
            ROUND((c - d) / SQRT((n0 - nx) * (n0 - ny)), 6) AS kendall_tau
     FROM s
 """
+
+
+def q_price_regression(sf_dir: str):
+    """Per-returnflag OLS regression of extended price on quantity
+    (slope ~ average unit price): six additive moments from per-batch
+    vectorized grouped partials, zero exchanges, driver combine over
+    the bounded flag set (`ops/regress.py`)."""
+    from ...ops.regress import linreg_by
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return linreg_by(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+QUERIES["price_regression"] = q_price_regression
+ORACLE_SQL["price_regression"] = """
+    WITH m AS (SELECT l_returnflag,
+                      CAST(COUNT(*) AS DOUBLE) AS n,
+                      SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                      SUM(l_quantity * l_quantity) AS sxx,
+                      SUM(l_extendedprice * l_extendedprice) AS syy,
+                      SUM(l_quantity * l_extendedprice) AS sxy
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+"""

@@ -172,3 +172,22 @@ def test_kendall_cross_block_y_tie_chain():
     C, D, tau = brute_kendall(x, y)
     assert (out["concordant"][0].as_py(), out["discordant"][0].as_py()) == (C, D)
     assert out["kendall_tau"][0].as_py() == tau
+
+
+def test_linreg_matches_polyfit():
+    from raykg.ops.regress import linreg_by
+
+    rng = np.random.default_rng(31)
+    k = rng.choice(["a", "b"], 500)
+    x = rng.uniform(0, 10, 500)
+    y = 3.0 * x + 2.0 + rng.normal(0, 0.5, 500)
+    ds = ray.data.from_arrow(pa.table({"k": k, "x": x, "y": y})).repartition(6)
+    out = linreg_by(ds, ["k"], "x", "y").to_pandas().set_index("k")
+    for g in "ab":
+        m = k == g
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        assert abs(out.loc[g, "slope"] - slope) < 1e-6
+        assert abs(out.loc[g, "intercept"] - intercept) < 1e-6
+        r = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(out.loc[g, "r2"] - r * r) < 1e-6
+        assert out.loc[g, "n"] == m.sum()
