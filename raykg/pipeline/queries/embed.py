@@ -363,3 +363,47 @@ ORACLE_SQL["neighbor_mean"] = """
     FROM e JOIN part p ON p.p_partkey = e.d
     GROUP BY e.s
 """
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: for each query vector, the
+    HIGHEST-cosine neighbor below the near-duplicate threshold (0.9) —
+    self (1.0) and planted near-dups (~0.9987) are excluded by the
+    threshold, leaving the hardest true negative.  Composes the
+    distributed brute top-k (batch-local partials -> tiny per-query
+    fold) with a driver-side filter over the k x queries result table."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qtab = qtab[qtab["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
+    q = np.array(qtab["embedding"].tolist(), dtype=np.float64)
+    # depth budget: the sub-threshold row must survive the top-k cut even
+    # if a query has several >=0.9 near-dups above it
+    top = sim_ops.topk_cosine(
+        emb, q, qtab["vec_id"].tolist(), k=ANN_K + 8, concurrency=(1, 4)
+    ).to_pandas()
+    neg = top[top["score"] < 0.9].sort_values(["query_id", "rank"])
+    neg = neg.groupby("query_id", sort=True).head(1)
+    import pyarrow as _pa
+
+    return _pa.Table.from_pandas(
+        neg[["query_id", "vec_id", "score"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLE_SQL["hard_negatives"] = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
+    s AS (SELECT q.qid AS query_id, e.vec_id,
+                 round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+                     AS score
+          FROM q, embeddings e),
+    r AS (SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM s WHERE score < 0.9)
+    SELECT query_id, vec_id, score FROM r WHERE rn = 1
+"""
