@@ -143,6 +143,25 @@ _KEEP_WHOLE_EXC = {
         "a.n.", "s.d.", "u.p.", "hlm.", "no.", "tel.", "jl.", "dr.",
         "drs.", "prof.", "thn.", "dkk.",
     },
+    "hr": {
+        "itd.", "npr.", "tzv.", "tj.", "str.", "br.", "sv.", "tis.",
+        "mil.", "mlrd.", "dr.", "prof.", "god.", "st.", "čl.", "sl.",
+        "o.g.", "d.o.o.",
+    },
+    "uk": {
+        "напр.", "див.", "Див.", "табл.", "вул.", "грн.", "тис.",
+        "млн.", "млрд.", "обл.", "ст.", "ім.", "т.д.", "т.п.",
+        "проф.", "гл.", "рис.",
+    },
+    "el": {
+        "π.χ.", "κ.λπ.", "κ.ά.", "βλ.", "σελ.", "κεφ.", "αρ.",
+        "τηλ.", "δηλ.", "κ.ο.κ.", "μ.Χ.", "π.Χ.", "λ.χ.", "κτλ.",
+    },
+    "bg": {
+        "напр.", "т.е.", "т.н.", "вж.", "Вж.", "стр.", "ул.", "гр.",
+        "лв.", "хил.", "млн.", "млрд.", "проф.", "др.", "вкл.",
+        "тел.",
+    },
 }
 _SPLIT_EXC = {
     "de": {

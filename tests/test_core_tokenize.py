@@ -246,3 +246,14 @@ def test_tokenize_ro_tr_ca_hu_id_abbreviations():
     # catalan elision still splits (shared elision path unaffected)
     assert toks("l'home d'aigua", lang="ca") == [
         "l'", "home", "d'", "aigua"]
+
+
+def test_tokenize_hr_uk_el_bg_abbreviations():
+    assert toks("Kupi npr. kruh, itd. danas.", lang="hr") == [
+        "Kupi", "npr.", "kruh", ",", "itd.", "danas", "."]
+    assert toks("Див. табл. нижче, напр. тут.", lang="uk") == [
+        "Див.", "табл.", "нижче", ",", "напр.", "тут", "."]
+    assert toks("Δες π.χ. τη σελ. πέντε.", lang="el") == [
+        "Δες", "π.χ.", "τη", "σελ.", "πέντε", "."]
+    assert toks("Вж. стр. пет, напр. сега.", lang="bg") == [
+        "Вж.", "стр.", "пет", ",", "напр.", "сега", "."]
