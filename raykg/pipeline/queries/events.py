@@ -880,3 +880,31 @@ ORACLE_SQL["type_entropy"] = """
            ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
     FROM c GROUP BY event_type
 """
+
+
+def q_value_ewma(sf_dir: str):
+    """Per-user EWMA (alpha = 0.3, adjust=False recurrence;
+    0.3 is deliberately NOT binary-exact — a dyadic alpha like 0.25
+    produces values landing exactly on 6-digit rounding boundaries,
+    where numpy half-even and SQL half-away disagree) of event
+    value in (ts, event_id) order — one hash exchange, the recurrence
+    runs on pandas' C grouped ewm inside the shard (`ops/ewma.py`);
+    state never crosses shards."""
+    from ...ops.ewma import ewma_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return ewma_by(
+        ev, "user_id", ["ts", "event_id"], "value", 0.3,
+        id_cols=["event_id"],
+    )
+
+
+QUERIES["value_ewma"] = q_value_ewma
+# No SQL mirror by design (the logistic_fit precedent): the recurrence
+# y_t = 0.3 x_t + 0.7 y_{t-1} and the closed-form POWER sum are different
+# float paths — measured 2/10k rows landing within ~1e-10 of a 6-digit
+# rounding boundary and flipping. Driver records the rows-only check;
+# exactness is pinned in test_ops_stats vs a pure-Python recurrence.

@@ -191,3 +191,30 @@ def test_linreg_matches_polyfit():
         r = np.corrcoef(x[m], y[m])[0, 1]
         assert abs(out.loc[g, "r2"] - r * r) < 1e-6
         assert out.loc[g, "n"] == m.sum()
+
+
+def test_ewma_matches_python_recurrence():
+    from raykg.ops.ewma import ewma_by
+
+    rng = np.random.default_rng(41)
+    key = rng.integers(0, 7, 600)
+    ts = rng.permutation(600)
+    val = rng.uniform(0, 200, 600)
+    rid = np.arange(600)
+    ds = ray.data.from_arrow(
+        pa.table({"k": key, "t": ts, "v": val, "rid": rid})
+    ).repartition(8)
+    out = (
+        ewma_by(ds, "k", ["t", "rid"], "v", 0.3, id_cols=["rid"])
+        .to_pandas().set_index("rid")["ewma"]
+    )
+    for g in range(7):
+        m = key == g
+        order = np.argsort(ts[m], kind="stable")
+        xs = val[m][order]
+        ids = rid[m][order]
+        y = xs[0]
+        assert out[ids[0]] == round(y, 6)
+        for x, i in zip(xs[1:], ids[1:]):
+            y = 0.3 * x + 0.7 * y
+            assert out[i] == round(y, 6)
