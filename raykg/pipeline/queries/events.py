@@ -908,3 +908,50 @@ QUERIES["value_ewma"] = q_value_ewma
 # float paths — measured 2/10k rows landing within ~1e-10 of a 6-digit
 # rounding boundary and flipping. Driver records the rows-only check;
 # exactness is pinned in test_ops_stats vs a pure-Python recurrence.
+
+
+def q_user_survival(sf_dir: str):
+    """Kaplan-Meier survival over inter-event gaps (time-to-next-event
+    per user, integer-hour durations; the gap after a user's last event
+    is right-censored at the observed span end).  One sharded exchange
+    for the grouped shift, bounded (duration, observed) count partials,
+    exp(cumsum(log(1 - d/n))) in the SAME op order as the SQL window
+    mirror (`ops/survival.py`)."""
+    from ...ops.survival import km_gap_curve
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return km_gap_curve(ev, "user_id", "ts")
+
+
+QUERIES["user_survival"] = q_user_survival
+ORACLE_SQL["user_survival"] = """
+    WITH sp AS (SELECT epoch_us(MAX(ts)) AS mx FROM events),
+    g AS (SELECT user_id, epoch_us(ts) AS t,
+                 LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS nxt
+          FROM events),
+    e AS (SELECT CASE WHEN nxt IS NULL
+                      THEN ((SELECT mx FROM sp) - t) // 3600000000
+                      ELSE (nxt - t) // 3600000000 END AS duration_h,
+                 nxt IS NOT NULL AS observed
+          FROM g),
+    c AS (SELECT duration_h, COUNT(*) AS exits,
+                 SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS deaths
+          FROM e GROUP BY duration_h),
+    k AS (SELECT duration_h, deaths,
+                 (SELECT COUNT(*) FROM e)
+                     - COALESCE(SUM(exits) OVER (ORDER BY duration_h
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_risk
+          FROM c),
+    s AS (SELECT duration_h, n_risk, deaths,
+                 EXP(SUM(CASE WHEN deaths >= n_risk THEN -1e30
+                              ELSE LN(1.0 - deaths * 1.0 / n_risk) END)
+                     OVER (ORDER BY duration_h)) AS sv
+          FROM k)
+    SELECT duration_h, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(deaths AS BIGINT) AS deaths, ROUND(sv, 6) AS survival
+    FROM s WHERE deaths > 0
+"""

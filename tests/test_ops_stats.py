@@ -218,3 +218,44 @@ def test_ewma_matches_python_recurrence():
         for x, i in zip(xs[1:], ids[1:]):
             y = 0.3 * x + 0.7 * y
             assert out[i] == round(y, 6)
+
+
+def test_km_gap_curve_brute_force():
+    from raykg.ops.survival import km_gap_curve
+
+    rng = np.random.default_rng(77)
+    users = rng.integers(0, 12, 300)
+    base = np.int64(1_700_000_000_000_000)
+    tss = base + rng.choice(10**9, 300, replace=False).astype(np.int64) * 3600
+    ds = ray.data.from_arrow(
+        pa.table({"u": users, "ts": pa.array(tss, type=pa.timestamp("us"))})
+    ).repartition(7)
+    out = km_gap_curve(ds, "u", "ts").to_pandas()
+
+    # brute force
+    mx = tss.max()
+    durs, obs = [], []
+    for u in np.unique(users):
+        t = np.sort(tss[users == u])
+        gaps = np.diff(t)
+        durs += list(gaps // 3_600_000_000) + [(mx - t[-1]) // 3_600_000_000]
+        obs += [True] * len(gaps) + [False]
+    df = pd.DataFrame({"d": durs, "o": obs})
+    tab = df.groupby(["d", "o"]).size().unstack(fill_value=0).reindex(
+        columns=[False, True], fill_value=0).sort_index()
+    total = tab.to_numpy().sum()
+    exits = tab.sum(1).to_numpy()
+    deaths = tab[True].to_numpy(float)
+    n_risk = total - np.concatenate([[0], np.cumsum(exits[:-1])])
+    s = 1.0
+    expect = {}
+    for dd, dth, nr in zip(tab.index, deaths, n_risk):
+        if dth > 0:
+            s *= 1.0 - dth / nr
+            expect[dd] = (int(nr), int(dth), s)
+    got = out.set_index("duration_h")
+    assert set(got.index) == set(expect)
+    for dd, (nr, dth, sv) in expect.items():
+        assert got.loc[dd, "n_risk"] == nr and got.loc[dd, "deaths"] == dth
+        assert abs(got.loc[dd, "survival"] - sv) < 2e-6
+    assert (got["survival"].diff().dropna() <= 0).all()  # monotone curve
