@@ -234,6 +234,19 @@ def run_bench() -> dict:
     timed("media_mjpeg")
     timed("media_wav")
     timed("media_ulaw")
+    # round-4 second-session additions: the statistical-test family,
+    # contrastive hard negatives, EWMA streaming window, KM survival
+    timed("lineitem_spearman", consume=len)
+    timed("order_ranksum", consume=len)
+    timed("order_gini")
+    timed("type_entropy")
+    timed("order_chi2", consume=len)
+    timed("price_benford", consume=len)
+    timed("cust_kendall", consume=len)
+    timed("price_regression", consume=len)
+    timed("hard_negatives", consume=len)
+    timed("value_ewma")
+    timed("user_survival", consume=len)
 
     headline = timings["triples_scaled"]
     result = {
