@@ -955,3 +955,45 @@ ORACLE_SQL["user_survival"] = """
            CAST(deaths AS BIGINT) AS deaths, ROUND(sv, 6) AS survival
     FROM s WHERE deaths > 0
 """
+
+
+def q_value_ks(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov test: does `value` come from the
+    same distribution for 'click' vs 'purchase' events?  Integer-exact
+    D numerator at tie-run ends of the pooled sorted sample — ONE
+    range-partitioned sort, block-local cumsums with a driver prefix
+    over O(blocks) metadata (`ops/ks.py`); D is reported in ppm via
+    exact integer round-half-up so no float rounding path exists."""
+    from ...ops.ks import ks_2sample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return ks_2sample(ev, "value", "event_type", "click", "purchase")
+
+
+QUERIES["value_ks"] = q_value_ks
+ORACLE_SQL["value_ks"] = """
+    WITH s AS (SELECT value AS v,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+               FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('click', 'purchase')),
+    c AS (SELECT v,
+                 SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+                 SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+                 LEAD(v) OVER (ORDER BY v) AS nxt
+          FROM s),
+    tot AS (SELECT SUM(a) AS n_a, SUM(b) AS n_b FROM s),
+    d AS (SELECT v, ABS(tot.n_b * ca - tot.n_a * cb) AS dev
+          FROM c, tot WHERE nxt IS NULL OR nxt <> v),
+    mx AS (SELECT MAX(dev) AS d_num FROM d)
+    SELECT CAST(tot.n_a AS BIGINT) AS n_a,
+           CAST(tot.n_b AS BIGINT) AS n_b,
+           CAST(mx.d_num AS BIGINT) AS d_num,
+           CAST((mx.d_num * 2000000 + tot.n_a * tot.n_b)
+                // (2 * tot.n_a * tot.n_b) AS BIGINT) AS d_ppm,
+           (SELECT MIN(v) FROM d WHERE d.dev = mx.d_num) AS d_loc
+    FROM tot, mx
+"""

@@ -259,3 +259,58 @@ def test_km_gap_curve_brute_force():
         assert got.loc[dd, "n_risk"] == nr and got.loc[dd, "deaths"] == dth
         assert abs(got.loc[dd, "survival"] - sv) < 2e-6
     assert (got["survival"].diff().dropna() <= 0).all()  # monotone curve
+
+
+def brute_ks(xa, xb):
+    """Classical two-sample D as an integer numerator over pooled
+    tie-run ends (the scipy.stats.ks_2samp statistic re-derived)."""
+    n_a, n_b = len(xa), len(xb)
+    pooled = np.concatenate([xa, xb])
+    flags = np.concatenate([np.ones(n_a, np.int64), np.zeros(n_b, np.int64)])
+    order = np.argsort(pooled, kind="stable")
+    v, f = pooled[order], flags[order]
+    ca = np.cumsum(f)
+    cb = np.cumsum(1 - f)
+    ends = np.ones(len(v), dtype=bool)
+    ends[:-1] = v[1:] != v[:-1]
+    dev = np.abs(n_b * ca - n_a * cb)[ends]
+    ev = v[ends]
+    best = int(dev.max())
+    return best, float(ev[dev == best].min())
+
+
+def test_ks_2sample_matches_brute_force_with_ties():
+    from raykg.ops.ks import ks_2sample
+
+    rng = np.random.default_rng(4)
+    xa = np.round(rng.normal(0.0, 1.0, 700), 1)   # heavy ties
+    xb = np.round(rng.normal(0.4, 1.3, 500), 1)
+    t = pa.table(
+        {
+            "v": np.concatenate([xa, xb]),
+            "g": ["a"] * len(xa) + ["b"] * len(xb),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = ks_2sample(ds, "v", "g", "a", "b")
+    d_num, d_loc = brute_ks(xa, xb)
+    assert got["n_a"][0].as_py() == len(xa)
+    assert got["n_b"][0].as_py() == len(xb)
+    assert got["d_num"][0].as_py() == d_num
+    assert got["d_loc"][0].as_py() == d_loc
+    n = len(xa) * len(xb)
+    assert got["d_ppm"][0].as_py() == (d_num * 2_000_000 + n) // (2 * n)
+
+
+def test_ks_2sample_identical_and_disjoint():
+    from raykg.ops.ks import ks_2sample
+
+    x = np.arange(50, dtype=np.float64)
+    t = pa.table({"v": np.concatenate([x, x]), "g": ["a"] * 50 + ["b"] * 50})
+    got = ks_2sample(ray.data.from_arrow(t), "v", "g", "a", "b")
+    assert got["d_num"][0].as_py() == 0  # identical samples
+    t2 = pa.table({"v": np.concatenate([x, x + 100]),
+                   "g": ["a"] * 50 + ["b"] * 50})
+    got2 = ks_2sample(ray.data.from_arrow(t2).repartition(5), "v", "g", "a", "b")
+    assert got2["d_num"][0].as_py() == 50 * 50  # fully separated: D = 1
+    assert got2["d_ppm"][0].as_py() == 1_000_000
