@@ -997,3 +997,53 @@ ORACLE_SQL["value_ks"] = """
            (SELECT MIN(v) FROM d WHERE d.dev = mx.d_num) AS d_loc
     FROM tot, mx
 """
+
+
+def q_value_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint over the time-ordered event values:
+    the split k maximizing |n*S_k - k*S_n| in integer cents — exact
+    int64 arithmetic end-to-end (no float path), one hash exchange via
+    the sharded-groupby combinator, C grouped cumsums per shard
+    (`ops/cusum.py`); ties break toward the smallest k."""
+    from ...ops.cusum import cusum_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "v": pa.array(np.rint(v * 100).astype(np.int64),
+                              type=pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(cents, batch_format="pyarrow")
+    return cusum_by(ev, "user_id", ["ts", "event_id"], "v")
+
+
+QUERIES["value_cusum"] = q_value_cusum
+ORACLE_SQL["value_cusum"] = """
+    WITH o AS (SELECT user_id,
+                      ROW_NUMBER() OVER w AS k,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n,
+                      SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          OVER (w ROWS UNBOUNDED PRECEDING) AS s,
+                      SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id) AS st
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    d AS (SELECT user_id, n, k, ABS(n * s - k * st) AS dev
+          FROM o WHERE k < n)
+    SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS change_k,
+           CAST(dev AS BIGINT) AS dev
+    FROM d
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY dev DESC, k) = 1
+"""

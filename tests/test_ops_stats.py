@@ -314,3 +314,48 @@ def test_ks_2sample_identical_and_disjoint():
     got2 = ks_2sample(ray.data.from_arrow(t2).repartition(5), "v", "g", "a", "b")
     assert got2["d_num"][0].as_py() == 50 * 50  # fully separated: D = 1
     assert got2["d_ppm"][0].as_py() == 1_000_000
+
+
+def test_cusum_by_matches_brute_force():
+    from raykg.ops.cusum import cusum_by
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, 900)
+    # planted mean shift halfway through each series
+    vals = rng.integers(0, 50, 900) + np.where(
+        np.arange(900) % 2 == 0, 0, 100
+    )
+    order = np.arange(900)
+    t = pa.table({"k": keys, "o": order, "v": vals.astype(np.int64)})
+    got = (
+        cusum_by(ray.data.from_arrow(t).repartition(6), "k", ["o"], "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = {}
+    df = pd.DataFrame({"k": keys, "o": order, "v": vals}).sort_values(["k", "o"])
+    for kk, gdf in df.groupby("k"):
+        v = gdf["v"].to_numpy(np.int64)
+        n = len(v)
+        if n < 2:
+            continue
+        s = np.cumsum(v)
+        ks = np.arange(1, n)
+        dev = np.abs(n * s[:-1] - ks * s[-1])
+        best = int(dev.max())
+        expect[kk] = (n, int(ks[dev.argmax()]), best)  # argmax = first max
+    assert len(got) == len(expect)
+    for _, row in got.iterrows():
+        n, ck, dev = expect[row["k"]]
+        assert (row["n"], row["change_k"], row["dev"]) == (n, ck, dev)
+
+
+def test_cusum_by_drops_singletons():
+    from raykg.ops.cusum import cusum_by
+
+    t = pa.table({"k": [1, 2, 2], "o": [0, 0, 1], "v": [5, 1, 9]})
+    got = cusum_by(ray.data.from_arrow(t), "k", ["o"], "v").to_pandas()
+    assert got["k"].tolist() == [2]  # key 1 has n=1: no interior split
+    # n=2, k=1: dev = |2*1 - 1*10| = 8
+    assert got.iloc[0]["dev"] == 8
