@@ -1047,3 +1047,36 @@ ORACLE_SQL["value_cusum"] = """
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY dev DESC, k) = 1
 """
+
+
+def q_event_markov(sf_dir: str):
+    """First-order Markov transition matrix of event types along each
+    user's time-ordered sequence (session-modeling prior): one hash
+    exchange by user, grouped C shift per shard, per-shard pair-count
+    partials, then a bounded |types|^2 combine; probabilities are exact
+    integer ppm (`ops/markov.py`)."""
+    from ...ops.markov import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+QUERIES["event_markov"] = q_event_markov
+ORACLE_SQL["event_markov"] = """
+    WITH o AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    c AS (SELECT event_type AS prev_state, nxt AS next_state,
+                 COUNT(*) AS c
+          FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev_state, SUM(c) AS total FROM c GROUP BY 1)
+    SELECT c.prev_state, c.next_state, CAST(c.c AS BIGINT) AS c,
+           CAST(t.total AS BIGINT) AS total,
+           CAST((c.c * 2000000 + t.total) // (2 * t.total) AS BIGINT)
+               AS p_ppm
+    FROM c JOIN t USING (prev_state)
+"""

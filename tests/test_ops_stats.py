@@ -359,3 +359,33 @@ def test_cusum_by_drops_singletons():
     assert got["k"].tolist() == [2]  # key 1 has n=1: no interior split
     # n=2, k=1: dev = |2*1 - 1*10| = 8
     assert got.iloc[0]["dev"] == 8
+
+
+def test_transition_counts_matches_brute_force():
+    from raykg.ops.markov import transition_counts
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 30, 500)
+    states = rng.choice(["a", "b", "c"], 500)
+    order = np.arange(500)
+    t = pa.table({"k": keys, "o": order, "s": states})
+    got = transition_counts(
+        ray.data.from_arrow(t).repartition(5), "k", ["o"], "s"
+    ).to_pandas()
+    df = pd.DataFrame({"k": keys, "o": order, "s": states}).sort_values(
+        ["k", "o"]
+    )
+    expect = {}
+    for _, gdf in df.groupby("k"):
+        s = gdf["s"].tolist()
+        for a, b in zip(s, s[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert len(got) == len(expect)
+    totals = {}
+    for (a, _b), c in expect.items():
+        totals[a] = totals.get(a, 0) + c
+    for _, row in got.iterrows():
+        c = expect[(row["prev_state"], row["next_state"])]
+        tot = totals[row["prev_state"]]
+        assert row["c"] == c and row["total"] == tot
+        assert row["p_ppm"] == (c * 2_000_000 + tot) // (2 * tot)
