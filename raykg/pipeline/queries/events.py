@@ -1080,3 +1080,61 @@ ORACLE_SQL["event_markov"] = """
                AS p_ppm
     FROM c JOIN t USING (prev_state)
 """
+
+
+def q_type_dow_mi(sf_dir: str):
+    """Mutual information (nats) and Cramér's V between event type and
+    day-of-week — the feature-selection dependence scan over two
+    categoricals.  Observed-cell partials per batch folded over a
+    bounded |types|x7 table (`ops/contingency.mutual_info`); zero cells
+    contribute nothing to MI by definition, so no dense grid exists."""
+    from ...ops.contingency import mutual_info
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def dow(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # 1970-01-01 is a Thursday; (days + 4) % 7 -> 0 = Sunday,
+        # matching DuckDB's dayofweek()
+        us = pc.cast(batch["ts"], pa.int64())
+        days = pc.divide(us, pa.scalar(86_400_000_000, type=pa.int64()))
+        d = pc.add(days, pa.scalar(4, type=pa.int64()))
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pc.subtract(
+                    d, pc.multiply(pc.divide(d, pa.scalar(7, type=pa.int64())),
+                                   pa.scalar(7, type=pa.int64()))
+                ),
+            }
+        )
+
+    return mutual_info(ev.map_batches(dow, batch_format="pyarrow"),
+                       "event_type", "dow")
+
+
+QUERIES["type_dow_mi"] = q_type_dow_mi
+ORACLE_SQL["type_dow_mi"] = """
+    WITH x AS (SELECT event_type AS a, CAST(dayofweek(ts) AS BIGINT) AS b
+               FROM events),
+    c AS (SELECT a, b, COUNT(*) AS o FROM x GROUP BY 1, 2),
+    ta AS (SELECT a, SUM(o) AS ra FROM c GROUP BY 1),
+    tb AS (SELECT b, SUM(o) AS cb FROM c GROUP BY 1),
+    nn AS (SELECT SUM(o) * 1.0 AS n FROM c),
+    agg AS (SELECT SUM((o / nn.n) * LN(o * nn.n / (ra * cb))) AS mi,
+                   SUM(o * o * nn.n / (ra * cb)) - nn.n AS chi2,
+                   nn.n AS n
+            FROM c JOIN ta USING (a) JOIN tb USING (b), nn
+            GROUP BY nn.n)
+    SELECT ROUND(agg.mi, 6) AS mi_nats,
+           ROUND(SQRT(agg.chi2 / (agg.n *
+                 (LEAST((SELECT COUNT(*) FROM ta),
+                        (SELECT COUNT(*) FROM tb)) - 1))), 6) AS cramers_v,
+           CAST(agg.n AS BIGINT) AS n,
+           (SELECT COUNT(*) FROM ta) AS r,
+           (SELECT COUNT(*) FROM tb) AS s
+    FROM agg
+"""

@@ -389,3 +389,41 @@ def test_transition_counts_matches_brute_force():
         tot = totals[row["prev_state"]]
         assert row["c"] == c and row["total"] == tot
         assert row["p_ppm"] == (c * 2_000_000 + tot) // (2 * tot)
+
+
+def test_mutual_info_matches_brute_force():
+    from raykg.ops.contingency import mutual_info
+
+    rng = np.random.default_rng(3)
+    a = rng.choice(["x", "y", "z"], 800)
+    # dependent: b leans toward a's value
+    b = np.where(rng.random(800) < 0.6, a, rng.choice(["x", "y", "z"], 800))
+    got = mutual_info(
+        ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(4),
+        "a", "b",
+    )
+    cells = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"]).size()
+    n = float(cells.sum())
+    ra = cells.groupby("a").sum()
+    cb = cells.groupby("b").sum()
+    mi = chi2 = 0.0
+    for (ai, bi), o in cells.items():
+        mi += (o / n) * np.log(o * n / (ra[ai] * cb[bi]))
+        chi2 += o * o * n / (ra[ai] * cb[bi])
+    chi2 -= n
+    v = np.sqrt(chi2 / (n * (min(len(ra), len(cb)) - 1)))
+    assert got["mi_nats"][0].as_py() == round(float(mi), 6)
+    assert got["cramers_v"][0].as_py() == round(float(v), 6)
+    assert got["n"][0].as_py() == 800
+    assert (got["r"][0].as_py(), got["s"][0].as_py()) == (3, 3)
+
+
+def test_mutual_info_independent_is_zero():
+    from raykg.ops.contingency import mutual_info
+
+    # perfectly balanced grid -> MI exactly 0
+    a = np.repeat(["x", "y"], 50)
+    b = np.tile(["p", "q"], 50)
+    got = mutual_info(ray.data.from_arrow(pa.table({"a": a, "b": b})), "a", "b")
+    assert got["mi_nats"][0].as_py() == 0.0
+    assert got["cramers_v"][0].as_py() == 0.0
