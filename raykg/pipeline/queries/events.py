@@ -1138,3 +1138,50 @@ ORACLE_SQL["type_dow_mi"] = """
            (SELECT COUNT(*) FROM tb) AS s
     FROM agg
 """
+
+
+def q_value_anova(sf_dir: str):
+    """One-way ANOVA F: does mean event value differ across event
+    types?  Integer-cent moments (exact below 2^53 on both engines),
+    per-batch additive partials, bounded |types| combine; only
+    O(1)-scale ratios (F, eta-squared) are emitted rounded
+    (`ops/anova.py` — raw sums of squares cannot hold a 1e-6 absolute
+    contract across two engines' summation orders)."""
+    from ...ops.anova import anova_f
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": pa.array(np.rint(v * 100).astype(np.int64),
+                              type=pa.int64()),
+            }
+        )
+
+    return anova_f(ev.map_batches(cents, batch_format="pyarrow"),
+                   "event_type", "v")
+
+
+QUERIES["value_anova"] = q_value_anova
+ORACLE_SQL["value_anova"] = """
+    WITH g AS (SELECT event_type,
+                      COUNT(*) * 1.0 AS n,
+                      SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1.0 AS s,
+                      SUM(CAST(ROUND(value * 100) AS BIGINT)
+                          * CAST(ROUND(value * 100) AS BIGINT)) * 1.0 AS ss
+               FROM events GROUP BY 1),
+    t AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+                 COUNT(*) AS k, SUM(s * s / n) AS sg
+          FROM g)
+    SELECT CAST(t.k AS BIGINT) AS k, CAST(t.n AS BIGINT) AS n,
+           ROUND(((t.sg - t.s * t.s / t.n) / (t.k - 1))
+                 / ((t.ss - t.sg) / (t.n - t.k)), 6) AS f_stat,
+           ROUND((t.sg - t.s * t.s / t.n)
+                 / ((t.sg - t.s * t.s / t.n) + (t.ss - t.sg)), 6) AS eta_sq
+    FROM t
+"""

@@ -427,3 +427,36 @@ def test_mutual_info_independent_is_zero():
     got = mutual_info(ray.data.from_arrow(pa.table({"a": a, "b": b})), "a", "b")
     assert got["mi_nats"][0].as_py() == 0.0
     assert got["cramers_v"][0].as_py() == 0.0
+
+
+def test_anova_f_matches_brute_force():
+    from raykg.ops.anova import anova_f
+
+    rng = np.random.default_rng(5)
+    g = rng.choice(["a", "b", "c", "d"], 1000)
+    shift = {"a": 0, "b": 30, "c": 0, "d": 60}
+    v = rng.integers(0, 100, 1000) + np.vectorize(shift.get)(g)
+    ds = ray.data.from_arrow(
+        pa.table({"g": g, "v": v.astype(np.int64)})
+    ).repartition(6)
+    got = anova_f(ds, "g", "v")
+    df = pd.DataFrame({"g": g, "v": v.astype(np.float64)})
+    n, k = len(df), df["g"].nunique()
+    grand = df["v"].sum()
+    sg = sum(s * s / len(x) for s, x in
+             ((x["v"].sum(), x) for _, x in df.groupby("g")))
+    ssb = sg - grand * grand / n
+    ssw = (df["v"] ** 2).sum() - sg
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"][0].as_py() == k and got["n"][0].as_py() == n
+    assert abs(got["f_stat"][0].as_py() - f) < 1e-5
+    assert abs(got["eta_sq"][0].as_py() - ssb / (ssb + ssw)) < 5e-7
+
+
+def test_anova_f_equal_groups_near_zero():
+    from raykg.ops.anova import anova_f
+
+    v = np.tile(np.arange(100, dtype=np.int64), 2)
+    g = np.repeat(["a", "b"], 100)
+    got = anova_f(ray.data.from_arrow(pa.table({"g": g, "v": v})), "g", "v")
+    assert got["f_stat"][0].as_py() == 0.0  # identical groups: SSB = 0
