@@ -9,6 +9,7 @@ import hashlib
 import re
 from typing import Dict, List
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -423,4 +424,72 @@ def filter_tokens(ds: "ray.data.Dataset", attributes,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
+    )
+
+
+_READ_WORD = None  # compiled lazily so workers pay the cost once
+
+
+def readability_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Flesch reading-ease per document from three regex counts over the
+    lowercased text (the classical 206.835 − 1.015·(W/S) − 84.6·(Sy/W)
+    heuristic with vowel-group syllables):
+
+    - words      = ``[a-z]+`` runs,
+    - sentences  = ``[.!?]+`` runs, floored at 1,
+    - syllables  = ``[aeiouy]+`` groups (a group never crosses a
+      non-letter, so the whole-text count equals the per-word sum)
+      plus one per vowel-less word (the max(1, groups) floor).
+
+    All three are integers, and the final float expression uses one
+    fixed evaluation tree — a SQL mirror computing the same counts gets
+    bit-identical doubles.  Zero-word documents are dropped (the ratio
+    is undefined); each kept row carries the counts for auditability.
+    """
+    import re
+
+    global _READ_WORD
+    if _READ_WORD is None:
+        _READ_WORD = (
+            re.compile(r"[a-z]+"),
+            re.compile(r"[aeiouy]+"),
+            re.compile(r"[a-z]*[aeiouy][a-z]*"),
+            re.compile(r"[.!?]+"),
+        )
+    wrx, vrx, wvrx, srx = _READ_WORD
+    texts = batch[text_column].to_pylist()
+    words: List[int] = []
+    sents: List[int] = []
+    syls: List[int] = []
+    keep: List[bool] = []
+    for t in texts:
+        s = (t or "").lower()
+        w = len(wrx.findall(s))
+        vg = len(vrx.findall(s))
+        wv = len(wvrx.findall(s))  # words containing >= 1 vowel
+        words.append(w)
+        sents.append(max(1, len(srx.findall(s))))
+        syls.append(vg + (w - wv))  # vowel-less words count 1 syllable
+        keep.append(w > 0)
+    w_arr = np.asarray(words, dtype=np.float64)
+    s_arr = np.asarray(sents, dtype=np.float64)
+    y_arr = np.asarray(syls, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flesch = 206.835 - 1.015 * (w_arr / s_arr) - 84.6 * (y_arr / w_arr)
+    out = batch
+    for name, vals, typ in [
+        ("n_words", words, pa.int64()),
+        ("n_sentences", sents, pa.int64()),
+        ("n_syllables", syls, pa.int64()),
+    ]:
+        out = out.append_column(name, pa.array(vals, type=typ))
+    out = out.append_column(
+        "flesch", pa.array(np.round(flesch, 6), type=pa.float64())
+    )
+    return out.filter(pa.array(keep))
+
+
+def add_readability(ds: "ray.data.Dataset", text_column: str = "text"):
+    return ds.map_batches(
+        lambda b: readability_batch(b, text_column), batch_format="pyarrow"
     )

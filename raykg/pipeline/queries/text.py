@@ -1540,3 +1540,44 @@ ORACLE_SQL["quality_gate"] = f"""
     FROM documents d JOIN thr USING (lang)
     WHERE d.n_chars >= thr.q
 """
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per document — the classical corpus quality
+    score from three integer regex counts (words, sentences,
+    vowel-group syllables with a 1-per-word floor) over the lowercased
+    text; one fixed float evaluation tree so the SQL mirror sees
+    bit-identical doubles (`ops/text.readability_batch`).  Stateless,
+    embarrassingly parallel, no exchange."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return text_ops.readability_batch(batch, "text").drop_columns(
+            ["text"]
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES["readability"] = q_readability
+ORACLE_SQL["readability"] = """
+    WITH c AS (SELECT doc_id,
+                      length(regexp_extract_all(lower(text), '[a-z]+'))
+                          AS w,
+                      GREATEST(1, length(regexp_extract_all(lower(text),
+                          '[.!?]+'))) AS s,
+                      length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                          + (length(regexp_extract_all(lower(text),
+                                 '[a-z]+'))
+                             - length(regexp_extract_all(lower(text),
+                                 '[a-z]*[aeiouy][a-z]*'))) AS sy
+               FROM documents)
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(sy AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (w * 1.0 / s)
+                 - 84.6 * (sy * 1.0 / w), 6) AS flesch
+    FROM c WHERE w > 0
+"""

@@ -876,3 +876,33 @@ def test_morton_key_locality_and_roundtrip():
     # de-interleave roundtrip via the spread masks
     even = z.astype(np.uint64) & np.uint64(0x5555555555555555)
     assert (spread_bits(x) == even).all()
+
+
+def test_readability_batch_counts_and_formula():
+    import pyarrow as pa
+    from raykg.ops.text import readability_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "The cat sat. It purred!",       # 5 words, 2 sents
+                "Rhythm tv",                      # vowel-less words
+                "",                               # dropped (0 words)
+                "No punctuation here",            # sentence floor = 1
+            ],
+        }
+    )
+    out = readability_batch(t)
+    assert out["doc_id"].to_pylist() == [1, 2, 4]
+    r = {d: (w, s, y) for d, w, s, y in zip(
+        out["doc_id"].to_pylist(), out["n_words"].to_pylist(),
+        out["n_sentences"].to_pylist(), out["n_syllables"].to_pylist())}
+    # "the cat sat it purred": syllables e/a/a/i/u+e = 6 vowel groups
+    assert r[1] == (5, 2, 6)
+    # "rhythm tv": y counts as vowel -> rhythm has 1 group; tv floors at 1
+    assert r[2] == (2, 1, 2)
+    assert r[4] == (3, 1, 6)
+    w, s, y = r[1]
+    expect = round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+    assert out["flesch"].to_pylist()[0] == expect
