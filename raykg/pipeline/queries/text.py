@@ -1581,3 +1581,45 @@ ORACLE_SQL["readability"] = """
                  - 84.6 * (sy * 1.0 / w), 6) AS flesch
     FROM c WHERE w > 0
 """
+
+
+def q_token_zipf(sf_dir: str):
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(tie-averaged rank) — slope ~ -1 is the natural-language
+    signature; drift flags synthetic or degenerate corpora.  One
+    hash(token) count exchange, one vocab-table sort for ranks, then
+    streaming log-moment partials (`ops/zipf.py`)."""
+    from ...ops.zipf import zipf_fit
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return zipf_fit(docs, "text")
+
+
+QUERIES["token_zipf"] = q_token_zipf
+ORACLE_SQL["token_zipf"] = r"""
+    WITH w AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                                '\S+')) AS tok
+               FROM documents),
+    c AS (SELECT tok, COUNT(*) * 1.0 AS f FROM w GROUP BY tok),
+    cc AS (SELECT f, COUNT(*) AS m FROM c GROUP BY f),
+    ccw AS (SELECT f, m,
+                   COALESCE(SUM(m) OVER (ORDER BY f DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS gt
+            FROM cc),
+    r AS (SELECT c.tok, c.f, ccw.gt + (ccw.m + 1) / 2.0 AS rnk
+          FROM c JOIN ccw USING (f)),
+    m AS (SELECT COUNT(*) * 1.0 AS n, SUM(LN(rnk)) AS sx,
+                 SUM(LN(f)) AS sy, SUM(LN(rnk) * LN(rnk)) AS sxx,
+                 SUM(LN(rnk) * LN(f)) AS sxy
+          FROM r)
+    SELECT CAST(m.n AS BIGINT) AS n_tokens,
+           ROUND((m.n * m.sxy - m.sx * m.sy)
+                 / (m.n * m.sxx - m.sx * m.sx), 6) AS slope,
+           ROUND((m.sy - ((m.n * m.sxy - m.sx * m.sy)
+                 / (m.n * m.sxx - m.sx * m.sx)) * m.sx) / m.n, 6)
+               AS intercept
+    FROM m
+"""

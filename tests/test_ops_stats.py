@@ -460,3 +460,32 @@ def test_anova_f_equal_groups_near_zero():
     g = np.repeat(["a", "b"], 100)
     got = anova_f(ray.data.from_arrow(pa.table({"g": g, "v": v})), "g", "v")
     assert got["f_stat"][0].as_py() == 0.0  # identical groups: SSB = 0
+
+
+def test_zipf_fit_matches_brute_force():
+    from raykg.ops.zipf import zipf_fit
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(60)]
+    # zipf-ish corpus: word i appears ~ 600/(i+1) times
+    words = []
+    for i, w in enumerate(vocab):
+        words += [w] * max(1, 600 // (i + 1))
+    rng.shuffle(words)
+    docs = [" ".join(words[i::7]) for i in range(7)]
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(3)
+    got = zipf_fit(ds, "text")
+    # brute force with tie-averaged ranks
+    from collections import Counter
+
+    f = np.array(sorted(Counter(words).values(), reverse=True), np.float64)
+    ranks = avg_ranks(-f)
+    x, y = np.log(ranks), np.log(f)
+    n = len(f)
+    den = n * (x * x).sum() - x.sum() ** 2
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / den
+    intercept = (y.sum() - slope * x.sum()) / n
+    assert got["n_tokens"][0].as_py() == n
+    assert abs(got["slope"][0].as_py() - slope) < 1e-6
+    assert abs(got["intercept"][0].as_py() - intercept) < 1e-6
+    assert got["slope"][0].as_py() < -0.5  # zipf-shaped
