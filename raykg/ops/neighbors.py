@@ -60,10 +60,18 @@ def common_neighbor_scores(
     min_common: int = 1,
     exclude_edges: bool = False,
     max_center_degree: Optional[int] = None,
+    with_aa: bool = False,
 ) -> "ray.data.Dataset":
     """``(u, v, common, jaccard, is_edge)`` for node pairs sharing
     ``>= min_common`` neighbors; ``exclude_edges=True`` keeps only
-    non-adjacent pairs (link-prediction candidates)."""
+    non-adjacent pairs (link-prediction candidates).
+
+    ``with_aa=True`` appends the Adamic-Adar score — each shared
+    neighbor w contributes 1/ln(deg(w)) (Adamic & Adar 2003, the
+    standard inverse-log-degree link predictor).  The center's FULL
+    degree is its in-shard neighbor count (all rows of a center share
+    a shard), so the weight rides the existing wedge partials: still
+    one pair exchange, no extra pass."""
     canon = canonical_edges(edges, u, v, num_shards).materialize()
     degrees = _degrees(canon, num_shards).materialize()
 
@@ -104,6 +112,7 @@ def common_neighbor_scores(
         """Per-center pair expansion + in-shard partial count."""
         u_out: List[np.ndarray] = []
         v_out: List[np.ndarray] = []
+        w_out: List[np.ndarray] = []
         for _, vals in df.groupby("node", sort=False)["nbr"]:
             d = np.sort(vals.to_numpy())
             k = len(d)
@@ -112,20 +121,29 @@ def common_neighbor_scores(
             ii, jj = np.triu_indices(k, 1)
             u_out.append(d[ii])
             v_out.append(d[jj])
+            if with_aa:
+                w_out.append(np.full(len(ii), 1.0 / np.log(k)))
         if not u_out:
-            return pd.DataFrame(
-                {
-                    "u": pd.Series([], dtype=df["nbr"].dtype),
-                    "v": pd.Series([], dtype=df["nbr"].dtype),
-                    "cnt": pd.Series([], dtype=np.int64),
-                    "edge": pd.Series([], dtype=np.int64),
-                }
-            )
+            cols = {
+                "u": pd.Series([], dtype=df["nbr"].dtype),
+                "v": pd.Series([], dtype=df["nbr"].dtype),
+                "cnt": pd.Series([], dtype=np.int64),
+                "edge": pd.Series([], dtype=np.int64),
+            }
+            if with_aa:
+                cols["aa"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
         part = pd.DataFrame(
             {"u": np.concatenate(u_out), "v": np.concatenate(v_out)}
         )
-        part = part.groupby(["u", "v"], sort=False, as_index=False).size()
-        part = part.rename(columns={"size": "cnt"})
+        if with_aa:
+            part["w"] = np.concatenate(w_out)
+            part = part.groupby(["u", "v"], sort=False, as_index=False).agg(
+                cnt=("w", "size"), aa=("w", "sum")
+            )
+        else:
+            part = part.groupby(["u", "v"], sort=False, as_index=False).size()
+            part = part.rename(columns={"size": "cnt"})
         part["edge"] = np.int64(0)
         return part
 
@@ -133,21 +151,23 @@ def common_neighbor_scores(
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
-            {
-                "u": batch["u"],
-                "v": batch["v"],
-                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
-                "edge": pa.array(np.ones(n, dtype=np.int64)),
-            }
-        )
+        cols = {
+            "u": batch["u"],
+            "v": batch["v"],
+            "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+            "edge": pa.array(np.ones(n, dtype=np.int64)),
+        }
+        if with_aa:
+            cols["aa"] = pa.array(np.zeros(n, dtype=np.float64))
+        return pa.table(cols)
 
     tagged = canon.map_batches(tag_edges, batch_format="pyarrow")
 
     def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["u", "v"], sort=False, as_index=False).agg(
-            common=("cnt", "sum"), is_edge=("edge", "max")
-        )
+        aggs = dict(common=("cnt", "sum"), is_edge=("edge", "max"))
+        if with_aa:
+            aggs["aa"] = ("aa", "sum")
+        g = df.groupby(["u", "v"], sort=False, as_index=False).agg(**aggs)
         g = g[g["common"] >= min_common]
         if exclude_edges:
             g = g[g["is_edge"] == 0]
@@ -166,6 +186,9 @@ def common_neighbor_scores(
         df["common"] = common
         df["jaccard"] = common / (du + dv - common)
         df["is_edge"] = df["is_edge"].to_numpy().astype(np.int64)
-        return df[["u", "v", "common", "jaccard", "is_edge"]]
+        cols = ["u", "v", "common", "jaccard", "is_edge"]
+        if with_aa:
+            cols.append("aa")
+        return df[cols]
 
     return pairs.map_batches(attach_jaccard, batch_format="pandas")

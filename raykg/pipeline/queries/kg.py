@@ -1934,3 +1934,66 @@ ORACLE_SQL["harmonic"] = f"""
            CAST(SUM(6 // h) AS BIGINT) AS h6
     FROM best WHERE h > 0 GROUP BY node
 """
+
+
+def q_kg_adamic(sf_dir: str):
+    """Adamic-Adar link prediction over the KG edge table: every
+    non-adjacent node pair sharing a neighbor scored by the sum of
+    1/ln(deg(w)) over shared neighbors w (the inverse-log-degree
+    predictor), alongside the common count.  The weight rides the
+    existing wedge partials — same single pair exchange as
+    `link_predict`, no extra pass (`ops/neighbors.py` with_aa); same
+    degree-64 hub cap, mirrored exactly by the oracle."""
+    from ...ops.neighbors import common_neighbor_scores
+
+    e = q_edges(sf_dir).select_columns(["src", "dst"])
+    out = common_neighbor_scores(
+        e, u="src", v="dst", num_shards=16, min_common=1,
+        max_center_degree=64, exclude_edges=True, with_aa=True,
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "u": pc.cast(batch["u"], pa.string()),
+                "v": pc.cast(batch["v"], pa.string()),
+                "common": pc.cast(batch["common"], pa.int64()),
+                "aa": pc.round(batch["aa"], 6),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+ORACLE_SQL["kg_adamic"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    ce AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM eraw WHERE src <> dst),
+    adj AS (SELECT u AS node, v AS nbr FROM ce
+            UNION ALL SELECT v, u FROM ce),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY node),
+    ctr AS (SELECT a.node, a.nbr, d.d FROM adj a
+            JOIN deg d ON d.node = a.node WHERE d.d <= 64 AND d.d >= 2),
+    pairs AS (
+        SELECT a.nbr AS u, b.nbr AS v,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               SUM(1.0 / LN(a.d)) AS aa
+        FROM ctr a JOIN ctr b ON a.node = b.node AND a.nbr < b.nbr
+        GROUP BY a.nbr, b.nbr)
+    SELECT p.u, p.v, p.common, ROUND(p.aa, 6) AS aa
+    FROM pairs p
+    LEFT JOIN ce ON ce.u = p.u AND ce.v = p.v
+    WHERE ce.u IS NULL
+"""
+QUERIES["kg_adamic"] = q_kg_adamic

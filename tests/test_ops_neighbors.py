@@ -106,3 +106,41 @@ def test_max_center_degree_skips_hub(ray_session):
     assert got[(0, 2)][0] == 2
     full = _got(common_neighbor_scores(_ds(edges), num_shards=4))
     assert (2, 4) in full and len(full) > len(got)
+
+
+def test_adamic_adar_matches_brute_force():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from raykg.ops.neighbors import common_neighbor_scores
+
+    # small fixed graph: star + chain so degrees differ
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("d", "e"), ("e", "f"), ("c", "f")]
+    t = pa.table({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
+    out = (
+        common_neighbor_scores(
+            ray.data.from_arrow(t).repartition(3), num_shards=4,
+            exclude_edges=True, with_aa=True,
+        )
+        .to_pandas()
+        .set_index(["u", "v"])
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    expect = {}
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y in adj[x]:
+                continue
+            shared = adj[x] & adj[y]
+            if shared:
+                aa = sum(1.0 / np.log(len(adj[w])) for w in shared)
+                expect[(x, y)] = (len(shared), aa)
+    assert set(out.index) == set(expect)
+    for k, (c, aa) in expect.items():
+        assert out.loc[k, "common"] == c
+        assert abs(out.loc[k, "aa"] - aa) < 1e-9
