@@ -1185,3 +1185,52 @@ ORACLE_SQL["value_anova"] = """
                  / ((t.sg - t.s * t.s / t.n) + (t.ss - t.sg)), 6) AS eta_sq
     FROM t
 """
+
+
+def q_value_autocorr(sf_dir: str):
+    """Pooled lag-1 autocorrelation of event value within each user's
+    time-ordered sequence (panel-data serial dependence): integer-cent
+    moments (exact below 2^53 on both engines), one hash exchange, a C
+    grouped shift per shard, O(shards) moment rows out
+    (`ops/autocorr.py`)."""
+    from ...ops.autocorr import lag_corr
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "v": pa.array(np.rint(v * 100).astype(np.int64),
+                              type=pa.int64()),
+            }
+        )
+
+    return lag_corr(ev.map_batches(cents, batch_format="pyarrow"),
+                    "user_id", ["ts", "event_id"], "v", lag=1)
+
+
+QUERIES["value_autocorr"] = q_value_autocorr
+ORACLE_SQL["value_autocorr"] = """
+    WITH o AS (SELECT user_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v,
+                      LAG(CAST(ROUND(value * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+               FROM events),
+    p AS (SELECT pv * 1.0 AS x, v * 1.0 AS y FROM o WHERE pv IS NOT NULL),
+    m AS (SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM p)
+    SELECT CAST(m.n AS BIGINT) AS n_pairs,
+           ROUND((m.n * m.sxy - m.sx * m.sy)
+                 / SQRT((m.n * m.sxx - m.sx * m.sx)
+                        * (m.n * m.syy - m.sy * m.sy)), 6) AS autocorr
+    FROM m
+"""

@@ -489,3 +489,38 @@ def test_zipf_fit_matches_brute_force():
     assert abs(got["slope"][0].as_py() - slope) < 1e-6
     assert abs(got["intercept"][0].as_py() - intercept) < 1e-6
     assert got["slope"][0].as_py() < -0.5  # zipf-shaped
+
+
+def test_lag_corr_matches_brute_force():
+    from raykg.ops.autocorr import lag_corr
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 20, 800)
+    order = np.arange(800)
+    vals = rng.integers(0, 1000, 800).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "o": order, "v": vals})
+    ).repartition(7)
+    got = lag_corr(ds, "k", ["o"], "v", lag=1)
+    df = pd.DataFrame({"k": keys, "o": order, "v": vals}).sort_values(
+        ["k", "o"]
+    )
+    xs, ys = [], []
+    for _, g in df.groupby("k"):
+        v = g["v"].to_numpy(np.float64)
+        xs.append(v[:-1])
+        ys.append(v[1:])
+    x, y = np.concatenate(xs), np.concatenate(ys)
+    assert got["n_pairs"][0].as_py() == len(x)
+    assert abs(got["autocorr"][0].as_py() - pearson(x, y)) < 1e-6
+
+
+def test_lag_corr_perfect_on_linear_series():
+    from raykg.ops.autocorr import lag_corr
+
+    v = np.arange(100, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": np.zeros(100, np.int64), "o": np.arange(100), "v": v})
+    )
+    got = lag_corr(ds, "k", ["o"], "v")
+    assert got["autocorr"][0].as_py() == 1.0
