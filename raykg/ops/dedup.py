@@ -1228,3 +1228,54 @@ def semantic_dedup(
     from raykg.ops.agg import sharded_groupby_apply
 
     return sharded_groupby_apply(assigned, ["cluster"], apply, num_shards=num_shards)
+
+
+def exact_dedup_best(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    score_column: str = "score",
+    num_shards: int = 64,
+) -> "ray.data.Dataset":
+    """Keep the BEST row of every exact-duplicate group — highest
+    `score_column`, ties toward the smallest id — and attach `n_dups`.
+
+    This is the consolidation step real dedup pipelines run after
+    discovery: of N byte-identical copies, keep the one whose metadata
+    scores best.  Same scale shape as :func:`exact_dedup`: batch-local
+    pre-best (vectorized sort + drop_duplicates, carrying an in-batch
+    count partial) cuts the exchange to one row per distinct text per
+    block, then one vectorized reduce per hash shard — O(shards)
+    Python calls regardless of distinct-text cardinality."""
+    helper_cols = ["__text_hash", "__shard", "__cnt"]
+
+    def prebest(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        hashes: List[str] = []
+        shards: List[int] = []
+        for t in texts:
+            d = hashlib.md5((t or "").encode("utf-8")).digest()
+            hashes.append(d.hex())
+            shards.append(int.from_bytes(d[:4], "big") % num_shards)
+        df = batch.to_pandas()
+        df["__text_hash"] = hashes
+        df["__shard"] = np.asarray(shards, dtype=np.int32)
+        df["__cnt"] = df.groupby("__text_hash")[id_column].transform("size")
+        df = df.sort_values(
+            [score_column, id_column], ascending=[False, True], kind="stable"
+        ).drop_duplicates("__text_hash")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def shard_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["n_dups"] = g.groupby("__text_hash")["__cnt"].transform("sum")
+        g = g.sort_values(
+            [score_column, id_column], ascending=[False, True], kind="stable"
+        ).drop_duplicates("__text_hash")
+        return g.drop(columns=helper_cols)
+
+    return (
+        ds.map_batches(prebest, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(shard_best, batch_format="pandas")
+    )

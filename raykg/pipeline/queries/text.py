@@ -1623,3 +1623,60 @@ ORACLE_SQL["token_zipf"] = r"""
                AS intercept
     FROM m
 """
+
+
+def q_canonical_docs(sf_dir: str):
+    """Dedup consolidation: one canonical row per exact-duplicate text
+    group — the copy with the highest quality_score (ties toward the
+    smallest doc_id), with the group's total copy count attached.
+    Quality is the stateless integer score (`ops/text.quality_batch`);
+    selection is the sharded keep-best combine
+    (`ops/dedup.exact_dedup_best`) — batch pre-best, one exchange of
+    one row per distinct text per block."""
+    from ...ops.dedup import exact_dedup_best
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = text_ops.quality_batch(batch, "text")
+        return q.select(["doc_id", "text", "lang", "quality_score"])
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    out = exact_dedup_best(
+        scored, text_column="text", id_column="doc_id",
+        score_column="quality_score",
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "quality_score": pc.cast(batch["quality_score"], pa.int64()),
+                "n_dups": pc.cast(batch["n_dups"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+QUERIES["canonical_docs"] = q_canonical_docs
+ORACLE_SQL["canonical_docs"] = r"""
+    WITH w AS (SELECT doc_id, text, lang,
+                      regexp_extract_all(text, '\S+') AS words
+               FROM documents),
+    q AS (SELECT doc_id, text, lang,
+                 CAST(CASE WHEN len(words) = 0 THEN 0
+                      ELSE (100 * len(list_distinct(words))) // len(words)
+                      END AS BIGINT) AS quality_score,
+                 COUNT(*) OVER (PARTITION BY text) AS n_dups
+          FROM w)
+    SELECT doc_id, lang, quality_score, CAST(n_dups AS BIGINT) AS n_dups
+    FROM q
+    QUALIFY row_number() OVER (PARTITION BY text
+                               ORDER BY quality_score DESC, doc_id) = 1
+"""

@@ -906,3 +906,29 @@ def test_readability_batch_counts_and_formula():
     w, s, y = r[1]
     expect = round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
     assert out["flesch"].to_pylist()[0] == expect
+
+
+def test_exact_dedup_best_keeps_highest_score():
+    import pyarrow as pa
+    import ray.data
+    from raykg.ops.dedup import exact_dedup_best
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": ["aa", "aa", "aa", "bb", "bb", "cc", None],
+            "score": [5, 9, 9, 3, 1, 7, 2],
+        }
+    )
+    out = (
+        exact_dedup_best(
+            ray.data.from_arrow(t).repartition(4),
+            text_column="text", id_column="doc_id", score_column="score",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # group "aa": score 9 tie between ids 2 and 3 -> smallest id wins
+    rows = {r["doc_id"]: (r["score"], r["n_dups"]) for _, r in out.iterrows()}
+    assert rows == {2: (9, 3), 4: (3, 2), 6: (7, 1), 7: (2, 1)}
