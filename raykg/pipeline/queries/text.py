@@ -1680,3 +1680,99 @@ ORACLE_SQL["canonical_docs"] = r"""
     QUALIFY row_number() OVER (PARTITION BY text
                                ORDER BY quality_score DESC, doc_id) = 1
 """
+
+
+def q_source_card(sf_dir: str):
+    """Per-source data card — the corpus datasheet row a training-data
+    pipeline publishes per provenance: doc count, total chars/tokens,
+    floor-integer mean quality (x100), language count and majority
+    language.  Per-batch (source, lang) cell partials (bounded: sources
+    x languages), one bounded groupby, integer-only arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "text"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = text_ops.quality_batch(batch, "text")
+        tok = text_ops.token_count_batch(batch, "text")
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "lang": batch["lang"].to_pylist(),
+                "chars": q["n_chars"].to_numpy(zero_copy_only=False),
+                "toks": tok["n_tokens"].to_numpy(zero_copy_only=False),
+                "qs": q["quality_score"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["source", "lang"], sort=False).agg(
+            n=("qs", "size"), ch=("chars", "sum"), tk=("toks", "sum"),
+            qsum=("qs", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    cells = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum(["n", "ch", "tk", "qsum"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(ch)": "ch",
+                         "sum(tk)": "tk", "sum(qsum)": "qsum"})
+    )
+    per = cells.groupby("source").agg(
+        n_docs=("n", "sum"), total_chars=("ch", "sum"),
+        total_tokens=("tk", "sum"), qsum=("qsum", "sum"),
+        n_langs=("lang", "nunique"),
+    )
+    per["avg_quality_x100"] = (100 * per["qsum"]) // per["n_docs"]
+    top = (
+        cells.sort_values(["source", "n", "lang"],
+                          ascending=[True, False, True])
+        .drop_duplicates("source")
+        .set_index("source")["lang"]
+    )
+    per["top_lang"] = top
+    per = per.reset_index().sort_values("source")
+    return pa.table(
+        {
+            "source": pa.array(per["source"], type=pa.string()),
+            "n_docs": pa.array(per["n_docs"], type=pa.int64()),
+            "total_chars": pa.array(per["total_chars"], type=pa.int64()),
+            "total_tokens": pa.array(per["total_tokens"], type=pa.int64()),
+            "avg_quality_x100": pa.array(per["avg_quality_x100"],
+                                         type=pa.int64()),
+            "n_langs": pa.array(per["n_langs"], type=pa.int64()),
+            "top_lang": pa.array(per["top_lang"], type=pa.string()),
+        }
+    )
+
+
+QUERIES["source_card"] = q_source_card
+ORACLE_SQL["source_card"] = r"""
+    WITH q AS (SELECT source, lang, length(text) AS chars,
+                      len(regexp_extract_all(text, '\w+|[^\w\s]')) AS toks,
+                      CASE WHEN len(regexp_extract_all(text, '\S+')) = 0
+                           THEN 0
+                           ELSE (100 * len(list_distinct(
+                                    regexp_extract_all(text, '\S+'))))
+                                // len(regexp_extract_all(text, '\S+'))
+                      END AS score
+               FROM documents),
+    sl AS (SELECT source, lang, COUNT(*) AS n, SUM(chars) AS ch,
+                  SUM(toks) AS tk, SUM(score) AS qs
+           FROM q GROUP BY 1, 2),
+    s AS (SELECT source, SUM(n) AS n_docs, SUM(ch) AS total_chars,
+                 SUM(tk) AS total_tokens,
+                 (100 * SUM(qs)) // SUM(n) AS avg_quality_x100,
+                 COUNT(*) AS n_langs
+          FROM sl GROUP BY 1),
+    top AS (SELECT source, lang AS top_lang FROM sl
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY n DESC, lang) = 1)
+    SELECT s.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(avg_quality_x100 AS BIGINT) AS avg_quality_x100,
+           CAST(n_langs AS BIGINT) AS n_langs, top_lang
+    FROM s JOIN top USING (source)
+"""
