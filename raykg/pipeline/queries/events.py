@@ -1234,3 +1234,40 @@ ORACLE_SQL["value_autocorr"] = """
                         * (m.n * m.syy - m.sy * m.sy)), 6) AS autocorr
     FROM m
 """
+
+
+def q_value_psi(sf_dir: str):
+    """Population Stability Index of the event-value distribution
+    between the first and second half of the observed time span — the
+    standard drift monitor (fixed 50-unit bins capped at 10, split at
+    the exact integer midpoint of min/max event time).  Tiny min/max
+    pass, then bounded (bucket, half) cell partials
+    (`ops/psi.py`)."""
+    from ...ops.psi import psi_time_split
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    return psi_time_split(ev, "ts", "value", width=50.0, nbuckets=10)
+
+
+QUERIES["value_psi"] = q_value_psi
+ORACLE_SQL["value_psi"] = """
+    WITH b AS (SELECT epoch_us(ts) AS t,
+                      LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket
+               FROM events),
+    m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM b),
+    c AS (SELECT bucket, CASE WHEN t > m.mid THEN 1 ELSE 0 END AS half,
+                 COUNT(*) AS n
+          FROM b, m GROUP BY 1, 2),
+    g AS (SELECT bucket,
+                 COALESCE(SUM(n) FILTER (half = 0), 0) AS na,
+                 COALESCE(SUM(n) FILTER (half = 1), 0) AS nb
+          FROM c GROUP BY bucket),
+    t AS (SELECT SUM(na) * 1.0 AS ta, SUM(nb) * 1.0 AS tb FROM g)
+    SELECT ROUND(SUM((g.na / t.ta - g.nb / t.tb)
+                     * LN((g.na / t.ta) / (g.nb / t.tb))), 6) AS psi,
+           CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b
+    FROM g, t WHERE g.na > 0 AND g.nb > 0
+    GROUP BY t.ta, t.tb
+"""

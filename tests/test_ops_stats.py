@@ -524,3 +524,31 @@ def test_lag_corr_perfect_on_linear_series():
     )
     got = lag_corr(ds, "k", ["o"], "v")
     assert got["autocorr"][0].as_py() == 1.0
+
+
+def test_psi_time_split_matches_brute_force():
+    from raykg.ops.psi import psi_time_split
+
+    rng = np.random.default_rng(29)
+    n = 1000
+    ts = np.sort(rng.integers(0, 10**9, n)) * 1000  # us
+    # drift: later half shifted upward
+    v = np.where(np.arange(n) < n // 2,
+                 rng.uniform(0, 300, n), rng.uniform(100, 500, n))
+    t = pa.table(
+        {"ts": pa.array(ts, type=pa.timestamp("us")), "v": v}
+    )
+    got = psi_time_split(ray.data.from_arrow(t).repartition(5),
+                         "ts", "v", width=50.0, nbuckets=10)
+    mid = (int(ts.min()) + int(ts.max())) // 2
+    half = (ts > mid).astype(int)
+    b = np.minimum((v / 50.0).astype(np.int64), 9)
+    na = np.bincount(b[half == 0], minlength=10).astype(float)
+    nb = np.bincount(b[half == 1], minlength=10).astype(float)
+    keep = (na > 0) & (nb > 0)
+    p, q = na[keep] / na.sum(), nb[keep] / nb.sum()
+    psi = float(((p - q) * np.log(p / q)).sum())
+    assert got["n_a"][0].as_py() == int(na.sum())
+    assert got["n_b"][0].as_py() == int(nb.sum())
+    assert got["psi"][0].as_py() == round(psi, 6)
+    assert got["psi"][0].as_py() > 0.05  # planted drift is visible
