@@ -1271,3 +1271,115 @@ ORACLE_SQL["value_psi"] = """
     FROM g, t WHERE g.na > 0 AND g.nb > 0
     GROUP BY t.ta, t.tb
 """
+
+
+def q_event_trigrams(sf_dir: str):
+    """Top-25 event-type trigrams across users' time-ordered sequences
+    (sequential pattern mining at sequence level): one hash exchange by
+    user, a double grouped C shift per shard, bounded |types|^3 count
+    partials, tiny combine + top-k."""
+    from ...ops.agg import sharded_groupby_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = d.groupby("user_id", sort=False)["event_type"]
+        tri = pd.DataFrame(
+            {"t1": d["event_type"], "t2": g.shift(-1), "t3": g.shift(-2)}
+        ).dropna()
+        return (
+            tri.groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    parts = sharded_groupby_apply(ev, ["user_id"], apply, num_shards=64)
+    combined = (
+        parts.groupby(["t1", "t2", "t3"]).sum("n").to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["n", "t1", "t2", "t3"],
+                     ascending=[False, True, True, True])
+        .head(25)
+        .reset_index(drop=True)
+    )  # |types|^3 rows by construction — bounded
+    return pa.table(
+        {
+            "t1": pa.array(combined["t1"], type=pa.string()),
+            "t2": pa.array(combined["t2"], type=pa.string()),
+            "t3": pa.array(combined["t3"], type=pa.string()),
+            "n": pa.array(combined["n"], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["event_trigrams"] = q_event_trigrams
+ORACLE_SQL["event_trigrams"] = """
+    WITH o AS (SELECT event_type AS t1,
+                      LEAD(event_type, 1) OVER w AS t2,
+                      LEAD(event_type, 2) OVER w AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 25
+"""
+
+
+def q_user_burstiness(sf_dir: str):
+    """Per-user Fano factor (variance-to-mean ratio) of inter-event
+    gaps in integer seconds — burstiness vs Poisson regularity.  One
+    hash exchange, grouped C shift per shard, exact integer gap moments
+    (sums below 2^53 on both engines), one fixed float tree for the
+    ratio; users with < 2 gaps are dropped."""
+    from ...ops.agg import sharded_groupby_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts"], kind="stable").copy()
+        d["t"] = d["ts"].astype("int64") // 1_000_000
+        pv = d.groupby("user_id", sort=False)["t"].shift(1)
+        gap = (d["t"] - pv).to_numpy(dtype=np.float64)
+        m = ~np.isnan(gap)
+        out = pd.DataFrame({"user_id": d["user_id"].to_numpy()[m],
+                            "g": gap[m]})
+        agg = out.groupby("user_id", sort=False)["g"].agg(
+            n="size", s="sum", ss=lambda x: float((x.to_numpy() ** 2).sum())
+        ).reset_index()
+        agg = agg[agg["n"] >= 2]
+        mean = agg["s"] / agg["n"]
+        var = agg["ss"] / agg["n"] - mean * mean
+        res = pd.DataFrame(
+            {
+                "user_id": agg["user_id"],
+                "n_gaps": agg["n"].astype(np.int64),
+                "fano": np.round(var / mean, 6),
+            }
+        )
+        return res
+
+    return sharded_groupby_apply(ev, ["user_id"], apply, num_shards=64)
+
+
+QUERIES["user_burstiness"] = q_user_burstiness
+ORACLE_SQL["user_burstiness"] = """
+    WITH o AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
+                      LAG(epoch_us(ts) // 1000000)
+                          OVER (PARTITION BY user_id ORDER BY ts) AS pt
+               FROM events),
+    g AS (SELECT user_id, (t - pt) * 1.0 AS g FROM o WHERE pt IS NOT NULL),
+    m AS (SELECT user_id, COUNT(*) * 1.0 AS n, SUM(g) AS s,
+                 SUM(g * g) AS ss
+          FROM g GROUP BY user_id HAVING COUNT(*) >= 2)
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           ROUND((ss / n - (s / n) * (s / n)) / (s / n), 6) AS fano
+    FROM m
+"""

@@ -552,3 +552,43 @@ def test_psi_time_split_matches_brute_force():
     assert got["n_b"][0].as_py() == int(nb.sum())
     assert got["psi"][0].as_py() == round(psi, 6)
     assert got["psi"][0].as_py() > 0.05  # planted drift is visible
+
+
+def test_user_burstiness_query_brute_force(tmp_path):
+    import pyarrow.parquet as pq
+    from raykg.pipeline.queries import QUERIES
+
+    rng = np.random.default_rng(37)
+    n = 400
+    users = rng.integers(0, 25, n)
+    ts = rng.integers(0, 10**7, n).astype("datetime64[s]").astype(
+        "datetime64[us]"
+    )
+    eid = np.arange(n)
+    tbl = pa.table(
+        {
+            "event_id": eid,
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": users,
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.uniform(0, 10, n),
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        QUERIES["user_burstiness"](str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    df = pd.DataFrame({"u": users, "t": ts.astype("int64") // 1_000_000})
+    for u, g in df.groupby("u"):
+        gaps = np.diff(np.sort(g["t"].to_numpy())).astype(np.float64)
+        if len(gaps) < 2:
+            assert u not in got.index
+            continue
+        mean = gaps.sum() / len(gaps)
+        var = (gaps**2).sum() / len(gaps) - mean * mean
+        assert got.loc[u, "n_gaps"] == len(gaps)
+        assert got.loc[u, "fano"] == round(var / mean, 6)
