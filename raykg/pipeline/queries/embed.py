@@ -407,3 +407,49 @@ ORACLE_SQL["hard_negatives"] = f"""
           FROM s WHERE score < 0.9)
     SELECT query_id, vec_id, score FROM r WHERE rn = 1
 """
+
+
+def q_embed_silhouette(sf_dir: str):
+    """Per-vector centroid silhouette over the labeled embedding table
+    — clustering/label quality at corpus scale.  Fixed-point grid
+    (floor(x*1024), the embed_cov pattern) makes the per-label centroid
+    and both squared distances EXACT int64 on this engine and the SQL
+    mirror; the only float is the final (b-a)/max(a,b) ratio with one
+    fixed tree (`ops/silhouette.py`).  Centroids broadcast once via
+    ray.put; the vector table never shuffles."""
+    from ...ops.silhouette import silhouette_by_label
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return silhouette_by_label(emb)
+
+
+QUERIES["embed_silhouette"] = q_embed_silhouette
+ORACLE_SQL["embed_silhouette"] = """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    q AS (SELECT e.vec_id, e.label, idx.i,
+                 CAST(FLOOR(CAST(e.embedding[idx.i] AS DOUBLE) * 1024.0)
+                      AS BIGINT) AS qv
+          FROM embeddings e, idx),
+    s AS (SELECT label, i, SUM(qv) AS s, COUNT(*) AS n
+          FROM q GROUP BY 1, 2),
+    c AS (SELECT label, i,
+                 (1024 * (s + 1024 * n)) // n - 1048576 AS cv
+          FROM s),
+    d AS (SELECT q.vec_id, q.label AS own, c.label AS cl,
+                 SUM((1024 * q.qv - c.cv) * (1024 * q.qv - c.cv)) AS d2
+          FROM q JOIN c USING (i) GROUP BY 1, 2, 3),
+    a AS (SELECT vec_id, own AS label, d2 AS a_d2 FROM d WHERE own = cl),
+    b AS (SELECT vec_id, MIN(d2) AS b_d2 FROM d WHERE own <> cl
+          GROUP BY 1)
+    SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+           CAST(a.a_d2 AS BIGINT) AS a_d2,
+           CAST(b.b_d2 AS BIGINT) AS b_d2,
+           CASE WHEN GREATEST(a.a_d2, b.b_d2) = 0 THEN 0.0
+                ELSE ROUND((b.b_d2 - a.a_d2) * 1.0
+                           / GREATEST(a.a_d2, b.b_d2), 6)
+           END AS silhouette
+    FROM a JOIN b USING (vec_id)
+"""

@@ -592,3 +592,46 @@ def test_user_burstiness_query_brute_force(tmp_path):
         var = (gaps**2).sum() / len(gaps) - mean * mean
         assert got.loc[u, "n_gaps"] == len(gaps)
         assert got.loc[u, "fano"] == round(var / mean, 6)
+
+
+def test_silhouette_by_label_matches_brute_force():
+    from raykg.ops.silhouette import silhouette_by_label
+
+    rng = np.random.default_rng(43)
+    k, dim, n = 4, 8, 300
+    centers = rng.uniform(-0.4, 0.4, (k, dim))
+    labels = rng.integers(0, k, n)
+    vecs = centers[labels] + rng.normal(0, 0.05, (n, dim))
+    t = pa.table(
+        {
+            "vec_id": np.arange(n),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    got = (
+        silhouette_by_label(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    # brute force on the same fixed-point grid (incl. negative floors)
+    q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    cent = np.zeros((k, dim), dtype=np.int64)
+    for lab in range(k):
+        s = q[labels == lab].sum(axis=0)
+        nn = (labels == lab).sum()
+        cent[lab] = (1024 * (s + 1024 * nn)) // nn - 1024 * 1024
+    X = q * 1024
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    rows = np.arange(n)
+    a = d2[rows, labels]
+    m = d2.copy()
+    m[rows, labels] = np.iinfo(np.int64).max
+    b = m.min(axis=1)
+    sil = np.round((b - a) / np.maximum(a, b), 6)
+    assert np.array_equal(got["a_d2"].to_numpy(), a)
+    assert np.array_equal(got["b_d2"].to_numpy(), b)
+    assert np.array_equal(got["silhouette"].to_numpy(), sil)
+    # well-separated planted clusters score positive on average
+    assert got["silhouette"].mean() > 0.3
