@@ -1997,3 +1997,94 @@ ORACLE_SQL["kg_adamic"] = f"""
     WHERE ce.u IS NULL
 """
 QUERIES["kg_adamic"] = q_kg_adamic
+
+
+def q_kg_betweenness(sf_dir: str):
+    """k-source depth-truncated Brandes betweenness over the KG edge
+    table (K=8 smallest-md5 sources, 4 BFS levels — the bounded
+    estimator; endpoints excluded).  Broadcast-engine shape: node-scale
+    dist/sigma/delta state on the driver, 2x4 streaming edge passes of
+    per-batch partial cells, NO all-to-all exchange
+    (`ops/betweenness.py`); the oracle unrolls the same levels as
+    set-based CTEs over all 8 sources."""
+    from ...ops.betweenness import betweenness_ksources
+
+    e = q_edges(sf_dir).select_columns(["src", "dst"])
+    return betweenness_ksources(e, u="src", v="dst",
+                                k_sources=8, max_depth=4)
+
+
+ORACLE_SQL["kg_betweenness"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    eraw AS (
+        SELECT conv_id AS src, conv_id || '#' || turn_idx AS dst FROM t
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx, tool FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id || '#' || turn_idx || '#' || keyword, 'concept:' || tag
+        FROM occ
+    ),
+    ce AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM eraw WHERE src <> dst),
+    adj AS (SELECT u AS node, v AS nbr FROM ce
+            UNION ALL SELECT v, u FROM ce),
+    srcs AS (SELECT node AS src FROM (SELECT DISTINCT node FROM adj)
+             ORDER BY md5(node), node LIMIT 8),
+    l0 AS (SELECT src, src AS node, 1.0 AS sig FROM srcs),
+    l1 AS (SELECT l0.src, a.nbr AS node, SUM(l0.sig) AS sig
+           FROM l0 JOIN adj a ON a.node = l0.node
+           WHERE a.nbr <> l0.src
+           GROUP BY 1, 2),
+    l2 AS (SELECT l1.src, a.nbr AS node, SUM(l1.sig) AS sig
+           FROM l1 JOIN adj a ON a.node = l1.node
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.src = l1.src
+                             AND l0.node = a.nbr)
+             AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.src = l1.src
+                             AND p.node = a.nbr)
+           GROUP BY 1, 2),
+    l3 AS (SELECT l2.src, a.nbr AS node, SUM(l2.sig) AS sig
+           FROM l2 JOIN adj a ON a.node = l2.node
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.src = l2.src
+                             AND l0.node = a.nbr)
+             AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.src = l2.src
+                             AND l1.node = a.nbr)
+             AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.src = l2.src
+                             AND p.node = a.nbr)
+           GROUP BY 1, 2),
+    l4 AS (SELECT l3.src, a.nbr AS node, SUM(l3.sig) AS sig
+           FROM l3 JOIN adj a ON a.node = l3.node
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.src = l3.src
+                             AND l0.node = a.nbr)
+             AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.src = l3.src
+                             AND l1.node = a.nbr)
+             AND NOT EXISTS (SELECT 1 FROM l2 WHERE l2.src = l3.src
+                             AND l2.node = a.nbr)
+             AND NOT EXISTS (SELECT 1 FROM l3 p WHERE p.src = l3.src
+                             AND p.node = a.nbr)
+           GROUP BY 1, 2),
+    d3 AS (SELECT l3.src, l3.node,
+                  l3.sig * SUM((1.0 + 0.0) / l4.sig) AS delta
+           FROM l3 JOIN adj a ON a.node = l3.node
+           JOIN l4 ON l4.src = l3.src AND l4.node = a.nbr
+           GROUP BY l3.src, l3.node, l3.sig),
+    d2 AS (SELECT l2.src, l2.node,
+                  l2.sig * SUM((1.0 + COALESCE(d3.delta, 0.0)) / l3.sig)
+                      AS delta
+           FROM l2 JOIN adj a ON a.node = l2.node
+           JOIN l3 ON l3.src = l2.src AND l3.node = a.nbr
+           LEFT JOIN d3 ON d3.src = l3.src AND d3.node = l3.node
+           GROUP BY l2.src, l2.node, l2.sig),
+    d1 AS (SELECT l1.src, l1.node,
+                  l1.sig * SUM((1.0 + COALESCE(d2.delta, 0.0)) / l2.sig)
+                      AS delta
+           FROM l1 JOIN adj a ON a.node = l1.node
+           JOIN l2 ON l2.src = l1.src AND l2.node = a.nbr
+           LEFT JOIN d2 ON d2.src = l2.src AND d2.node = l2.node
+           GROUP BY l1.src, l1.node, l1.sig),
+    u AS (SELECT node, delta FROM d1
+          UNION ALL SELECT node, delta FROM d2
+          UNION ALL SELECT node, delta FROM d3)
+    SELECT node, ROUND(SUM(delta), 6) AS bc
+    FROM u GROUP BY node HAVING SUM(delta) > 0
+"""
+QUERIES["kg_betweenness"] = q_kg_betweenness
