@@ -1632,3 +1632,246 @@ ORACLE_SQL["price_regression"] = """
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
 """
+
+
+TPCH_Q1_CUTOFF = "2000-09-02"
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary (public benchmark semantics) in exact
+    scaled integers: per (returnflag, linestatus), sums of quantity,
+    base price (cents), discounted price (cents x100) and charge
+    (cents x10^4), plus floor-integer averages — per-batch int64
+    partials, one bounded (<= 6 cell) combine, no float summation
+    anywhere, so the SQL mirror matches bit-for-bit at any scale."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    cutoff = np.datetime64(TPCH_Q1_CUTOFF).astype("datetime64[us]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cutoff
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        ).astype(np.int64)
+        ep = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100
+        ).astype(np.int64)
+        d100 = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        t100 = np.rint(
+            batch["l_tax"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": pd.array(
+                    batch["l_returnflag"].to_pylist()
+                )[keep],
+                "l_linestatus": pd.array(
+                    batch["l_linestatus"].to_pylist()
+                )[keep],
+                "qty": qty,
+                "base": ep,
+                "disc": ep * (100 - d100),
+                "charge": ep * (100 - d100) * (100 + t100),
+                "d100": d100,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            n=("qty", "size"), sum_qty=("qty", "sum"),
+            sum_base=("base", "sum"), sum_disc=("disc", "sum"),
+            sum_charge=("charge", "sum"), sum_d100=("d100", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    cells = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["n", "sum_qty", "sum_base", "sum_disc", "sum_charge",
+              "sum_d100"])
+        .to_pandas()
+        .rename(columns=lambda c: c.replace("sum(", "").rstrip(")")
+                if c.startswith("sum(") else c)
+        .sort_values(["l_returnflag", "l_linestatus"])
+    )
+    n = cells["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(cells["l_returnflag"],
+                                     type=pa.string()),
+            "l_linestatus": pa.array(cells["l_linestatus"],
+                                     type=pa.string()),
+            "sum_qty": pa.array(cells["sum_qty"], type=pa.int64()),
+            "sum_base_price_c": pa.array(cells["sum_base"],
+                                         type=pa.int64()),
+            "sum_disc_price_c2": pa.array(cells["sum_disc"],
+                                          type=pa.int64()),
+            "sum_charge_c4": pa.array(cells["sum_charge"],
+                                      type=pa.int64()),
+            "avg_qty_ppm": pa.array(
+                cells["sum_qty"].to_numpy(np.int64) * 1_000_000 // n,
+                type=pa.int64()),
+            "avg_price_c": pa.array(
+                cells["sum_base"].to_numpy(np.int64) // n,
+                type=pa.int64()),
+            "avg_disc_ppm": pa.array(
+                cells["sum_d100"].to_numpy(np.int64) * 10_000 // n,
+                type=pa.int64()),
+            "count_order": pa.array(n, type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q1"] = q_tpch_q1
+ORACLE_SQL["tpch_q1"] = f"""
+    WITH s AS (SELECT l_returnflag, l_linestatus,
+                      CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep,
+                      CAST(ROUND(l_discount * 100) AS BIGINT) AS d100,
+                      CAST(ROUND(l_tax * 100) AS BIGINT) AS t100
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '{TPCH_Q1_CUTOFF}')
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(ep) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(ep * (100 - d100)) AS BIGINT) AS sum_disc_price_c2,
+           CAST(SUM(ep * (100 - d100) * (100 + t100)) AS BIGINT)
+               AS sum_charge_c4,
+           CAST(SUM(qty) * 1000000 // COUNT(*) AS BIGINT) AS avg_qty_ppm,
+           CAST(SUM(ep) // COUNT(*) AS BIGINT) AS avg_price_c,
+           CAST(SUM(d100) * 10000 // COUNT(*) AS BIGINT) AS avg_disc_ppm,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM s GROUP BY 1, 2
+"""
+
+
+TPCH_Q3_DATE = "1998-03-15"
+TPCH_Q3_SEGMENT = "BUILDING"
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping-priority top-10 (public benchmark semantics):
+    BUILDING-segment customers' orders placed before D with lineitems
+    shipping after D, ranked by open revenue.  Revenue is the exact
+    scaled integer sum(ep_c * (100 - d100)).  Plan: broadcast
+    semi-join orders against the filtered customer keys (small side by
+    the segment filter's contract), per-batch revenue pre-agg then a
+    sharded per-orderkey combine, ONE bucketed hash join back to order
+    attributes, and the no-global-sort `ops/topk.global_topk` for the
+    final 10 (unique orderkey tiebreak)."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import bucketed_hash_join, semi_join
+    from ...ops.topk import global_topk
+
+    d = np.datetime64(TPCH_Q3_DATE).astype("datetime64[us]")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr=f"c_mktsegment == '{TPCH_Q3_SEGMENT}'")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    )
+
+    def before(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(od < d))
+
+    orders = semi_join(
+        orders.map_batches(before, batch_format="pyarrow"),
+        cust, on="o_custkey", right_on="c_custkey",
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship > d
+        ep = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100
+        ).astype(np.int64)
+        d100 = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"]
+                .to_numpy(zero_copy_only=False)[keep],
+                "rc2": ep * (100 - d100),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False)["rc2"].sum()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def rev_combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", sort=False)["rc2"].sum().reset_index()
+        return out.rename(columns={"rc2": "revenue_c2"})
+
+    rev = sharded_groupby_apply(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        ["l_orderkey"], rev_combine, num_shards=64,
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    joined = bucketed_hash_join(
+        rev, orders.map_batches(keyed, batch_format="pyarrow"),
+        on="l_orderkey",
+    )
+    top = global_topk(joined, "revenue_c2", 10, descending=True,
+                      tiebreak=["o_orderdate", "l_orderkey"])
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "revenue_c2": pc.cast(batch["revenue_c2"], pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    return top.map_batches(typed, batch_format="pyarrow")
+
+
+QUERIES["tpch_q3"] = q_tpch_q3
+ORACLE_SQL["tpch_q3"] = f"""
+    WITH c AS (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = '{TPCH_Q3_SEGMENT}'),
+    o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+          WHERE o_orderdate < TIMESTAMP '{TPCH_Q3_DATE}'
+            AND o_custkey IN (SELECT c_custkey FROM c)),
+    l AS (SELECT l_orderkey,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     AS rc2
+          FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '{TPCH_Q3_DATE}'),
+    r AS (SELECT l_orderkey, CAST(SUM(rc2) AS BIGINT) AS revenue_c2
+          FROM l GROUP BY 1)
+    SELECT r.l_orderkey, r.revenue_c2, o.o_orderdate, o.o_orderpriority
+    FROM r JOIN o ON o.o_orderkey = r.l_orderkey
+    ORDER BY revenue_c2 DESC, o_orderdate, l_orderkey LIMIT 10
+"""
