@@ -1875,3 +1875,208 @@ ORACLE_SQL["tpch_q3"] = f"""
     FROM r JOIN o ON o.o_orderkey = r.l_orderkey
     ORDER BY revenue_c2 DESC, o_orderdate, l_orderkey LIMIT 10
 """
+
+
+TPCH_Q6_DATE = "1997-01-01"
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue-change (public benchmark
+    semantics): one filtered scan, revenue = sum(ep_c * d100) in exact
+    scaled integers (cents x100), zero exchanges — per-batch int64
+    partials and a tiny sum."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+    )
+    lo = np.datetime64(TPCH_Q6_DATE).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q6_DATE).astype("datetime64[us]") + np.timedelta64(365, "D").astype("timedelta64[us]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        d100 = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi) & (d100 >= 5) & (d100 <= 7) \
+            & (qty < 24)
+        ep = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "rev": pa.array([int((ep * d100[keep]).sum())],
+                                type=pa.int64()),
+                "n": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").sum(["rev", "n"])
+    return pa.table(
+        {
+            "revenue_c2": pa.array([agg["sum(rev)"]], type=pa.int64()),
+            "n_rows": pa.array([agg["sum(n)"]], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q6"] = q_tpch_q6
+ORACLE_SQL["tpch_q6"] = f"""
+    WITH s AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep,
+                      CAST(ROUND(l_discount * 100) AS BIGINT) AS d100
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '{TPCH_Q6_DATE}'
+                 AND l_shipdate < TIMESTAMP '{TPCH_Q6_DATE}'
+                     + INTERVAL 365 DAY
+                 AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+                 AND l_quantity < 24)
+    SELECT CAST(COALESCE(SUM(ep * d100), 0) AS BIGINT) AS revenue_c2,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM s
+"""
+
+
+def _ntile_bucket(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based dense ranks: first n%k buckets get one
+    extra row (the q_curriculum replication, shared here)."""
+    q, rem = divmod(n, k)
+    big = (q + 1) * rem
+    return np.where(
+        rank < big,
+        rank // (q + 1) + 1,
+        rem + (rank - big) // max(q, 1) + 1 if q else rem,
+    ).astype(np.int64)
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles — the classic CRM scheme): per-customer order rollup via
+    one sharded combine, then THREE rank-by-sort NTILE(5) passes
+    (`ops/index.zip_with_index` over packed (metric, custkey) int64
+    keys — no rank-table joins; quintile 1 = most recent / most orders
+    / highest spend).  Packing bound: custkey < 2^20, metrics within
+    their documented headroom — guarded loudly."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.index import zip_with_index
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": batch["o_custkey"].to_numpy(
+                    zero_copy_only=False),
+                "last": batch["o_orderdate"].to_numpy(
+                    zero_copy_only=False).astype("datetime64[us]")
+                .astype(np.int64),
+                "m": np.rint(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("c_custkey", sort=False).agg(
+            n=("m", "size"), m_c=("m", "sum"), last=("last", "max")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_custkey", sort=False)
+            .agg(n_orders=("n", "sum"), monetary_c=("m_c", "sum"),
+                 last=("last", "max"))
+            .reset_index()
+        )
+
+    cust = sharded_groupby_apply(
+        orders.map_batches(pre, batch_format="pyarrow"), ["c_custkey"],
+        combine, num_shards=64,
+    ).materialize()
+
+    mx = cust.max("last")
+    gmax = int(mx["max(last)"]) if isinstance(mx, dict) else int(mx)
+    n_cust = cust.count()
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        if ck.max(initial=0) >= 1 << 20:
+            raise ValueError("rfm packing: custkey >= 2^20 — widen keys")
+        last = batch["last"].to_numpy(zero_copy_only=False)
+        r_days = (gmax - last) // 86_400_000_000
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        m = batch["monetary_c"].to_numpy(zero_copy_only=False)
+        if r_days.max(initial=0) >= 1 << 30 or n.max(initial=0) >= 1 << 30 \
+                or m.max(initial=0) >= 1 << 40:
+            raise ValueError("rfm packing: metric exceeds headroom")
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, type=pa.int64()),
+                "r_days": pa.array(r_days, type=pa.int64()),
+                "n_orders": pa.array(n, type=pa.int64()),
+                "monetary_c": pa.array(m, type=pa.int64()),
+                "kr": pa.array(r_days * (1 << 20) + ck, type=pa.int64()),
+                "kf": pa.array(((1 << 30) - n) * (1 << 20) + ck,
+                               type=pa.int64()),
+                "km": pa.array(((1 << 40) - m) * (1 << 20) + ck,
+                               type=pa.int64()),
+            }
+        )
+
+    ds = cust.map_batches(metrics, batch_format="pyarrow")
+    out_cols = ["c_custkey", "r_days", "n_orders", "monetary_c"]
+    quints = {}
+    for key, name in (("kr", "r_q"), ("kf", "f_q"), ("km", "m_q")):
+        ds = zip_with_index(ds, sort_key=key, id_col="__rk")
+
+        def bucketize(batch: pa.Table, _name=name) -> pa.Table:
+            rk = batch["__rk"].to_numpy(zero_copy_only=False)
+            return batch.drop_columns(["__rk"]).append_column(
+                _name, pa.array(_ntile_bucket(rk, n_cust, 5),
+                                type=pa.int64())
+            )
+
+        ds = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in out_cols + ["r_q", "f_q", "m_q"]}
+        code = (
+            batch["r_q"].to_numpy(zero_copy_only=False) * 100
+            + batch["f_q"].to_numpy(zero_copy_only=False) * 10
+            + batch["m_q"].to_numpy(zero_copy_only=False)
+        )
+        cols["rfm_code"] = pa.array(code, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLE_SQL["rfm_segments"] = """
+    WITH m AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS monetary_c,
+                      MAX(o_orderdate) AS last
+               FROM orders GROUP BY 1),
+    g AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+    c AS (SELECT c_custkey,
+                 CAST((epoch_us(g.gmax) - epoch_us(last))
+                      // 86400000000 AS BIGINT) AS r_days,
+                 CAST(n_orders AS BIGINT) AS n_orders,
+                 CAST(monetary_c AS BIGINT) AS monetary_c
+          FROM m, g),
+    q AS (SELECT c_custkey, r_days, n_orders, monetary_c,
+                 NTILE(5) OVER (ORDER BY r_days, c_custkey) AS r_q,
+                 NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey) AS f_q,
+                 NTILE(5) OVER (ORDER BY monetary_c DESC, c_custkey) AS m_q
+          FROM c)
+    SELECT c_custkey, r_days, n_orders, monetary_c,
+           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(100 * r_q + 10 * f_q + m_q AS BIGINT) AS rfm_code
+    FROM q
+"""

@@ -699,3 +699,18 @@ def test_betweenness_matches_brute_force():
     assert set(got.index) == set(expect)
     for v, d in expect.items():
         assert got[v] == round(d, 6)
+
+
+def test_ntile_bucket_matches_sql_ntile():
+    import duckdb
+    from raykg.pipeline.queries.relational import _ntile_bucket
+
+    for n in (4, 5, 7, 23, 100):
+        ranks = np.arange(n)
+        got = _ntile_bucket(ranks, n, 5)
+        sql = duckdb.sql(
+            f"SELECT NTILE(5) OVER (ORDER BY r) FROM "
+            f"(SELECT unnest(generate_series(0, {n - 1})) AS r)"
+        ).fetchnumpy()
+        expect = list(sql.values())[0].astype(np.int64)
+        assert np.array_equal(got, expect), n
