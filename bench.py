@@ -247,6 +247,28 @@ def run_bench() -> dict:
     timed("hard_negatives", consume=len)
     timed("value_ewma")
     timed("user_survival", consume=len)
+    # round-4 third-session additions: distribution tests, drift,
+    # sequences, readability/zipf, graph centrality, TPC-H, RFM
+    timed("value_ks", consume=len)
+    timed("value_cusum")
+    timed("event_markov", consume=len)
+    timed("type_dow_mi", consume=len)
+    timed("value_anova", consume=len)
+    timed("value_autocorr", consume=len)
+    timed("value_psi", consume=len)
+    timed("event_trigrams", consume=len)
+    timed("user_burstiness")
+    timed("readability")
+    timed("token_zipf", consume=len)
+    timed("canonical_docs")
+    timed("source_card", consume=len)
+    timed("kg_adamic")
+    timed("kg_betweenness", consume=len)
+    timed("embed_silhouette")
+    timed("tpch_q1", consume=len)
+    timed("tpch_q3")
+    timed("tpch_q6", consume=len)
+    timed("rfm_segments")
 
     headline = timings["triples_scaled"]
     result = {

@@ -9,16 +9,18 @@ corpora where full all-pairs Brandes (O(V·E)) is unpayable.
 Engine shape — the ``ops/pagerank.py`` / ``ops/bfs.py`` BROADCAST
 regime (node-scale driver state, edge table only ever streamed):
 
-- forward: per level one streaming ``map_batches`` pass over the
-  symmetrized edge table emits per-batch partial path-count
-  contributions ((node, source) cells, pre-summed per batch); the
-  driver folds them into dist/σ matrices (|V| × K ints) and ships the
-  new state via ``ray.put``.  σ sums are exact integers below 2^53.
-- backward: per level one streaming pass accumulates Brandes
-  dependencies δ(v) = σ(v) · Σ_succ (1+δ(w))/σ(w) the same way —
-  only the final δ is float, with one fixed evaluation tree shared
-  with the SQL mirror.
-- 2·max_depth edge passes total, NO all-to-all exchange anywhere.
+- the symmetrized edge table is materialized ONCE; every level is a
+  raw-task pass over its block refs (the ``ops/rank.py`` documented
+  raw-``ray.remote`` exception — re-wrapping each pass as a Dataset
+  would re-run schema probes and churn the object store 2·depth times);
+- forward: per level each block task emits pre-summed ((node, source)
+  → path-count) cells; the driver folds them into dist/σ matrices
+  (|V| × K) and re-broadcasts one state ref.  σ sums are exact
+  integers below 2^53.
+- backward: per level the same pass shape accumulates Brandes
+  dependencies δ(v) = σ(v) · Σ_succ (1+δ(w))/σ(w) — only δ is float,
+  with one fixed evaluation tree shared with the SQL mirror.
+- 2·max_depth block passes total, NO all-to-all exchange anywhere.
 
 At >10M nodes the |V|×K driver state outgrows one heap — the
 documented fallback is the sharded-frontier engine of ``ops/bfs.py``
@@ -30,13 +32,57 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
 
 from .triangles import canonical_edges
+
+
+def _as_table(block) -> pa.Table:
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).to_arrow()
+
+
+@ray.remote
+def _block_nodes(block):
+    t = _as_table(block)
+    if t.num_rows == 0 or "s" not in t.column_names:
+        return np.array([], dtype=object)
+    return np.unique(t["s"].to_numpy(zero_copy_only=False))
+
+
+@ray.remote
+def _block_pass(block, state, backward: bool):
+    """One Brandes pass over one edge block: pre-summed (node·K + src)
+    cells — σ contributions forward, (1+δ(w))/σ(w) terms backward."""
+    t = _as_table(block)
+    empty = pa.table({"key": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.float64())})
+    if t.num_rows == 0 or "s" not in t.column_names:
+        return empty
+    ns, dm, sm, dl, level, k = state
+    si = np.searchsorted(ns, t["s"].to_numpy(zero_copy_only=False))
+    di = np.searchsorted(ns, t["d"].to_numpy(zero_copy_only=False))
+    if backward:
+        m = (dm[si, :] == level) & (dm[di, :] == level + 1)
+    else:
+        m = (dm[si, :] == level) & (dm[di, :] < 0)
+    rows, cols = np.nonzero(m)
+    if not len(rows):
+        return empty
+    if backward:
+        w = (1.0 + dl[di[rows], cols]) / sm[di[rows], cols]
+        key = si[rows] * k + cols
+    else:
+        w = sm[si[rows], cols]
+        key = di[rows] * k + cols
+    uk, inv = np.unique(key, return_inverse=True)
+    c = np.bincount(inv, weights=w)
+    return pa.table({"key": pa.array(uk, type=pa.int64()),
+                     "c": pa.array(c, type=pa.float64())})
 
 
 def betweenness_ksources(
@@ -67,31 +113,22 @@ def betweenness_ksources(
         )
 
     adj = canon.map_batches(symmetrize, batch_format="pyarrow").materialize()
-
-    # node set: per-block distinct partials -> driver (node-scale state,
-    # the broadcast regime's contract)
-    def distinct_nodes(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({"n": pc.unique(batch["s"])})
-
-    node_tabs = [
-        t
-        for t in ray.get(
-            list(
-                adj.map_batches(distinct_nodes, batch_format="pyarrow")
-                .to_arrow_refs()
-            )
-        )
-        if t.num_rows
+    refs = [
+        ref
+        for bundle in adj.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
     ]
-    nodes = np.unique(
-        pa.concat_tables(node_tabs)["n"].to_numpy(zero_copy_only=False)
-    )
-    n = len(nodes)
-    if n == 0:
+    if not refs:
         return pa.table({"node": pa.array([], type=pa.string()),
                          "bc": pa.array([], type=pa.float64())})
+
+    parts = ray.get([_block_nodes.remote(r) for r in refs])
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pa.table({"node": pa.array([], type=pa.string()),
+                         "bc": pa.array([], type=pa.float64())})
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
     digests = np.array(
         [hashlib.md5(str(x).encode("utf-8")).hexdigest() for x in nodes]
     )
@@ -99,51 +136,27 @@ def betweenness_ksources(
     src_idx = order[: min(k_sources, n)]
     k = len(src_idx)
 
-    NEG = np.int64(-1)
-    dist = np.full((n, k), NEG, dtype=np.int64)
+    dist = np.full((n, k), np.int64(-1), dtype=np.int64)
     sig = np.zeros((n, k), dtype=np.float64)  # integer-valued, < 2^53
     dist[src_idx, np.arange(k)] = 0
     sig[src_idx, np.arange(k)] = 1.0
+    delta = np.zeros((n, k), dtype=np.float64)
 
-    def fold(parts, mat_update):
-        for t in parts:
-            if t.num_rows == 0 or "key" not in t.column_names:
-                continue
-            key = t["key"].to_numpy(zero_copy_only=False)
-            c = t["c"].to_numpy(zero_copy_only=False)
-            mat_update(key // k, key % k, c)
+    def run_pass(level: int, backward: bool) -> np.ndarray:
+        st = ray.put((nodes, dist, sig, delta, level, k))
+        acc = np.zeros((n, k), dtype=np.float64)
+        for t in ray.get(
+            [_block_pass.remote(r, st, backward) for r in refs]
+        ):
+            if t.num_rows:
+                key = t["key"].to_numpy(zero_copy_only=False)
+                c = t["c"].to_numpy(zero_copy_only=False)
+                np.add.at(acc, (key // k, key % k), c)
+        return acc
 
     max_level = 0
     for lvl in range(max_depth):
-        st = ray.put((nodes, dist, sig, lvl, k))
-
-        def expand(batch: pa.Table) -> pa.Table:
-            ns, dm, sm, level, kk = ray.get(st)
-            si = np.searchsorted(ns, batch["s"].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(ns, batch["d"].to_numpy(zero_copy_only=False))
-            m = (dm[si, :] == level) & (dm[di, :] < 0)
-            rows, cols = np.nonzero(m)
-            if not len(rows):
-                return pa.table({"key": pa.array([], type=pa.int64()),
-                                 "c": pa.array([], type=pa.float64())})
-            key = di[rows] * kk + cols
-            uk, inv = np.unique(key, return_inverse=True)
-            c = np.bincount(inv, weights=sm[si[rows], cols])
-            return pa.table({"key": pa.array(uk, type=pa.int64()),
-                             "c": pa.array(c, type=pa.float64())})
-
-        parts = ray.get(
-            list(
-                adj.map_batches(expand, batch_format="pyarrow")
-                .to_arrow_refs()
-            )
-        )
-        new_sig = np.zeros_like(sig)
-
-        def upd(r, c, w, _m=new_sig):
-            np.add.at(_m, (r, c), w)
-
-        fold(parts, upd)
+        new_sig = run_pass(lvl, backward=False)
         newly = (new_sig > 0) & (dist < 0)
         if not newly.any():
             break
@@ -151,35 +164,8 @@ def betweenness_ksources(
         sig[newly] = new_sig[newly]
         max_level = lvl + 1
 
-    delta = np.zeros((n, k), dtype=np.float64)
     for lvl in range(max_level - 1, -1, -1):
-        st = ray.put((nodes, dist, sig, delta, lvl, k))
-
-        def back(batch: pa.Table) -> pa.Table:
-            ns, dm, sm, dl, level, kk = ray.get(st)
-            si = np.searchsorted(ns, batch["s"].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(ns, batch["d"].to_numpy(zero_copy_only=False))
-            m = (dm[si, :] == level) & (dm[di, :] == level + 1)
-            rows, cols = np.nonzero(m)
-            if not len(rows):
-                return pa.table({"key": pa.array([], type=pa.int64()),
-                                 "c": pa.array([], type=pa.float64())})
-            w = (1.0 + dl[di[rows], cols]) / sm[di[rows], cols]
-            key = si[rows] * kk + cols
-            uk, inv = np.unique(key, return_inverse=True)
-            c = np.bincount(inv, weights=w)
-            return pa.table({"key": pa.array(uk, type=pa.int64()),
-                             "c": pa.array(c, type=pa.float64())})
-
-        parts = ray.get(
-            list(adj.map_batches(back, batch_format="pyarrow").to_arrow_refs())
-        )
-        acc = np.zeros_like(delta)
-
-        def upd(r, c, w, _m=acc):
-            np.add.at(_m, (r, c), w)
-
-        fold(parts, upd)
+        acc = run_pass(lvl, backward=True)
         lvl_mask = dist == lvl
         delta[lvl_mask] += (sig * acc)[lvl_mask]
 
