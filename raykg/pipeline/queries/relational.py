@@ -2080,3 +2080,225 @@ ORACLE_SQL["rfm_segments"] = """
            CAST(100 * r_q + 10 * f_q + m_q AS BIGINT) AS rfm_code
     FROM q
 """
+
+
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_DATE_LO = "1995-01-01"
+TPCH_Q5_DATE_HI = "2002-01-01"
+# Above this many qualifying (orderkey -> cust nation) pairs the broadcast
+# map is replaced by partitioned hash joins (ops/join.bucketed_hash_join).
+TPCH_Q5_BROADCAST_MAX = 2_000_000
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier volume (public benchmark semantics): revenue
+    by supplier nation for orders whose customer is in TPCH_Q5_REGION and
+    shares the supplier's nation, over [DATE_LO, DATE_HI).  The date window
+    spans the full synthetic range (the c_nationkey = s_nationkey constraint
+    is already highly selective on random keys).
+
+    Plan, scale notes: region/nation are driver-tiny dims; supplier
+    (suppkey -> nationkey) is a broadcast dim (TPC-H keeps supplier 1/15th
+    of customer).  Customers in the region stream through a column-pruned
+    filter, then orders stream once to build the (o_orderkey ->
+    c_nationkey) map, which is bounded by region x date selectivity and
+    broadcast via ray.put.  If that map exceeds TPCH_Q5_BROADCAST_MAX the
+    plan switches to two partitioned hash joins (bucketed_hash_join on
+    c_custkey then l_orderkey) — same cells, shuffle instead of broadcast.
+    lineitem streams exactly once either way; revenue partials are exact
+    int64 cents x (100 - d100) with a <= 25-cell final reduce."""
+    import pyarrow.compute as pc
+
+    from ...ops.join import bucketed_hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg["r_name"], TPCH_Q5_REGION))["r_regionkey"][0].as_py()
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    region_nations = np.sort(nat_in["n_nationkey"].to_numpy())
+    nat_names = dict(
+        zip(nat_in["n_nationkey"].to_pylist(), nat_in["n_name"].to_pylist())
+    )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup_keys = sup["s_suppkey"].to_numpy()
+    sup_order = np.argsort(sup_keys, kind="stable")
+    sup_keys = sup_keys[sup_order]
+    sup_nats = sup["s_nationkey"].to_numpy()[sup_order]
+    sup_ref = ray.put((sup_keys, sup_nats))
+
+    lo = np.datetime64(TPCH_Q5_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q5_DATE_HI).astype("datetime64[us]")
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(region_nations, nk)
+        pos[pos >= len(region_nations)] = 0
+        keep = region_nations[pos] == nk
+        return batch.filter(pa.array(keep))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_filter, batch_format="pyarrow")
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((od >= lo) & (od < hi))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    _EMPTY_CELLS = pa.table(
+        {"nat": pa.array([], type=pa.int64()),
+         "revenue_c2": pa.array([], type=pa.int64())}
+    )
+
+    def _revenue_cells(batch: pa.Table, c_nat: np.ndarray,
+                       hit: np.ndarray) -> pa.Table:
+        """Shared tail of both plans: attach supplier nation from the
+        broadcast dim, keep matching-nation rows, fold exact int64 revenue
+        into per-nation cells (<= 25 rows out per batch)."""
+        sk, sn = ray.get(sup_ref)
+        spos = np.searchsorted(sk, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        spos[spos >= len(sk)] = 0
+        s_nat = sn[spos]
+        keep = hit & (s_nat == c_nat)
+        if not keep.any():
+            return _EMPTY_CELLS
+        ep = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        d100 = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        rev = ep * (100 - d100)
+        nats = s_nat[keep].astype(np.int64)
+        uniq, inv = np.unique(nats, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {"nat": pa.array(uniq, type=pa.int64()),
+             "revenue_c2": pa.array(sums, type=pa.int64())}
+        )
+
+    def li_partial_factory(lookup_ref):
+        def li_partial(batch: pa.Table) -> pa.Table:
+            ok_keys, ok_nats = ray.get(lookup_ref)
+            lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ok_keys) == 0:
+                return _EMPTY_CELLS
+            pos = np.searchsorted(ok_keys, lok)
+            pos[pos >= len(ok_keys)] = 0
+            hit = ok_keys[pos] == lok
+            if not hit.any():
+                return _EMPTY_CELLS
+            return _revenue_cells(batch, ok_nats[pos], hit)
+
+        return li_partial
+
+    # (o_orderkey -> c_nationkey): broadcast map under the gate, else a
+    # partitioned hash join producing the same two columns.  One pass over
+    # customer either way: materialize the (2-col, region-filtered) stream,
+    # then count() reads block metadata.
+    cust = cust.materialize()
+    cust_tbl = pa.concat_tables(
+        [b for b in cust.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_nationkey": pa.array([], pa.int64())})]
+    ) if cust.count() <= TPCH_Q5_BROADCAST_MAX else None
+    if cust_tbl is not None:
+        ck = cust_tbl["c_custkey"].to_numpy()
+        corder = np.argsort(ck, kind="stable")
+        ck, cn = ck[corder], cust_tbl["c_nationkey"].to_numpy()[corder]
+
+        def orders_attach(batch: pa.Table) -> pa.Table:
+            oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ck, oc)
+            pos[pos >= len(ck)] = 0
+            keep = (ck[pos] == oc) if len(ck) else np.zeros(len(oc), bool)
+            return pa.table(
+                {"o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                 "c_nationkey": pa.array(cn[pos][keep], type=pa.int64())}
+            )
+
+        om = pa.concat_tables(
+            [b for b in orders.map_batches(orders_attach, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+            or [pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "c_nationkey": pa.array([], pa.int64())})]
+        )
+        ok = om["o_orderkey"].to_numpy()
+        oorder = np.argsort(ok, kind="stable")
+        lookup_ref = ray.put((ok[oorder], om["c_nationkey"].to_numpy()[oorder]))
+        joined_li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_partial_factory(lookup_ref), batch_format="pyarrow")
+    else:
+        oc = orders.map_batches(
+            lambda b: b.rename_columns(["o_orderkey", "c_custkey"]),
+            batch_format="pyarrow",
+        )
+        om_ds = bucketed_hash_join(
+            oc, cust.map_batches(
+                lambda b: b.rename_columns(["c_custkey", "c_nationkey"]),
+                batch_format="pyarrow"),
+            on="c_custkey",
+        ).map_batches(
+            lambda b: b.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow"
+        )
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            lambda b: b.rename_columns(
+                ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            batch_format="pyarrow",
+        )
+        big = bucketed_hash_join(li, om_ds, on="o_orderkey")
+
+        def big_partial(batch: pa.Table) -> pa.Table:
+            # the join already attached c_nationkey to every lineitem row
+            if batch.num_rows == 0:
+                return _EMPTY_CELLS
+            c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            return _revenue_cells(batch, c_nat, np.ones(len(c_nat), bool))
+
+        joined_li = big.map_batches(big_partial, batch_format="pyarrow")
+
+    cells = (
+        joined_li.groupby("nat").sum("revenue_c2").to_pandas()
+        .rename(columns={"sum(revenue_c2)": "revenue_c2"})
+    )
+    cells["n_name"] = cells["nat"].map(nat_names)
+    cells = cells.sort_values(
+        ["revenue_c2", "n_name"], ascending=[False, True]
+    )
+    return pa.table(
+        {"n_name": pa.array(cells["n_name"], type=pa.string()),
+         "revenue_c2": pa.array(cells["revenue_c2"], type=pa.int64())}
+    )
+
+
+QUERIES["tpch_q5"] = q_tpch_q5
+ORACLE_SQL["tpch_q5"] = f"""
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2
+    FROM lineitem, orders, customer, supplier, nation, region
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = '{TPCH_Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{TPCH_Q5_DATE_LO}'
+      AND o_orderdate < TIMESTAMP '{TPCH_Q5_DATE_HI}'
+    GROUP BY n_name
+"""

@@ -1,0 +1,19 @@
+"""tpch_q5's two physical plans (broadcast map vs partitioned hash joins)
+must produce identical cells — the fallback is real code, exercised here by
+forcing the gate to zero."""
+
+import pytest
+
+import raykg.pipeline.queries.relational as rel
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q5_bucketed_fallback_equals_broadcast(monkeypatch):
+    broadcast = rel.q_tpch_q5(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(rel, "TPCH_Q5_BROADCAST_MAX", 0)
+    bucketed = rel.q_tpch_q5(SF).to_pandas().reset_index(drop=True)
+    assert broadcast.equals(bucketed)
+    assert len(broadcast) >= 1
+    assert list(broadcast.columns) == ["n_name", "revenue_c2"]
