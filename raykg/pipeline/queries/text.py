@@ -1776,3 +1776,58 @@ ORACLE_SQL["source_card"] = r"""
            CAST(n_langs AS BIGINT) AS n_langs, top_lang
     FROM s JOIN top USING (source)
 """
+
+
+BOILERPLATE_CHUNK_WORDS = 5
+BOILERPLATE_MIN_DOCS = 2
+
+
+def q_boilerplate(sf_dir: str):
+    """CCNet-style cross-document boilerplate removal (the line-dedup
+    cleaning stage of web-scale corpora): chunks of BOILERPLATE_CHUNK_WORDS
+    consecutive words recurring in >= BOILERPLATE_MIN_DOCS distinct docs
+    are dropped from every document, preserving chunk order.  One
+    groupby(chunk) exchange for the frequency pass; the rewrite is a pure
+    broadcast map under the 5M-chunk gate (bucketed-join fallback above —
+    see ops/boilerplate.py)."""
+    from ...ops.boilerplate import boilerplate_trim
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return boilerplate_trim(
+        docs,
+        id_column="doc_id",
+        text_column="text",
+        chunk_words=BOILERPLATE_CHUNK_WORDS,
+        min_docs=BOILERPLATE_MIN_DOCS,
+    )
+
+
+QUERIES["boilerplate"] = q_boilerplate
+ORACLE_SQL["boilerplate"] = f"""
+    WITH W AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    L AS (SELECT doc_id,
+                 CAST(i AS BIGINT) AS cidx,
+                 array_to_string(
+                     words[i * {BOILERPLATE_CHUNK_WORDS} + 1 :
+                           i * {BOILERPLATE_CHUNK_WORDS}
+                           + {BOILERPLATE_CHUNK_WORDS}], ' ') AS chunk
+          FROM W,
+               LATERAL (SELECT unnest(range(CAST(
+                   ceil(len(words) / {BOILERPLATE_CHUNK_WORDS}.0)
+                   AS BIGINT))) AS i) r),
+    dup AS (SELECT chunk FROM L WHERE trim(chunk) <> ''
+            GROUP BY chunk
+            HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}),
+    flagged AS (SELECT l.doc_id, l.cidx, l.chunk,
+                       d.chunk IS NOT NULL AS isdup
+                FROM L l LEFT JOIN dup d USING (chunk))
+    SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY cidx)
+                        FILTER (WHERE NOT isdup), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE isdup) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+"""
