@@ -2302,3 +2302,137 @@ ORACLE_SQL["tpch_q5"] = f"""
       AND o_orderdate < TIMESTAMP '{TPCH_Q5_DATE_HI}'
     GROUP BY n_name
 """
+
+
+TPCH_Q18_MIN_QTY = 250
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers (public benchmark semantics):
+    orders whose total line quantity exceeds TPCH_Q18_MIN_QTY, enriched
+    with customer names, top-100 by order value.
+
+    Plan, scale notes: the HAVING set is ~the top percentile of orders —
+    per-batch int64 quantity partials, ONE groupby(l_orderkey) exchange,
+    filter, and the survivors broadcast via ray.put.  orders then stream
+    once through the set filter into ops/topk.global_topk (per-block
+    top-100 + one O(100 x blocks) reduce — no global sort), and customer
+    streams once against the <= 100 surviving custkeys.  Driver state is
+    the having set + 100 rows, never a corpus-scale table."""
+    from ...ops.topk import global_topk
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {"l_orderkey": pa.array(uniq, type=pa.int64()),
+             "sum_qty": pa.array(sums, type=pa.int64())}
+        )
+
+    having = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("sum_qty")
+    )
+    hk, hq = [], []
+    for b in having.iter_batches(batch_format="pyarrow"):
+        s = b["sum(sum_qty)"].to_numpy()
+        keep = s > TPCH_Q18_MIN_QTY
+        hk.append(b["l_orderkey"].to_numpy()[keep])
+        hq.append(s[keep])
+    hk = np.concatenate(hk) if hk else np.array([], np.int64)
+    hq = np.concatenate(hq) if hq else np.array([], np.int64)
+    order = np.argsort(hk, kind="stable")
+    having_ref = ray.put((hk[order], hq[order]))
+
+    def orders_attach(batch: pa.Table) -> pa.Table:
+        keys, qtys = ray.get(having_ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            keep = np.zeros(len(ok), bool)
+            sq = np.array([], np.int64)
+        else:
+            pos = np.searchsorted(keys, ok)
+            pos[pos >= len(keys)] = 0
+            keep = keys[pos] == ok
+            sq = qtys[pos][keep]
+        tp = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+             "o_custkey": batch["o_custkey"].filter(pa.array(keep)),
+             "o_orderdate": batch["o_orderdate"].filter(pa.array(keep)),
+             "totalprice_c": pa.array(tp, type=pa.int64()),
+             "sum_qty": pa.array(sq, type=pa.int64())}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(orders_attach, batch_format="pyarrow")
+    top = pa.concat_tables(
+        [b for b in global_topk(
+            orders, "totalprice_c", 100,
+            descending=True, tiebreak=["o_orderdate", "o_orderkey"],
+        ).iter_batches(batch_format="pyarrow")]
+    )
+
+    ckeys = np.sort(np.unique(top["o_custkey"].to_numpy()))
+    names = {}
+    if len(ckeys):
+        def cust_pick(batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ckeys, ck)
+            pos[pos >= len(ckeys)] = 0
+            keep = ckeys[pos] == ck
+            return batch.filter(pa.array(keep))
+
+        picked = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).map_batches(cust_pick, batch_format="pyarrow")
+        for b in picked.iter_batches(batch_format="pyarrow"):
+            names.update(zip(b["c_custkey"].to_pylist(), b["c_name"].to_pylist()))
+
+    df = top.to_pandas().sort_values(
+        ["totalprice_c", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True], kind="stable",
+    )
+    return pa.table(
+        {"c_name": pa.array(
+             [names.get(k) for k in df["o_custkey"]], type=pa.string()),
+         "c_custkey": pa.array(df["o_custkey"].to_numpy(), type=pa.int64()),
+         "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), type=pa.int64()),
+         "o_orderdate": pa.array(
+             df["o_orderdate"].to_numpy(), type=pa.timestamp("us")),
+         "totalprice_c": pa.array(df["totalprice_c"].to_numpy(), type=pa.int64()),
+         "sum_qty": pa.array(df["sum_qty"].to_numpy(), type=pa.int64())}
+    )
+
+
+QUERIES["tpch_q18"] = q_tpch_q18
+ORACLE_SQL["tpch_q18"] = f"""
+    WITH h AS (SELECT l_orderkey,
+                      CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                          AS sum_qty
+               FROM lineitem GROUP BY 1
+               HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                      > {TPCH_Q18_MIN_QTY})
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           sum_qty
+    FROM h
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice_c DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
