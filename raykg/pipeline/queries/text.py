@@ -1831,3 +1831,43 @@ ORACLE_SQL["boilerplate"] = f"""
            CAST(COUNT(*) FILTER (WHERE isdup) AS BIGINT) AS n_removed
     FROM flagged GROUP BY doc_id
 """
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): every document scored by
+    how target-like (lang='en') its hashed-unigram distribution is, in
+    exact int64 quantized-log arithmetic (ops/dsir.py — one bucket-table
+    exchange, then a zero-exchange scoring stream)."""
+    from ...ops.dsir import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_weights(docs, target_column="lang", target_value="en")
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLE_SQL["dsir_weights"] = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                        lang = 'en' AS is_t FROM documents),
+    tb AS (SELECT doc_id, is_t,
+                  ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b
+           FROM tok),
+    cnt AS (SELECT b, COUNT(*) FILTER (WHERE is_t) AS ct, COUNT(*) AS cr
+            FROM tb GROUP BY b),
+    tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM cnt),
+    sc AS (SELECT b,
+                  CAST(FLOOR(LN(CAST(ct + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                - CAST(FLOOR(LN(CAST(cr + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                      AS s
+           FROM cnt),
+    dw AS (SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(s) AS BIGINT) AS sw
+           FROM tb JOIN sc USING (b) GROUP BY tb.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(sw + n_tokens *
+                (CAST(FLOOR(LN(CAST(r + 4096 AS DOUBLE)) * 1000000) AS BIGINT)
+               - CAST(FLOOR(LN(CAST(t + 4096 AS DOUBLE)) * 1000000) AS BIGINT))
+                AS BIGINT) AS dsir_w
+    FROM dw, tot
+"""
