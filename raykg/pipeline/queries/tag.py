@@ -1280,3 +1280,77 @@ ORACLE_SQL["tag_pivot"] = f"""
            )}
     FROM occ GROUP BY conv_id || '#' || turn_idx
 """
+
+
+def q_mention_chains(sf_dir: str):
+    """Coreference-chain / temporal-KG edges: each turn mentioning a
+    concept links to the PREVIOUS turn of the same conversation mentioning
+    that concept — the (turn, same_concept_as, turn) edge family a
+    temporal KG builds per entity.  Mentions come turn-local from the
+    actor pool (zero shuffle; a turn's keywords land in one batch, so the
+    per-batch distinct on (conv, turn, tag) is globally exact); the chain
+    itself is ONE (conv_id, tag)-sharded window pass (ops/window.window_over
+    lag)."""
+    import pyarrow.compute as pc
+
+    from ..tag import extract_mention_counts
+    from ...ops.window import window_over
+
+    counts = extract_mention_counts(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+
+    def distinct_turn_tags(batch: pa.Table) -> pa.Table:
+        seen = set()
+        conv, turn, tag = [], [], []
+        for c, ti, tg in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["tag"].to_pylist(),
+        ):
+            k = (c, ti, tg)
+            if k not in seen:
+                seen.add(k)
+                conv.append(c)
+                turn.append(ti)
+                tag.append(tg)
+        return pa.table(
+            {"conv_id": pa.array(conv, type=pa.string()),
+             "tag": pa.array(tag, type=pa.string()),
+             "turn_idx": pa.array(turn, type=pa.int64())}
+        )
+
+    m = counts.map_batches(distinct_turn_tags, batch_format="pyarrow")
+    chained = window_over(
+        m, keys=["conv_id", "tag"], order_by=["turn_idx"],
+        specs=[("lag", "turn_idx", "prev_turn_idx", (1, -1))],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        prev = batch["prev_turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = prev >= 0
+        t = batch.filter(pa.array(keep))
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = prev[keep]
+        return pa.table(
+            {"conv_id": t["conv_id"],
+             "tag": t["tag"],
+             "turn_idx": pa.array(turn, type=pa.int64()),
+             "prev_turn_idx": pa.array(prev, type=pa.int64()),
+             "gap": pa.array(turn - prev, type=pa.int64())}
+        )
+
+    return chained.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["mention_chains"] = q_mention_chains
+ORACLE_SQL["mention_chains"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    m AS (SELECT DISTINCT conv_id, turn_idx, tag FROM occ),
+    c AS (SELECT conv_id, tag, CAST(turn_idx AS BIGINT) AS turn_idx,
+                 LAG(CAST(turn_idx AS BIGINT))
+                     OVER (PARTITION BY conv_id, tag ORDER BY turn_idx)
+                     AS prev_turn_idx
+          FROM m)
+    SELECT conv_id, tag, turn_idx, prev_turn_idx,
+           CAST(turn_idx - prev_turn_idx AS BIGINT) AS gap
+    FROM c WHERE prev_turn_idx IS NOT NULL
+"""
