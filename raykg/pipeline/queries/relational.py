@@ -2338,17 +2338,28 @@ def q_tpch_q18(sf_dir: str):
              "sum_qty": pa.array(sums, type=pa.int64())}
         )
 
-    having = (
-        li.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .sum("sum_qty")
+    # orderkeys are scattered across the fact table (the per-batch partial
+    # barely reduces), so the exchange must not be a per-distinct-key
+    # groupby: shard on hash(orderkey), sum + apply the HAVING filter
+    # INSIDE the shard, and only the ~top-percentile survivors leave it.
+    from ...ops.agg import sharded_groupby_apply
+
+    def shard_having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)["sum_qty"].sum()
+        g = g[g > TPCH_Q18_MIN_QTY]
+        return pd.DataFrame(
+            {"l_orderkey": g.index.to_numpy(np.int64),
+             "sum_qty": g.to_numpy(np.int64)}
+        )
+
+    having = sharded_groupby_apply(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_orderkey"], shard_having, num_shards=64,
     )
     hk, hq = [], []
     for b in having.iter_batches(batch_format="pyarrow"):
-        s = b["sum(sum_qty)"].to_numpy()
-        keep = s > TPCH_Q18_MIN_QTY
-        hk.append(b["l_orderkey"].to_numpy()[keep])
-        hq.append(s[keep])
+        hk.append(b["l_orderkey"].to_numpy())
+        hq.append(b["sum_qty"].to_numpy())
     hk = np.concatenate(hk) if hk else np.array([], np.int64)
     hq = np.concatenate(hq) if hq else np.array([], np.int64)
     order = np.argsort(hk, kind="stable")
