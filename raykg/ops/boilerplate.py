@@ -70,9 +70,22 @@ def _chunk_counts(
              "n_docs": pa.array(list(seen.values()), type=pa.int64())}
         )
 
-    return docs.map_batches(partial, batch_format="pyarrow").groupby(
-        "chunk"
-    ).sum("n_docs")
+    # distinct chunks scale with the corpus, so the exchange shards on
+    # hash(chunk) and sums inside the shard (ops/agg contract) instead of
+    # paying the per-distinct-key groupby cost
+    from .agg import sharded_groupby_apply
+
+    def shard_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("chunk", sort=False)["n_docs"].sum()
+        return pd.DataFrame(
+            {"chunk": g.index.to_numpy(object),
+             "sum(n_docs)": g.to_numpy(np.int64)}
+        )
+
+    return sharded_groupby_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["chunk"], shard_sum, num_shards=64,
+    )
 
 
 def boilerplate_trim(
