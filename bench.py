@@ -269,6 +269,13 @@ def run_bench() -> dict:
     timed("tpch_q3")
     timed("tpch_q6", consume=len)
     timed("rfm_segments")
+    # round-4 fourth-session additions: TPC-H join chains, CCNet
+    # boilerplate removal, DSIR selection, temporal mention chains
+    timed("tpch_q5", consume=len)
+    timed("tpch_q18", consume=len)
+    timed("boilerplate")
+    timed("dsir_weights")
+    timed("mention_chains")
 
     headline = timings["triples_scaled"]
     result = {
