@@ -684,11 +684,20 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     num_shards: int = 64,
     max_bucket_members: int = 512,
+    score: str = "jaccard",
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs by exact n-gram Jaccard with an INVERTED-INDEX
     candidate generator: docs sharing at least one shingle are candidates
     (any pair with Jaccard > 0 shares one, so — unlike MinHash banding —
     there are NO false negatives at any threshold).
+
+    ``score="containment"`` switches the measure to Broder's containment
+    ``c / min(|A|, |B|)`` (Broder 1997, "On the resemblance and
+    containment of documents") — the asymmetric score that catches a
+    short document embedded inside a long one, which symmetric Jaccard
+    dilutes toward zero.  Same index, same exchanges; only the final
+    per-pair denominator changes, and the output column is named
+    ``containment``.
 
     The index IS the verification: each doc emits one (bucket=shingle_hash,
     doc_id, size=|shingle set|) row per DISTINCT shingle, so after in-shard
@@ -701,7 +710,9 @@ def ngram_jaccard_pairs(
 
     ``max_bucket_members`` caps boilerplate shingles (deterministic min-id
     truncation) — the 100 TB knob, exact while no bucket exceeds it.
-    Output: (id_a, id_b, jaccard >= threshold)."""
+    Output: (id_a, id_b, <score> >= threshold)."""
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score: {score!r}")
 
     def index_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_pylist()
@@ -806,20 +817,21 @@ def ngram_jaccard_pairs(
             .reset_index()
         )
         c = agg["c"].to_numpy(dtype=np.float64)
-        union = (
-            agg["size_a"].to_numpy(dtype=np.float64)
-            + agg["size_b"].to_numpy(dtype=np.float64)
-            - c
-        )
-        jac = np.divide(c, union, out=np.zeros_like(c), where=union > 0)
-        keep = jac >= threshold
+        sa = agg["size_a"].to_numpy(dtype=np.float64)
+        sb = agg["size_b"].to_numpy(dtype=np.float64)
+        if score == "containment":
+            denom = np.minimum(sa, sb)
+        else:
+            denom = sa + sb - c
+        val = np.divide(c, denom, out=np.zeros_like(c), where=denom > 0)
+        keep = val >= threshold
         # half-away-from-zero to match DuckDB round()
-        rounded = np.floor(jac * 1e6 + 0.5) / 1e6
+        rounded = np.floor(val * 1e6 + 0.5) / 1e6
         return pd.DataFrame(
             {
                 "id_a": agg["id_a"].to_numpy()[keep],
                 "id_b": agg["id_b"].to_numpy()[keep],
-                "jaccard": rounded[keep],
+                score: rounded[keep],
             }
         )
 

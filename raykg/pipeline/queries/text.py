@@ -1871,3 +1871,37 @@ ORACLE_SQL["dsir_weights"] = """
                 AS BIGINT) AS dsir_w
     FROM dw, tot
 """
+
+
+def q_containment_pairs(sf_dir: str):
+    """Broder containment near-dup pairs: c / min(|A|, |B|) over distinct
+    3-gram shingle sets — the asymmetric measure that catches a short doc
+    embedded in a long one (symmetric Jaccard dilutes those toward zero).
+    Same inverted-index plan as `jaccard_pairs` (ops/dedup.py), only the
+    per-pair denominator differs."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, score="containment"
+    )
+
+
+QUERIES["containment_pairs"] = q_containment_pairs
+ORACLE_SQL["containment_pairs"] = r"""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                              generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                          ELSE [] END AS sh
+              FROM w)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     LEAST(len(a.sh), len(b.sh)), 6) AS containment
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              NULLIF(LEAST(len(a.sh), len(b.sh)), 0) >= 0.5
+    """
