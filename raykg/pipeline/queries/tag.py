@@ -1354,3 +1354,70 @@ ORACLE_SQL["mention_chains"] = f"""
            CAST(turn_idx - prev_turn_idx AS BIGINT) AS gap
     FROM c WHERE prev_turn_idx IS NOT NULL
 """
+
+
+def q_conv_latency(sf_dir: str):
+    """Agent-transcript latency analytics: per conversation, the exact
+    microsecond gap between each user turn and the assistant turn that
+    immediately follows it (count / integer-mean / max).  ONE
+    hash(conv_id)-sharded exchange; the lead + filter + per-conv fold run
+    vectorized inside the shard (all turns of a conversation share a
+    shard, so the fold is exact)."""
+    from ...ops.agg import sharded_groupby_apply
+
+    t = read_transcripts(sf_dir)
+
+    def shard_latency(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        g = df.groupby("conv_id", sort=False)
+        nrole = g["role"].shift(-1)
+        nts = g["ts"].shift(-1)
+        mask = (df["role"] == "user") & (nrole == "assistant")
+        lat = (
+            nts[mask].astype("datetime64[us]").astype("int64")
+            - df.loc[mask, "ts"].astype("datetime64[us]").astype("int64")
+        )
+        out = pd.DataFrame({"conv_id": df.loc[mask, "conv_id"], "lat": lat})
+        a = out.groupby("conv_id", sort=False)["lat"].agg(["count", "sum", "max"])
+        return pd.DataFrame(
+            {"conv_id": a.index.to_numpy(object),
+             "n_responses": a["count"].to_numpy(np.int64),
+             "mean_latency_us": (a["sum"].to_numpy(np.int64)
+                                 // a["count"].to_numpy(np.int64)),
+             "max_latency_us": a["max"].to_numpy(np.int64)}
+        )
+
+    out = sharded_groupby_apply(
+        t.map_batches(
+            lambda b: b.select(["conv_id", "turn_idx", "role", "ts"]),
+            batch_format="pyarrow",
+        ),
+        ["conv_id"], shard_latency, num_shards=64,
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"conv_id": pc.cast(batch["conv_id"], pa.string()),
+             "n_responses": pc.cast(batch["n_responses"], pa.int64()),
+             "mean_latency_us": pc.cast(batch["mean_latency_us"], pa.int64()),
+             "max_latency_us": pc.cast(batch["max_latency_us"], pa.int64())}
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+QUERIES["conv_latency"] = q_conv_latency
+ORACLE_SQL["conv_latency"] = f"""
+    WITH {_T_CTE},
+    l AS (SELECT conv_id, role, ts,
+                 LEAD(role) OVER w AS nrole, LEAD(ts) OVER w AS nts
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    r AS (SELECT conv_id, epoch_us(nts) - epoch_us(ts) AS lat
+          FROM l WHERE role = 'user' AND nrole = 'assistant')
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(lat) // COUNT(*) AS BIGINT) AS mean_latency_us,
+           CAST(MAX(lat) AS BIGINT) AS max_latency_us
+    FROM r GROUP BY conv_id
+"""
