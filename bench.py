@@ -276,6 +276,8 @@ def run_bench() -> dict:
     timed("boilerplate")
     timed("dsir_weights")
     timed("mention_chains")
+    timed("containment_pairs")
+    timed("conv_latency")
 
     headline = timings["triples_scaled"]
     result = {
