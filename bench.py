@@ -278,6 +278,7 @@ def run_bench() -> dict:
     timed("mention_chains")
     timed("containment_pairs")
     timed("conv_latency")
+    timed("xalign_mutual")
 
     headline = timings["triples_scaled"]
     result = {

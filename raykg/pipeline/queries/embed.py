@@ -453,3 +453,53 @@ ORACLE_SQL["embed_silhouette"] = """
            END AS silhouette
     FROM a JOIN b USING (vec_id)
 """
+
+
+def q_xalign_mutual(sf_dir: str):
+    """Bitext-style pair mining (Artetxe & Schwenk margin criterion, exact
+    integer variant): mutual nearest neighbors between the even- and
+    odd-id halves of the embedding table, on the fixed-point grid with an
+    absolute d2 margin gap >= 1 required on both sides (ops/mine.py — two
+    broadcast-matrix streaming passes + one bucketed mutual join, no
+    float anywhere)."""
+    from ...ops.mine import mutual_nn_pairs
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mutual_nn_pairs(emb)
+
+
+QUERIES["xalign_mutual"] = q_xalign_mutual
+ORACLE_SQL["xalign_mutual"] = """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    q AS (SELECT e.vec_id, idx.i,
+                 CAST(FLOOR(CAST(e.embedding[idx.i] AS DOUBLE) * 1024.0)
+                      AS BIGINT) AS qv
+          FROM embeddings e, idx),
+    d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+          FROM q a JOIN q b ON a.i = b.i
+          WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+          GROUP BY 1, 2),
+    rb AS (SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY b_id ORDER BY d2, a_id) AS rn FROM d),
+    bb AS (SELECT b_id,
+                  MAX(CASE WHEN rn = 1 THEN a_id END) AS a_id,
+                  MAX(CASE WHEN rn = 1 THEN d2 END) AS d2,
+                  MAX(CASE WHEN rn = 2 THEN d2 END)
+                - MAX(CASE WHEN rn = 1 THEN d2 END) AS gap_b
+           FROM rb WHERE rn <= 2 GROUP BY b_id),
+    ra AS (SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY a_id ORDER BY d2, b_id) AS rn FROM d),
+    ab AS (SELECT a_id,
+                  MAX(CASE WHEN rn = 1 THEN b_id END) AS b_id,
+                  MAX(CASE WHEN rn = 2 THEN d2 END)
+                - MAX(CASE WHEN rn = 1 THEN d2 END) AS gap_a
+           FROM ra WHERE rn <= 2 GROUP BY a_id)
+    SELECT bb.a_id AS id_a, bb.b_id AS id_b, CAST(bb.d2 AS BIGINT) AS d2,
+           CAST(ab.gap_a AS BIGINT) AS gap_a,
+           CAST(bb.gap_b AS BIGINT) AS gap_b
+    FROM bb JOIN ab ON ab.a_id = bb.a_id AND ab.b_id = bb.b_id
+    WHERE ab.gap_a >= 1 AND bb.gap_b >= 1
+"""
