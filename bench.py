@@ -279,6 +279,7 @@ def run_bench() -> dict:
     timed("containment_pairs")
     timed("conv_latency")
     timed("xalign_mutual")
+    timed("ccnet_buckets")
 
     headline = timings["triples_scaled"]
     result = {

@@ -1905,3 +1905,60 @@ ORACLE_SQL["containment_pairs"] = r"""
           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
               NULLIF(LEAST(len(a.sh), len(b.sh)), 0) >= 0.5
     """
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): per
+    language, documents rank by LM fluency (corpus-bigram score,
+    `ops/lm.py`) and NTILE(3) into quality buckets — 1=head is the
+    best-scoring third that CCNet keeps for training.  lang attaches via
+    a bucketed hash join on doc_id (both sides corpus-scale); the split
+    is one (lang)-sharded NTILE window (`ops/window.py`, exact SQL NTILE
+    semantics)."""
+    import pyarrow.compute as pc
+
+    from ...ops.join import bucketed_hash_join
+    from ...ops.lm import lm_score
+    from ...ops.window import window_over
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scores = lm_score(docs, num_shards=16)
+    langs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    both = bucketed_hash_join(scores, langs, on="doc_id", num_buckets=32)
+
+    def add_neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_score", pc.negate(batch["lm_score"])
+        )
+
+    ranked = window_over(
+        both.map_batches(add_neg, batch_format="pyarrow"),
+        keys=["lang"], order_by=["neg_score", "doc_id"],
+        specs=[("ntile", None, "bucket", 3)],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "lang": pc.cast(batch["lang"], pa.string()),
+             "lm_score": pc.round(pc.cast(batch["lm_score"], pa.float64()), 6),
+             "bucket": pc.cast(batch["bucket"], pa.int64())}
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["ccnet_buckets"] = q_ccnet_buckets
+_LM_SQL = ORACLE_SQL["lm_scores"]
+ORACLE_SQL["ccnet_buckets"] = f"""
+    WITH lm AS ({_LM_SQL})
+    SELECT lm.doc_id, d.lang, lm.lm_score,
+           CAST(NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY lm.lm_score DESC, lm.doc_id)
+                AS BIGINT) AS bucket
+    FROM lm JOIN documents d USING (doc_id)
+"""
