@@ -280,6 +280,7 @@ def run_bench() -> dict:
     timed("conv_latency")
     timed("xalign_mutual")
     timed("ccnet_buckets")
+    timed("value_trimmed")
 
     headline = timings["triples_scaled"]
     result = {

@@ -1383,3 +1383,87 @@ ORACLE_SQL["user_burstiness"] = """
            ROUND((ss / n - (s / n) * (s / n)) / (s / n), 6) AS fano
     FROM m
 """
+
+
+TRIM_FRAC_PCT = 10
+
+
+def q_value_trimmed(sf_dir: str):
+    """10%-trimmed mean of event value per type (the classic robust
+    location estimator): drop the lowest and highest floor(n/10) values
+    by (value, event_id) order inside each type, integer-cent mean of the
+    rest.  One hash(event_type)-sharded exchange (every value of a type
+    lands in one shard — the `key_quantiles` shape), exact int64 cents so
+    the window-SQL mirror matches bit-for-bit."""
+    from ...ops.agg import sharded_groupby_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": batch["event_type"],
+             "event_id": batch["event_id"],
+             "cents": pa.array(c, type=pa.int64())}
+        )
+
+    def shard_trim(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby("event_type", sort=False):
+            v = g.sort_values(["cents", "event_id"], kind="stable")[
+                "cents"
+            ].to_numpy(np.int64)
+            n = len(v)
+            t = n // TRIM_FRAC_PCT
+            core = v[t : n - t] if n - 2 * t > 0 else v[0:0]
+            if len(core) == 0:
+                continue
+            rows.append(
+                {"event_type": k, "n": n, "n_trimmed": 2 * t,
+                 "trimmed_mean_c": int(core.sum()) // len(core)}
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "n_trimmed", "trimmed_mean_c"]
+        )
+
+    out = sharded_groupby_apply(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        ["event_type"], shard_trim, num_shards=64,
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"event_type": pc.cast(batch["event_type"], pa.string()),
+             "n": pc.cast(batch["n"], pa.int64()),
+             "n_trimmed": pc.cast(batch["n_trimmed"], pa.int64()),
+             "trimmed_mean_c": pc.cast(batch["trimmed_mean_c"], pa.int64())}
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+QUERIES["value_trimmed"] = q_value_trimmed
+ORACLE_SQL["value_trimmed"] = f"""
+    WITH c AS (SELECT event_type, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c),
+    core AS (SELECT event_type, cents, n, n // {TRIM_FRAC_PCT} AS t
+             FROM r
+             WHERE rn > n // {TRIM_FRAC_PCT}
+               AND rn <= n - n // {TRIM_FRAC_PCT})
+    SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           CAST(2 * ANY_VALUE(t) AS BIGINT) AS n_trimmed,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_c
+    FROM core GROUP BY event_type
+"""
