@@ -281,6 +281,7 @@ def run_bench() -> dict:
     timed("xalign_mutual")
     timed("ccnet_buckets")
     timed("value_trimmed")
+    timed("kg_cardinality", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

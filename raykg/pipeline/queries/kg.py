@@ -2088,3 +2088,99 @@ ORACLE_SQL["kg_betweenness"] = f"""
     FROM u GROUP BY node HAVING SUM(delta) > 0
 """
 QUERIES["kg_betweenness"] = q_kg_betweenness
+
+
+def q_kg_cardinality(sf_dir: str):
+    """Predicate cardinality profiling — the KG-QA report that types each
+    relation as 1-1 / 1-N / N-1 / N-N from its max per-subject and
+    per-object fanout (functional / inverse-functional tests; this is
+    what picks TransE-style vs ComplEx-style embedding models per
+    relation).  Distinct (subj, pred, obj) edges via one sharded
+    distinct, then per-side fanouts in hash(pred, endpoint) shards that
+    emit only PRED-LEVEL partials (n_keys, max fanout, edge sum) — the
+    final combine is preds x shards rows on the driver."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.setops import distinct_rows
+
+    tr = q_triples(sf_dir).map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+    )
+    tr = distinct_rows(tr, ["subj", "pred", "obj"], num_shards=32).materialize()
+
+    def side_partials(key: str):
+        def shard(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.groupby(["pred", key], sort=False).size()
+            g = c.groupby(level=0)
+            return pd.DataFrame(
+                {"pred": g.size().index.to_numpy(object),
+                 "n_keys": g.size().to_numpy(np.int64),
+                 "max_fan": g.max().to_numpy(np.int64),
+                 "n_edges": g.sum().to_numpy(np.int64)}
+            )
+
+        return shard
+
+    def collect(ds_partials) -> pd.DataFrame:
+        df = ds_partials.to_pandas()  # <= preds x shards rows
+        g = df.groupby("pred", sort=False)
+        return pd.DataFrame(
+            {"n_keys": g["n_keys"].sum(), "max_fan": g["max_fan"].max(),
+             "n_edges": g["n_edges"].sum()}
+        )
+
+    out_side = collect(
+        sharded_groupby_apply(tr, ["pred", "subj"], side_partials("subj"),
+                              num_shards=32))
+    in_side = collect(
+        sharded_groupby_apply(tr, ["pred", "obj"], side_partials("obj"),
+                              num_shards=32))
+    preds = sorted(out_side.index)
+    n_edges = out_side.loc[preds, "n_edges"].to_numpy(np.int64)
+    n_subj = out_side.loc[preds, "n_keys"].to_numpy(np.int64)
+    max_out = out_side.loc[preds, "max_fan"].to_numpy(np.int64)
+    n_obj = in_side.loc[preds, "n_keys"].to_numpy(np.int64)
+    max_in = in_side.loc[preds, "max_fan"].to_numpy(np.int64)
+    card = np.where(
+        (max_out == 1) & (max_in == 1), "1-1",
+        np.where(max_in == 1, "1-N", np.where(max_out == 1, "N-1", "N-N")),
+    )
+    return pa.table(
+        {"pred": pa.array(preds, type=pa.string()),
+         "n_edges": pa.array(n_edges, type=pa.int64()),
+         "n_subj": pa.array(n_subj, type=pa.int64()),
+         "n_obj": pa.array(n_obj, type=pa.int64()),
+         "max_out": pa.array(max_out, type=pa.int64()),
+         "max_in": pa.array(max_in, type=pa.int64()),
+         "card_class": pa.array(card, type=pa.string())}
+    )
+
+
+QUERIES["kg_cardinality"] = q_kg_cardinality
+ORACLE_SQL["kg_cardinality"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    tr AS (
+        SELECT DISTINCT subj, pred, obj FROM (
+            SELECT conv_id AS subj, 'utters' AS pred,
+                   conv_id || '#' || turn_idx AS obj FROM t
+            UNION ALL
+            SELECT conv_id || '#' || turn_idx, 'used_tool', tool
+            FROM t WHERE tool IS NOT NULL
+            UNION ALL
+            SELECT conv_id || '#' || turn_idx || '#' || keyword, 'tagged_as',
+                   'concept:' || tag FROM occ)),
+    o AS (SELECT pred, subj, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+    i AS (SELECT pred, obj, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+    s AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subj,
+                 CAST(MAX(c) AS BIGINT) AS max_out,
+                 CAST(SUM(c) AS BIGINT) AS n_edges
+          FROM o GROUP BY 1),
+    d AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_obj,
+                 CAST(MAX(c) AS BIGINT) AS max_in
+          FROM i GROUP BY 1)
+    SELECT s.pred, n_edges, n_subj, n_obj, max_out, max_in,
+           CASE WHEN max_out = 1 AND max_in = 1 THEN '1-1'
+                WHEN max_in = 1 THEN '1-N'
+                WHEN max_out = 1 THEN 'N-1'
+                ELSE 'N-N' END AS card_class
+    FROM s JOIN d USING (pred)
+"""
