@@ -282,6 +282,7 @@ def run_bench() -> dict:
     timed("ccnet_buckets")
     timed("value_trimmed")
     timed("kg_cardinality", consume=len)
+    timed("onto_coverage", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -1421,3 +1421,60 @@ ORACLE_SQL["conv_latency"] = f"""
            CAST(MAX(lat) AS BIGINT) AS max_latency_us
     FROM r GROUP BY conv_id
 """
+
+
+def q_onto_coverage(sf_dir: str):
+    """Dictionary-coverage QA for the tagging pipeline: every ontology
+    keyword with its total corpus match count, INCLUDING the
+    never-matched (dead) entries an operator prunes or investigates.
+    Mention counts stay turn-local in the actor pool; the reduce is a
+    groupby over the keyword vocabulary (ontology-sized, bounded — the
+    cheap side of the exchange dichotomy), then a driver-side left join
+    against the broadcast ontology fills the zeros."""
+    from ..tag import extract_mention_counts
+
+    counts = extract_mention_counts(read_transcripts(sf_dir), ONTOLOGY, _cfg())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"keyword": batch["keyword"], "n": batch["n_matches"]}
+        ).to_pandas()
+        g = df.groupby("keyword", sort=False)["n"].sum()
+        return pa.table(
+            {"keyword": pa.array(g.index, type=pa.string()),
+             "n": pa.array(g.to_numpy(np.int64), type=pa.int64())}
+        )
+
+    cells = (
+        counts.map_batches(partial, batch_format="pyarrow")
+        .groupby("keyword").sum("n").to_pandas()
+    )
+    got = dict(zip(cells["keyword"], cells["sum(n)"]))
+    from ...core.ontology import clean_ontology as _co
+
+    rows = _co(ONTOLOGY, has_category=True)
+    kws = [r.keyword for r in rows] if hasattr(rows[0], "keyword") else [
+        r[1] for r in rows
+    ]
+    tags = [r.tag for r in rows] if hasattr(rows[0], "tag") else [
+        r[0] for r in rows
+    ]
+    n = [int(got.get(k, 0)) for k in kws]
+    order = np.argsort(np.array(kws, dtype=object), kind="stable")
+    return pa.table(
+        {"keyword": pa.array(np.array(kws, object)[order], type=pa.string()),
+         "tag": pa.array(np.array(tags, object)[order], type=pa.string()),
+         "n_matches": pa.array(np.array(n)[order], type=pa.int64()),
+         "is_dead": pa.array((np.array(n)[order] == 0), type=pa.bool_())}
+    )
+
+
+QUERIES["onto_coverage"] = q_onto_coverage
+ORACLE_SQL["onto_coverage"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    c AS (SELECT keyword, SUM(n_matches) AS n FROM occ GROUP BY keyword)
+    SELECT onto.keyword, onto.tag,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_matches,
+           COALESCE(c.n, 0) = 0 AS is_dead
+    FROM onto LEFT JOIN c USING (keyword)
+"""
