@@ -283,6 +283,9 @@ def run_bench() -> dict:
     timed("value_trimmed")
     timed("kg_cardinality", consume=len)
     timed("onto_coverage", consume=len)
+    # round-4 fifth-session additions
+    timed("tpch_q14", consume=len)
+    timed("tpch_q19", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

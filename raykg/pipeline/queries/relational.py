@@ -2447,3 +2447,256 @@ ORACLE_SQL["tpch_q18"] = f"""
     ORDER BY totalprice_c DESC, o_orderdate, o_orderkey
     LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 promo-revenue analogue (public benchmark semantics; the synthetic
+# part table has p_type in {PROMO, ECONOMY, ...} instead of "PROMO%" types)
+# ---------------------------------------------------------------------------
+
+TPCH_Q14_DATE_LO = "1997-09-01"
+TPCH_Q14_DATE_HI = "1997-10-01"
+TPCH_PART_BROADCAST_MAX = 2_000_000
+
+
+def _part_attrs(sf_dir: str, columns):
+    """(sorted p_partkey, attr arrays in `columns` order, num_rows) for the
+    broadcast side of a lineitem->part attach; caller gates on num_rows."""
+    tbl = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", *columns])
+    keys = tbl["p_partkey"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    return keys[order], [tbl[c].to_numpy(zero_copy_only=False)[order] for c in columns]
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promo revenue: over one shipdate month, exact int64
+    revenue cells for PROMO-typed vs all parts.
+
+    Plan, scale notes: lineitem streams once behind a column-pruned,
+    date-filtered scan; part is attached per batch from a broadcast
+    (sorted p_partkey -> is_promo) pair when the part table is under
+    TPCH_PART_BROADCAST_MAX rows (parquet metadata count — no data read),
+    else via a partitioned bucketed hash join.  Either way the per-batch
+    output is ONE 3-cell partial row (promo/total revenue in exact cents
+    x (100-d100), row count) and the final reduce is a tiny sum — no
+    groupby keys that scale with data."""
+    from ...ops.join import bucketed_hash_join
+
+    lo = np.datetime64(TPCH_Q14_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q14_DATE_HI).astype("datetime64[us]")
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ship >= lo) & (ship < hi))).select(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_filter, batch_format="pyarrow")
+
+    def cells(ep: np.ndarray, d100: np.ndarray, promo: np.ndarray) -> pa.Table:
+        rev = ep * (100 - d100)
+        return pa.table(
+            {
+                "promo_rev_c2": pa.array([int(rev[promo].sum())], type=pa.int64()),
+                "total_rev_c2": pa.array([int(rev.sum())], type=pa.int64()),
+                "n_rows": pa.array([len(rev)], type=pa.int64()),
+            }
+        )
+
+    n_part = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= TPCH_PART_BROADCAST_MAX:
+        keys, (ptype,) = _part_attrs(sf_dir, ["p_type"])
+        part_ref = ray.put((keys, ptype == "PROMO"))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            pk, promo_flag = ray.get(part_ref)
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(pk, lpk)
+            pos[pos >= len(pk)] = 0
+            hit = pk[pos] == lpk  # inner-join semantics: drop dangling keys
+            ep = np.rint(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit] * 100
+            ).astype(np.int64)
+            d100 = np.rint(
+                batch["l_discount"].to_numpy(zero_copy_only=False)[hit] * 100
+            ).astype(np.int64)
+            return cells(ep, d100, promo_flag[pos[hit]])
+
+        joined = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        part = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ).map_batches(
+            lambda b: b.rename_columns(["l_partkey", "p_type"]),
+            batch_format="pyarrow",
+        )
+
+        def partial_joined(batch: pa.Table) -> pa.Table:
+            ep = np.rint(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            d100 = np.rint(
+                batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            promo = (
+                batch["p_type"].to_numpy(zero_copy_only=False) == "PROMO"
+            )
+            return cells(ep, d100, promo)
+
+        joined = bucketed_hash_join(li, part, on="l_partkey").map_batches(
+            partial_joined, batch_format="pyarrow"
+        )
+
+    agg = joined.sum(["promo_rev_c2", "total_rev_c2", "n_rows"])
+    return pa.table(
+        {
+            "promo_rev_c2": pa.array([agg["sum(promo_rev_c2)"]], type=pa.int64()),
+            "total_rev_c2": pa.array([agg["sum(total_rev_c2)"]], type=pa.int64()),
+            "n_rows": pa.array([agg["sum(n_rows)"]], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q14"] = q_tpch_q14
+ORACLE_SQL["tpch_q14"] = f"""
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 ELSE 0 END), 0) AS BIGINT) AS promo_rev_c2,
+      CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))), 0)
+           AS BIGINT) AS total_rev_c2,
+      COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '{TPCH_Q14_DATE_LO}'
+      AND l_shipdate <  TIMESTAMP '{TPCH_Q14_DATE_HI}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 discounted-revenue analogue: disjunctive (brand, size, quantity)
+# clauses — the "OR-of-ANDs" predicate shape that defeats naive pushdown
+# ---------------------------------------------------------------------------
+
+TPCH_Q19_CLAUSES = (
+    # (p_brand, size_lo, size_hi, qty_lo, qty_hi) — all bounds inclusive
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted revenue (public benchmark semantics, adapted
+    to the synthetic columns: brand + size ranges x quantity ranges, OR of
+    three conjunctive clauses).
+
+    Plan, scale notes: only parts matching SOME clause's (brand, size)
+    can contribute, so the broadcast side is the clause-filtered part
+    subset — (sorted p_partkey, clause bitmask) — gated on the FILTERED
+    row count with a bucketed-join fallback.  lineitem streams once; per
+    batch the clause mask resolves vectorized (bitmask AND quantity
+    window) and the output is one exact int64 revenue cell."""
+    from ...ops.join import bucketed_hash_join
+
+    import pyarrow.compute as pc
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy(zero_copy_only=False)
+    mask = np.zeros(len(brand), dtype=np.uint8)
+    for i, (b, slo, shi, _, _) in enumerate(TPCH_Q19_CLAUSES):
+        mask |= ((brand == b) & (size >= slo) & (size <= shi)).astype(np.uint8) << i
+    keep = mask != 0
+    pkeys = part["p_partkey"].to_numpy()[keep]
+    pmask = mask[keep]
+    order = np.argsort(pkeys, kind="stable")
+    pkeys, pmask = pkeys[order], pmask[order]
+    qty_lo = np.array([c[3] for c in TPCH_Q19_CLAUSES], dtype=np.float64)
+    qty_hi = np.array([c[4] for c in TPCH_Q19_CLAUSES], dtype=np.float64)
+
+    def cells(batch: pa.Table, m: np.ndarray, hit: np.ndarray) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(qty), dtype=bool)
+        for i in range(len(TPCH_Q19_CLAUSES)):
+            ok |= (
+                ((m >> i) & 1).astype(bool)
+                & (qty >= qty_lo[i])
+                & (qty <= qty_hi[i])
+            )
+        ok &= hit
+        ep = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok] * 100
+        ).astype(np.int64)
+        d100 = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[ok] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "revenue_c2": pa.array([int((ep * (100 - d100)).sum())],
+                                       type=pa.int64()),
+                "n_rows": pa.array([int(ok.sum())], type=pa.int64()),
+            }
+        )
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+    if len(pkeys) <= TPCH_PART_BROADCAST_MAX:
+        part_ref = ray.put((pkeys, pmask))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            pk, pm = ray.get(part_ref)
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(pk) == 0:
+                return cells(batch, np.zeros(len(lpk), np.uint8),
+                             np.zeros(len(lpk), bool))
+            pos = np.searchsorted(pk, lpk)
+            pos[pos >= len(pk)] = 0
+            hit = pk[pos] == lpk
+            return cells(batch, pm[pos], hit)
+
+        scored = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        psub = ray.data.from_arrow(
+            pa.table({"l_partkey": pa.array(pkeys, type=pa.int64()),
+                      "clause_mask": pa.array(pmask, type=pa.uint8())})
+        )
+
+        def partial_joined(batch: pa.Table) -> pa.Table:
+            m = batch["clause_mask"].to_numpy(zero_copy_only=False)
+            return cells(batch, m, np.ones(len(m), bool))
+
+        scored = bucketed_hash_join(li, psub, on="l_partkey").map_batches(
+            partial_joined, batch_format="pyarrow"
+        )
+
+    agg = scored.sum(["revenue_c2", "n_rows"])
+    return pa.table(
+        {
+            "revenue_c2": pa.array([agg["sum(revenue_c2)"]], type=pa.int64()),
+            "n_rows": pa.array([agg["sum(n_rows)"]], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q19"] = q_tpch_q19
+_Q19_PRED = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in TPCH_Q19_CLAUSES
+)
+ORACLE_SQL["tpch_q19"] = f"""
+    SELECT
+      CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))), 0)
+           AS BIGINT) AS revenue_c2,
+      COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_PRED}
+"""

@@ -17,3 +17,22 @@ def test_q5_bucketed_fallback_equals_broadcast(monkeypatch):
     assert broadcast.equals(bucketed)
     assert len(broadcast) >= 1
     assert list(broadcast.columns) == ["n_name", "revenue_c2"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q14_bucketed_fallback_equals_broadcast(monkeypatch):
+    broadcast = rel.q_tpch_q14(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(rel, "TPCH_PART_BROADCAST_MAX", 0)
+    bucketed = rel.q_tpch_q14(SF).to_pandas().reset_index(drop=True)
+    assert broadcast.equals(bucketed)
+    assert int(broadcast["n_rows"][0]) > 0
+    assert 0 < int(broadcast["promo_rev_c2"][0]) < int(broadcast["total_rev_c2"][0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q19_bucketed_fallback_equals_broadcast(monkeypatch):
+    broadcast = rel.q_tpch_q19(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(rel, "TPCH_PART_BROADCAST_MAX", 0)
+    bucketed = rel.q_tpch_q19(SF).to_pandas().reset_index(drop=True)
+    assert broadcast.equals(bucketed)
+    assert int(broadcast["n_rows"][0]) > 0
