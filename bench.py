@@ -286,6 +286,8 @@ def run_bench() -> dict:
     # round-4 fifth-session additions
     timed("tpch_q14", consume=len)
     timed("tpch_q19", consume=len)
+    timed("tpch_q10", consume=len)
+    timed("tpch_q4", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -2700,3 +2700,332 @@ ORACLE_SQL["tpch_q19"] = f"""
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE {_Q19_PRED}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 returned-item reporting analogue: top-20 customers by revenue
+# from returned lineitems over a half-year order window
+# ---------------------------------------------------------------------------
+
+TPCH_Q10_DATE_LO = "1996-01-01"
+TPCH_Q10_DATE_HI = "1996-07-01"
+TPCH_Q10_BROADCAST_MAX = 2_000_000
+TPCH_Q10_K = 20
+
+
+def _orders_window(sf_dir: str, lo: str, hi: str, columns):
+    """Materialized date-filtered orders stream with just `columns` —
+    the small side of the order-window joins; count() then reads block
+    metadata so the broadcast gate costs no second scan."""
+    lo64 = np.datetime64(lo).astype("datetime64[us]")
+    hi64 = np.datetime64(hi).astype("datetime64[us]")
+
+    def f(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((od >= lo64) & (od < hi64))).select(columns)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=sorted({*columns, "o_orderdate"}),
+        )
+        .map_batches(f, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item reporting (public benchmark semantics):
+    top-20 customers by exact revenue from l_returnflag='R' lineitems of
+    orders in [DATE_LO, DATE_HI), with name/acctbal/nation attached.
+
+    Plan, scale notes: the window-filtered orders map (o_orderkey ->
+    o_custkey) is bounded by date selectivity — broadcast via ray.put
+    under TPCH_Q10_BROADCAST_MAX, else a partitioned bucketed hash join.
+    R-flagged lineitems stream once and fold to per-batch per-custkey
+    int64 revenue cells; one hash(custkey) sharded combine then a
+    k-per-block partial top-k (no global sort).  Customer attributes
+    attach by streaming customer against the broadcast 20-key set;
+    nation is a driver-tiny dim."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import bucketed_hash_join
+    from ...ops.topk import global_topk
+
+    orders = _orders_window(
+        sf_dir, TPCH_Q10_DATE_LO, TPCH_Q10_DATE_HI, ["o_orderkey", "o_custkey"]
+    )
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch["l_returnflag"], "R")
+        return batch.filter(keep).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(li_filter, batch_format="pyarrow")
+
+    _EMPTY = pa.table(
+        {"c_custkey": pa.array([], type=pa.int64()),
+         "revenue_c2": pa.array([], type=pa.int64())}
+    )
+
+    def rev_cells(cust: np.ndarray, ep: np.ndarray, d100: np.ndarray) -> pa.Table:
+        if len(cust) == 0:
+            return _EMPTY
+        rev = ep * (100 - d100)
+        uniq, inv = np.unique(cust, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {"c_custkey": pa.array(uniq, type=pa.int64()),
+             "revenue_c2": pa.array(sums, type=pa.int64())}
+        )
+
+    if orders.count() <= TPCH_Q10_BROADCAST_MAX:
+        otbl = pa.concat_tables(orders.iter_batches(batch_format="pyarrow"))
+        okeys = otbl["o_orderkey"].to_numpy()
+        order = np.argsort(okeys, kind="stable")
+        omap_ref = ray.put((okeys[order], otbl["o_custkey"].to_numpy()[order]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, oc = ray.get(omap_ref)
+            lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ok) == 0:
+                return _EMPTY
+            pos = np.searchsorted(ok, lok)
+            pos[pos >= len(ok)] = 0
+            hit = ok[pos] == lok
+            ep = np.rint(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit] * 100
+            ).astype(np.int64)
+            d100 = np.rint(
+                batch["l_discount"].to_numpy(zero_copy_only=False)[hit] * 100
+            ).astype(np.int64)
+            return rev_cells(oc[pos[hit]].astype(np.int64), ep, d100)
+
+        cells = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        li_k = li.map_batches(
+            lambda b: b.rename_columns(
+                ["o_orderkey", "l_extendedprice", "l_discount"]
+            ),
+            batch_format="pyarrow",
+        )
+
+        def partial_joined(batch: pa.Table) -> pa.Table:
+            ep = np.rint(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            d100 = np.rint(
+                batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            cust = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return rev_cells(cust, ep, d100)
+
+        cells = bucketed_hash_join(li_k, orders, on="o_orderkey").map_batches(
+            partial_joined, batch_format="pyarrow"
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_custkey", as_index=False, sort=False)["revenue_c2"].sum()
+        )
+
+    per_cust = sharded_groupby_apply(cells, ["c_custkey"], combine)
+    top = global_topk(
+        per_cust, "revenue_c2", TPCH_Q10_K, tiebreak=["c_custkey"]
+    ).to_pandas()
+
+    key_set = set(top["c_custkey"].tolist())
+    attrs = {}
+    if key_set:
+        def pick(batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array([int(k) in key_set for k in ck]))
+
+        picked = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        ).map_batches(pick, batch_format="pyarrow")
+        for b in picked.iter_batches(batch_format="pyarrow"):
+            for k, nm, ab, nk in zip(
+                b["c_custkey"].to_pylist(), b["c_name"].to_pylist(),
+                b["c_acctbal"].to_pylist(), b["c_nationkey"].to_pylist(),
+            ):
+                attrs[k] = (nm, int(round(ab * 100)), nk)
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    rows = top.sort_values(
+        ["revenue_c2", "c_custkey"], ascending=[False, True], kind="stable"
+    )
+    ck = rows["c_custkey"].tolist()
+    return pa.table(
+        {
+            "c_custkey": pa.array(ck, type=pa.int64()),
+            "c_name": pa.array([attrs[k][0] for k in ck], type=pa.string()),
+            "acctbal_c": pa.array([attrs[k][1] for k in ck], type=pa.int64()),
+            "n_name": pa.array(
+                [nat_name[attrs[k][2]] for k in ck], type=pa.string()
+            ),
+            "revenue_c2": pa.array(rows["revenue_c2"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q10"] = q_tpch_q10
+ORACLE_SQL["tpch_q10"] = f"""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{TPCH_Q10_DATE_LO}'
+      AND o_orderdate <  TIMESTAMP '{TPCH_Q10_DATE_HI}'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, acctbal_c, n_name
+    ORDER BY revenue_c2 DESC, c_custkey
+    LIMIT {TPCH_Q10_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 order-priority analogue: per-priority counts of window orders
+# with at least one lineitem shipped > 60 days after the order date
+# ---------------------------------------------------------------------------
+
+TPCH_Q4_DATE_LO = "1996-01-01"
+TPCH_Q4_DATE_HI = "1996-07-01"
+TPCH_Q4_LATE_DAYS = 60
+TPCH_Q4_BROADCAST_MAX = 2_000_000
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority checking (public benchmark semantics; the
+    synthetic lineitem has no commit/receipt dates, so "late" is a
+    shipment > TPCH_Q4_LATE_DAYS after o_orderdate — the same EXISTS
+    shape).
+
+    Plan, scale notes: the window-filtered orders map (orderkey ->
+    orderdate + priority id) broadcasts under a gate, else a bucketed
+    hash join ships it; lineitem streams once, resolving lateness
+    vectorized and emitting per-batch UNIQUE late (orderkey, priority)
+    pairs.  The EXISTS dedup is one hash(orderkey) sharded combine whose
+    shards emit <= 5 priority cells each; the final groupby is over the
+    5-value priority domain."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import bucketed_hash_join
+
+    orders = _orders_window(
+        sf_dir, TPCH_Q4_DATE_LO, TPCH_Q4_DATE_HI,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    late_us = np.timedelta64(TPCH_Q4_LATE_DAYS, "D").astype("timedelta64[us]")
+
+    _EMPTY = pa.table(
+        {"o_orderkey": pa.array([], type=pa.int64()),
+         "o_orderpriority": pa.array([], type=pa.string())}
+    )
+
+    def late_pairs(okey: np.ndarray, odate: np.ndarray, prio: np.ndarray,
+                   ship: np.ndarray) -> pa.Table:
+        late = ship > odate + late_us
+        if not late.any():
+            return _EMPTY
+        okey, prio = okey[late], prio[late]
+        uniq, idx = np.unique(okey, return_index=True)
+        return pa.table(
+            {"o_orderkey": pa.array(uniq, type=pa.int64()),
+             "o_orderpriority": pa.array(prio[idx], type=pa.string())}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    if orders.count() <= TPCH_Q4_BROADCAST_MAX:
+        otbl = pa.concat_tables(orders.iter_batches(batch_format="pyarrow"))
+        okeys = otbl["o_orderkey"].to_numpy()
+        order = np.argsort(okeys, kind="stable")
+        omap_ref = ray.put(
+            (okeys[order],
+             otbl["o_orderdate"].to_numpy()[order],
+             np.asarray(otbl["o_orderpriority"].to_pylist(), dtype=object)[order])
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, od, op = ray.get(omap_ref)
+            lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ok) == 0:
+                return _EMPTY
+            pos = np.searchsorted(ok, lok)
+            pos[pos >= len(ok)] = 0
+            hit = ok[pos] == lok
+            ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)[hit]
+            p = pos[hit]
+            return late_pairs(lok[hit], od[p], op[p], ship)
+
+        pairs = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        li_k = li.map_batches(
+            lambda b: b.rename_columns(["o_orderkey", "l_shipdate"]),
+            batch_format="pyarrow",
+        )
+
+        def partial_joined(batch: pa.Table) -> pa.Table:
+            return late_pairs(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                batch["o_orderdate"].to_numpy(zero_copy_only=False),
+                np.asarray(batch["o_orderpriority"].to_pylist(), dtype=object),
+                batch["l_shipdate"].to_numpy(zero_copy_only=False),
+            )
+
+        pairs = bucketed_hash_join(li_k, orders, on="o_orderkey").map_batches(
+            partial_joined, batch_format="pyarrow"
+        )
+
+    def dedup_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("o_orderkey")
+        out = d.groupby("o_orderpriority", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_late"})
+
+    shard_cells = sharded_groupby_apply(pairs, ["o_orderkey"], dedup_count)
+    final = (
+        shard_cells.groupby("o_orderpriority")
+        .sum("n_late")
+        .to_pandas()
+        .rename(columns={"sum(n_late)": "n_late"})
+        .sort_values("o_orderpriority")
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(final["o_orderpriority"], type=pa.string()),
+            "n_late": pa.array(
+                final["n_late"].to_numpy().astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q4"] = q_tpch_q4
+ORACLE_SQL["tpch_q4"] = f"""
+    SELECT o_orderpriority, COUNT(*) AS n_late
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{TPCH_Q4_DATE_LO}'
+      AND o_orderdate <  TIMESTAMP '{TPCH_Q4_DATE_HI}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate
+                        + INTERVAL {TPCH_Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -36,3 +36,24 @@ def test_q19_bucketed_fallback_equals_broadcast(monkeypatch):
     bucketed = rel.q_tpch_q19(SF).to_pandas().reset_index(drop=True)
     assert broadcast.equals(bucketed)
     assert int(broadcast["n_rows"][0]) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q10_bucketed_fallback_equals_broadcast(monkeypatch):
+    broadcast = rel.q_tpch_q10(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(rel, "TPCH_Q10_BROADCAST_MAX", 0)
+    bucketed = rel.q_tpch_q10(SF).to_pandas().reset_index(drop=True)
+    assert broadcast.equals(bucketed)
+    assert 1 <= len(broadcast) <= rel.TPCH_Q10_K
+    # ordered by revenue desc with custkey tiebreak
+    rev = broadcast["revenue_c2"].tolist()
+    assert rev == sorted(rev, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q4_bucketed_fallback_equals_broadcast(monkeypatch):
+    broadcast = rel.q_tpch_q4(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(rel, "TPCH_Q4_BROADCAST_MAX", 0)
+    bucketed = rel.q_tpch_q4(SF).to_pandas().reset_index(drop=True)
+    assert broadcast.equals(bucketed)
+    assert int(broadcast["n_late"].sum()) > 0
