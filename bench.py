@@ -288,6 +288,8 @@ def run_bench() -> dict:
     timed("tpch_q19", consume=len)
     timed("tpch_q10", consume=len)
     timed("tpch_q4", consume=len)
+    timed("tpch_q17", consume=len)
+    timed("orders_above_avg", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

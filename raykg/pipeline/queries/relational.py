@@ -3029,3 +3029,182 @@ ORACLE_SQL["tpch_q4"] = f"""
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 small-quantity-order revenue analogue: a correlated aggregate
+# (per-part average) answered in ONE exchange by co-locating each part's
+# lineitems and resolving the comparison in-shard
+# ---------------------------------------------------------------------------
+
+TPCH_Q17_BRAND = "Brand#13"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity revenue (public benchmark semantics; no
+    container column, so the filter is brand-only): total extendedprice
+    and row count of lineitems whose quantity is strictly below 20% of
+    the average quantity over all lineitems of the same part, for parts
+    of TPCH_Q17_BRAND.
+
+    Plan, scale notes: the brand-filtered part keyset (1/25 of part)
+    broadcasts under the shared TPCH_PART_BROADCAST_MAX gate (bucketed
+    semi-join fallback); the qualifying lineitem subset then makes ONE
+    hash(partkey) exchange and the correlated comparison resolves
+    inside the shard — 5*q100*n < sum_q100 in exact int64, no float
+    average and no second corpus pass.  Shards emit 2-cell partials."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import bucketed_hash_join
+
+    import pyarrow.compute as pc
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    bkeys = np.sort(
+        part.filter(pc.equal(part["p_brand"], TPCH_Q17_BRAND))["p_partkey"]
+        .to_numpy()
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    if len(bkeys) <= TPCH_PART_BROADCAST_MAX:
+        keys_ref = ray.put(bkeys)
+
+        def li_semi(batch: pa.Table) -> pa.Table:
+            bk = ray.get(keys_ref)
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(bk) == 0:
+                return batch.slice(0, 0)
+            pos = np.searchsorted(bk, lpk)
+            pos[pos >= len(bk)] = 0
+            return batch.filter(pa.array(bk[pos] == lpk))
+
+        sub = li.map_batches(li_semi, batch_format="pyarrow")
+    else:
+        psub = ray.data.from_arrow(
+            pa.table({"l_partkey": pa.array(bkeys, type=pa.int64()),
+                      "__brand_hit": pa.array(
+                          np.ones(len(bkeys), dtype=np.int8), type=pa.int8())})
+        )
+        sub = bucketed_hash_join(li, psub, on="l_partkey").map_batches(
+            lambda b: b.drop_columns(["__brand_hit"]), batch_format="pyarrow"
+        )
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        q100 = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        ep_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = df.assign(__q100=q100).groupby("l_partkey", sort=False)["__q100"]
+        sum_q = g.transform("sum").to_numpy().astype(np.int64)
+        n = g.transform("size").to_numpy().astype(np.int64)
+        qual = 5 * q100 * n < sum_q
+        return pd.DataFrame(
+            {"revenue_c": [int(ep_c[qual].sum())], "n_qual": [int(qual.sum())]}
+        )
+
+    cells = sharded_groupby_apply(sub, ["l_partkey"], in_shard)
+    agg = cells.sum(["revenue_c", "n_qual"])
+    rev = 0 if agg is None else agg["sum(revenue_c)"]
+    n_q = 0 if agg is None else agg["sum(n_qual)"]
+    return pa.table(
+        {"revenue_c": pa.array([rev], type=pa.int64()),
+         "n_qual": pa.array([n_q], type=pa.int64())}
+    )
+
+
+QUERIES["tpch_q17"] = q_tpch_q17
+ORACLE_SQL["tpch_q17"] = f"""
+    WITH s AS (SELECT l_partkey,
+                      CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                           AS BIGINT) AS sum_q100,
+                      COUNT(*) AS n
+               FROM lineitem
+               JOIN part ON p_partkey = l_partkey
+               WHERE p_brand = '{TPCH_Q17_BRAND}'
+               GROUP BY l_partkey)
+    SELECT
+      CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0)
+           AS BIGINT) AS revenue_c,
+      COUNT(*) AS n_qual
+    FROM lineitem
+    JOIN s ON s.l_partkey = lineitem.l_partkey
+    WHERE 5 * CAST(ROUND(l_quantity * 100) AS BIGINT) * n < sum_q100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery pattern: orders strictly above their customer's
+# average order value, counted per order status
+# ---------------------------------------------------------------------------
+
+
+def q_orders_above_avg(sf_dir: str):
+    """Orders whose totalprice strictly exceeds their own customer's mean
+    order value, counted per o_orderstatus — the canonical correlated
+    scalar subquery (WHERE x > (SELECT AVG(..) .. same key)).
+
+    Plan, scale notes: ONE hash(custkey) exchange co-locates each
+    customer's orders; the mean never becomes a float — the in-shard
+    comparison is price_c * n > sum_c in exact int64 — and every shard
+    emits at most |status domain| = 3 cells, so the final groupby is
+    over a constant-size key set."""
+    from ...ops.agg import sharded_groupby_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        d = df.assign(__price_c=price_c)
+        g = d.groupby("o_custkey", sort=False)["__price_c"]
+        sum_c = g.transform("sum").to_numpy().astype(np.int64)
+        n = g.transform("size").to_numpy().astype(np.int64)
+        above = price_c * n > sum_c
+        out = (
+            d.assign(__above=above.astype(np.int64))
+            .groupby("o_orderstatus", as_index=False, sort=False)
+            .agg(n_above=("__above", "sum"), n_orders=("__above", "size"))
+        )
+        return out
+
+    cells = sharded_groupby_apply(orders, ["o_custkey"], in_shard)
+    final = (
+        cells.groupby("o_orderstatus")
+        .sum(["n_above", "n_orders"])
+        .to_pandas()
+        .rename(columns={"sum(n_above)": "n_above",
+                         "sum(n_orders)": "n_orders"})
+        .sort_values("o_orderstatus")
+    )
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(final["o_orderstatus"], type=pa.string()),
+            "n_above": pa.array(
+                final["n_above"].to_numpy().astype(np.int64), type=pa.int64()),
+            "n_orders": pa.array(
+                final["n_orders"].to_numpy().astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["orders_above_avg"] = q_orders_above_avg
+ORACLE_SQL["orders_above_avg"] = """
+    WITH s AS (SELECT o_custkey,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS sum_c,
+                      COUNT(*) AS n
+               FROM orders GROUP BY o_custkey)
+    SELECT o_orderstatus,
+           CAST(COALESCE(SUM(CASE WHEN
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) * n > sum_c
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_above,
+           COUNT(*) AS n_orders
+    FROM orders JOIN s USING (o_custkey)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

@@ -57,3 +57,12 @@ def test_q4_bucketed_fallback_equals_broadcast(monkeypatch):
     bucketed = rel.q_tpch_q4(SF).to_pandas().reset_index(drop=True)
     assert broadcast.equals(bucketed)
     assert int(broadcast["n_late"].sum()) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q17_bucketed_fallback_equals_broadcast(monkeypatch):
+    broadcast = rel.q_tpch_q17(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(rel, "TPCH_PART_BROADCAST_MAX", 0)
+    bucketed = rel.q_tpch_q17(SF).to_pandas().reset_index(drop=True)
+    assert broadcast.equals(bucketed)
+    assert int(broadcast["n_qual"][0]) >= 0
