@@ -290,6 +290,8 @@ def run_bench() -> dict:
     timed("tpch_q4", consume=len)
     timed("tpch_q17", consume=len)
     timed("orders_above_avg", consume=len)
+    timed("hll_setops", consume=len)
+    timed("props_extract", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

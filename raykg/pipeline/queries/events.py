@@ -1467,3 +1467,172 @@ ORACLE_SQL["value_trimmed"] = f"""
            CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_c
     FROM core GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: the distinct-user sketches for two event types plus
+# their UNION obtained by register-wise max merge — the mergeability
+# property that lets 100 TB of per-shard sketches fold to one
+# ---------------------------------------------------------------------------
+
+HLL_SETOPS_A = "click"
+HLL_SETOPS_B = "purchase"
+
+
+def q_hll_setops(sf_dir: str):
+    """HyperLogLog register tables for distinct users of two event types
+    and their union, where the union registers come from MERGING the two
+    sketches (element-wise max) rather than re-reading the data — the
+    algebra that makes sketches the right 100-TB distinct-count plan.
+
+    Plan, scale notes: one pass over the type-filtered events builds
+    both sketches via the group-sharded register fold
+    (:func:`hll_registers_by` — sketch cells move, never user ids); the
+    max-merge then runs on two register tables bounded by 2^p rows each,
+    a constant independent of data size.  The oracle computes the union
+    registers directly over the filtered rows — register-max merge is
+    exactly distinct-set union, so the two surfaces are bit-equal."""
+    from ...ops.sketch import hll_registers_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).filter(
+        expr=f"event_type == '{HLL_SETOPS_A}' or event_type == '{HLL_SETOPS_B}'"
+    )
+    regs = hll_registers_by(ev, "event_type", "user_id").to_pandas()
+    a = regs[regs["event_type"] == HLL_SETOPS_A][["idx", "rho"]]
+    b = regs[regs["event_type"] == HLL_SETOPS_B][["idx", "rho"]]
+    union = (
+        pd.concat([a, b], ignore_index=True)
+        .groupby("idx", as_index=False)["rho"].max()
+    )
+    out = pd.concat(
+        [a.assign(set_name="a"), b.assign(set_name="b"),
+         union.assign(set_name="union")],
+        ignore_index=True,
+    )
+    return pa.table(
+        {
+            "set_name": pa.array(out["set_name"], type=pa.string()),
+            "idx": pa.array(out["idx"].to_numpy().astype(np.int64),
+                            type=pa.int64()),
+            "rho": pa.array(out["rho"].to_numpy().astype(np.int64),
+                            type=pa.int64()),
+        }
+    )
+
+
+def _hll_set_sql(label: str, pred: str) -> str:
+    from ...ops.sketch import hll_oracle_sql
+
+    sub = f"(SELECT user_id FROM events WHERE {pred}) AS s"
+    inner = hll_oracle_sql(sub, "user_id")
+    return f"SELECT '{label}' AS set_name, idx, rho FROM ({inner})"
+
+
+QUERIES["hll_setops"] = q_hll_setops
+ORACLE_SQL["hll_setops"] = " UNION ALL ".join(
+    [
+        _hll_set_sql("a", f"event_type = '{HLL_SETOPS_A}'"),
+        _hll_set_sql("b", f"event_type = '{HLL_SETOPS_B}'"),
+        _hll_set_sql(
+            "union",
+            f"event_type IN ('{HLL_SETOPS_A}', '{HLL_SETOPS_B}')",
+        ),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: pull a typed field out of the JSON props
+# column and aggregate it — the schema-on-read pattern for event payloads
+# ---------------------------------------------------------------------------
+
+
+def q_props_extract(sf_dir: str):
+    """Per-event-type stats over the integer field ``k`` extracted from
+    the JSON ``props`` payload column — schema-on-read without a UDF row
+    loop.
+
+    Plan, scale notes: extraction is pyarrow's C++ ``extract_regex``
+    kernel (zero Python per row); rows whose payload lacks the field
+    drop like SQL NULLs.  Each batch folds to at most |event_type| = 5
+    cells (sum/min/max/count in exact int64), so the engine groupby runs
+    over a constant-size key domain."""
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(),
+             "k": k.to_pandas()}
+        ).dropna(subset=["k"])
+        if df.empty:
+            return pa.table(
+                {"event_type": pa.array([], type=pa.string()),
+                 "sum_k": pa.array([], type=pa.int64()),
+                 "min_k": pa.array([], type=pa.int64()),
+                 "max_k": pa.array([], type=pa.int64()),
+                 "n_k": pa.array([], type=pa.int64())}
+            )
+        g = df.groupby("event_type", sort=False)["k"].agg(
+            ["sum", "min", "max", "size"]
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g.index, type=pa.string()),
+                "sum_k": pa.array(g["sum"].to_numpy().astype(np.int64)),
+                "min_k": pa.array(g["min"].to_numpy().astype(np.int64)),
+                "max_k": pa.array(g["max"].to_numpy().astype(np.int64)),
+                "n_k": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    cells = ev.map_batches(partial, batch_format="pyarrow")
+    final = (
+        cells.groupby("event_type")
+        .aggregate(
+            *[a for a in _props_aggs()]
+        )
+        .to_pandas()
+        .rename(columns={"sum(sum_k)": "sum_k", "min(min_k)": "min_k",
+                         "max(max_k)": "max_k", "sum(n_k)": "n_k"})
+        .sort_values("event_type")
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(final["event_type"], type=pa.string()),
+            "sum_k": pa.array(final["sum_k"].to_numpy().astype(np.int64)),
+            "min_k": pa.array(final["min_k"].to_numpy().astype(np.int64)),
+            "max_k": pa.array(final["max_k"].to_numpy().astype(np.int64)),
+            "n_k": pa.array(final["n_k"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def _props_aggs():
+    from ray.data.aggregate import Max, Min, Sum
+
+    return [Sum("sum_k"), Min("min_k"), Max("max_k"), Sum("n_k")]
+
+
+QUERIES["props_extract"] = q_props_extract
+ORACLE_SQL["props_extract"] = r"""
+    SELECT event_type,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           COUNT(k) AS n_k
+    FROM (SELECT event_type,
+                 CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                      AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""
