@@ -292,6 +292,7 @@ def run_bench() -> dict:
     timed("orders_above_avg", consume=len)
     timed("hll_setops", consume=len)
     timed("props_extract", consume=len)
+    timed("concept_decay", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -1478,3 +1478,96 @@ ORACLE_SQL["onto_coverage"] = f"""
            COALESCE(c.n, 0) = 0 AS is_dead
     FROM onto LEFT JOIN c USING (keyword)
 """
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed concept mass: exponentially-decayed mention counts per
+# concept — edge recency weighting for a temporal KG, exact in scaled
+# integers (halving per fixed time bucket, no float pow)
+# ---------------------------------------------------------------------------
+
+DECAY_BUCKET_S = 256     # one halving per bucket
+DECAY_SHIFT = 40         # weight = n_matches << (SHIFT - age_buckets); 0 past it
+
+
+def q_concept_decay(sf_dir: str):
+    """Per-concept recency-decayed mention mass: each mention contributes
+    ``2^-(age//DECAY_BUCKET_S)`` of a unit, summed per tag — the decayed
+    edge weight a temporal KG uses to rank currently-active concepts.
+    Exact arithmetic: the unit is pre-scaled by 2^DECAY_SHIFT so the
+    weight is an int64 left shift (mentions older than DECAY_SHIFT
+    buckets contribute exactly 0 in both engines; at 100-TB scale
+    DECAY_BUCKET_S is the knob that keeps the live window inside the
+    shift budget).
+
+    Plan, scale notes: the mention actor passes ts through turn-locally
+    (``extra_columns`` — no downstream join to recover event time), the
+    corpus max-ts is one tiny column-pruned aggregate, and every batch
+    folds to at most |ontology| tag cells, so the final groupby runs
+    over the broadcast-bounded tag domain."""
+    from ..tag import extract_mention_counts
+
+    counts = extract_mention_counts(
+        read_transcripts(sf_dir), ONTOLOGY, _cfg(), extra_columns=("ts",)
+    )
+    mx = read_transcripts(sf_dir).max("ts")
+    mx64 = np.datetime64(mx, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"tag": pa.array([], type=pa.string()),
+                 "decayed_mass": pa.array([], type=pa.int64()),
+                 "n_mentions": pa.array([], type=pa.int64())}
+            )
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        age_s = ((mx64 - ts).astype("timedelta64[s]")).astype(np.int64)
+        b = age_s // DECAY_BUCKET_S
+        n = batch["n_matches"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.where(b <= DECAY_SHIFT,
+                     n << np.minimum(DECAY_SHIFT - b, DECAY_SHIFT), 0)
+        df = pd.DataFrame({"tag": batch["tag"].to_pandas(), "w": w, "n": n})
+        g = df.groupby("tag", sort=False).agg(
+            decayed_mass=("w", "sum"), n_mentions=("n", "sum")
+        )
+        return pa.table(
+            {"tag": pa.array(g.index, type=pa.string()),
+             "decayed_mass": pa.array(
+                 g["decayed_mass"].to_numpy().astype(np.int64)),
+             "n_mentions": pa.array(
+                 g["n_mentions"].to_numpy().astype(np.int64))}
+        )
+
+    final = (
+        counts.map_batches(partial, batch_format="pyarrow")
+        .groupby("tag")
+        .sum(["decayed_mass", "n_mentions"])
+        .to_pandas()
+        .rename(columns={"sum(decayed_mass)": "decayed_mass",
+                         "sum(n_mentions)": "n_mentions"})
+        .sort_values("tag")
+    )
+    return pa.table(
+        {"tag": pa.array(final["tag"], type=pa.string()),
+         "decayed_mass": pa.array(
+             final["decayed_mass"].to_numpy().astype(np.int64)),
+         "n_mentions": pa.array(
+             final["n_mentions"].to_numpy().astype(np.int64))}
+    )
+
+
+QUERIES["concept_decay"] = q_concept_decay
+ORACLE_SQL["concept_decay"] = f"""
+    WITH {_T_CTE}, {_ONTO_CTE}, {_OCC_CTE},
+    mx AS (SELECT MAX(ts) AS mx FROM t),
+    w AS (SELECT occ.tag, occ.n_matches,
+                 date_diff('second', t.ts, mx.mx) // {DECAY_BUCKET_S} AS b
+          FROM occ
+          JOIN t USING (conv_id, turn_idx), mx)
+    SELECT tag,
+           CAST(SUM(CASE WHEN b <= {DECAY_SHIFT}
+                    THEN n_matches * (CAST(1 AS BIGINT) << ({DECAY_SHIFT} - b))
+                    ELSE 0 END) AS BIGINT) AS decayed_mass,
+           CAST(SUM(n_matches) AS BIGINT) AS n_mentions
+    FROM w GROUP BY tag ORDER BY tag
+"""
