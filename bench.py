@@ -293,6 +293,7 @@ def run_bench() -> dict:
     timed("hll_setops", consume=len)
     timed("props_extract", consume=len)
     timed("concept_decay", consume=len)
+    timed("fk_audit", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -3208,3 +3208,136 @@ ORACLE_SQL["orders_above_avg"] = """
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan-row / orphan-key counts for every
+# foreign-key relationship — the data-quality gate a warehouse load runs
+# ---------------------------------------------------------------------------
+
+FK_RELATIONSHIPS = (
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def q_fk_audit(sf_dir: str):
+    """Foreign-key integrity audit: per relationship, child row/key totals
+    and orphan row/key counts (child keys absent from the parent).
+
+    Plan, scale notes: neither side is assumed small.  Every table is
+    scanned exactly ONCE, emitting key-level cells for every relationship
+    it participates in (lineitem's one scan yields child cells for both
+    its FKs; orders yields its child cells AND its parent keys), tagged
+    with a relationship id.  ONE hash(rel, key) sharded exchange
+    co-locates each key's cells and every shard emits <= |relationships|
+    4-cell partials, so the exchange carries key cells, never child
+    rows, and the final groupby runs over the 3-value relationship
+    domain.  No broadcast of a potentially corpus-sized parent key set
+    anywhere."""
+    from ...ops.agg import sharded_groupby_apply
+
+    rel_ids = {rel: i for i, (rel, *_rest) in enumerate(FK_RELATIONSHIPS)}
+    # per table: [(rel_id, column, is_child)]
+    roles: dict = {}
+    for rel, child, ckey, parent, pkey in FK_RELATIONSHIPS:
+        roles.setdefault(child, []).append((rel_ids[rel], ckey, True))
+        roles.setdefault(parent, []).append((rel_ids[rel], pkey, False))
+
+    def cell_emitter(table_roles):
+        def cells(batch: pa.Table) -> pa.Table:
+            rels, keys, ns, sides = [], [], [], []
+            for rid, col, is_child in table_roles:
+                k = batch[col].to_numpy(zero_copy_only=False)
+                uniq, counts = np.unique(k, return_counts=True)
+                rels.append(np.full(len(uniq), rid, dtype=np.int8))
+                keys.append(uniq)
+                ns.append(counts.astype(np.int64) if is_child
+                          else np.zeros(len(uniq), dtype=np.int64))
+                sides.append(np.full(len(uniq), 0 if is_child else 1,
+                                     dtype=np.int8))
+            return pa.table(
+                {"rel": pa.array(np.concatenate(rels), type=pa.int8()),
+                 "k": pa.array(np.concatenate(keys), type=pa.int64()),
+                 "n": pa.array(np.concatenate(ns), type=pa.int64()),
+                 "side": pa.array(np.concatenate(sides), type=pa.int8())}
+            )
+
+        return cells
+
+    streams = []
+    for table, table_roles in roles.items():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet",
+            columns=sorted({c for _, c, _ in table_roles}),
+        )
+        streams.append(
+            ds.map_batches(cell_emitter(table_roles), batch_format="pyarrow")
+        )
+    cells = streams[0]
+    for s in streams[1:]:
+        cells = cells.union(s)
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["rel", "k"], sort=False).agg(
+            child_n=("n", "sum"), has_parent=("side", "max")
+        ).reset_index()
+        g = g[g["child_n"] > 0]
+        orphan = (g["has_parent"] == 0).to_numpy()
+        n = g["child_n"].to_numpy()
+        out = pd.DataFrame({"rel": g["rel"], "child_n": n,
+                            "orphan_rows": np.where(orphan, n, 0),
+                            "orphan_keys": orphan.astype(np.int64),
+                            "one": np.ones(len(g), dtype=np.int64)})
+        return out.groupby("rel", as_index=False, sort=False).agg(
+            n_child_rows=("child_n", "sum"), n_child_keys=("one", "sum"),
+            n_orphan_rows=("orphan_rows", "sum"),
+            n_orphan_keys=("orphan_keys", "sum"),
+        )
+
+    parts = sharded_groupby_apply(cells, ["rel", "k"], in_shard)
+    final = (
+        parts.groupby("rel")
+        .sum(["n_child_rows", "n_child_keys", "n_orphan_rows",
+              "n_orphan_keys"])
+        .to_pandas()
+        .rename(columns={f"sum({c})": c for c in
+                         ("n_child_rows", "n_child_keys",
+                          "n_orphan_rows", "n_orphan_keys")})
+        .sort_values("rel")
+    )
+    names = [rel for rel, *_ in FK_RELATIONSHIPS]
+    return pa.table(
+        {
+            "relationship": pa.array(
+                [names[int(r)] for r in final["rel"]], type=pa.string()),
+            "n_child_rows": pa.array(
+                final["n_child_rows"].to_numpy().astype(np.int64)),
+            "n_child_keys": pa.array(
+                final["n_child_keys"].to_numpy().astype(np.int64)),
+            "n_orphan_rows": pa.array(
+                final["n_orphan_rows"].to_numpy().astype(np.int64)),
+            "n_orphan_keys": pa.array(
+                final["n_orphan_keys"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+QUERIES["fk_audit"] = q_fk_audit
+ORACLE_SQL["fk_audit"] = " UNION ALL ".join(
+    f"""
+    (WITH ck AS (SELECT {ckey} AS k, COUNT(*) AS n FROM {child} GROUP BY 1),
+          pk AS (SELECT DISTINCT {pkey} AS k FROM {parent})
+     SELECT '{rel}' AS relationship,
+            CAST(SUM(ck.n) AS BIGINT) AS n_child_rows,
+            COUNT(*) AS n_child_keys,
+            CAST(COALESCE(SUM(CASE WHEN pk.k IS NULL THEN ck.n END), 0)
+                 AS BIGINT) AS n_orphan_rows,
+            CAST(COALESCE(SUM(CASE WHEN pk.k IS NULL THEN 1 END), 0)
+                 AS BIGINT) AS n_orphan_keys
+     FROM ck LEFT JOIN pk USING (k))
+    """
+    for rel, child, ckey, parent, pkey in FK_RELATIONSHIPS
+)
