@@ -294,6 +294,8 @@ def run_bench() -> dict:
     timed("props_extract", consume=len)
     timed("concept_decay", consume=len)
     timed("fk_audit", consume=len)
+    timed("rolling_dau", consume=len)
+    timed("hapax_rate", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

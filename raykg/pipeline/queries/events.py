@@ -1636,3 +1636,100 @@ ORACLE_SQL["props_extract"] = r"""
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct users: per-day DAU and trailing-7-day distinct users in
+# ONE user-sharded exchange (per-user day sets expand and dedupe in-shard,
+# so shard partials sum to exact global distincts)
+# ---------------------------------------------------------------------------
+
+ROLLING_DAU_WINDOW = 7
+
+
+def q_rolling_dau(sf_dir: str):
+    """Per calendar day: exact distinct active users (DAU) and exact
+    distinct users active in the trailing 7 days — the windowed
+    COUNT(DISTINCT) that naive plans answer with 7 self-joined distinct
+    exchanges.
+
+    Plan, scale notes: ONE hash(user) exchange of per-batch-deduped
+    (user, day) pairs.  Because each user lives in exactly one shard,
+    in-shard distinct counts are disjoint across shards and SUM to the
+    global distinct — the window expansion (each day covering its next 6
+    days) and its dedup also stay in-shard, so nothing user-level ever
+    crosses the wire twice.  Shards emit <= |days| x 2 cells; the final
+    groupby runs over the bounded day domain."""
+    from ...ops.agg import sharded_groupby_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        key = np.unique(u.astype(np.int64) * (1 << 20) + d)
+        return pa.table(
+            {"user_id": pa.array(key >> 20, type=pa.int64()),
+             "day": pa.array(key & ((1 << 20) - 1), type=pa.int64())}
+        )
+
+    W = ROLLING_DAU_WINDOW
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        key = np.unique(u * (1 << 20) + d)
+        uu, dd = key >> 20, key & ((1 << 20) - 1)
+        # exact-day DAU partial: pairs are globally distinct in this shard
+        day_u, day_n = np.unique(dd, return_counts=True)
+        # window: (user, day) covers days day..day+W-1; dedupe per user
+        wkey = np.unique(
+            (np.repeat(uu, W) * (1 << 20))
+            + (np.repeat(dd, W) + np.tile(np.arange(W), len(uu)))
+        )
+        wday, wn = np.unique(wkey & ((1 << 20) - 1), return_counts=True)
+        a = pd.DataFrame({"day": day_u, "dau": day_n.astype(np.int64),
+                          "dau_7d": np.zeros(len(day_u), dtype=np.int64)})
+        b = pd.DataFrame({"day": wday,
+                          "dau": np.zeros(len(wday), dtype=np.int64),
+                          "dau_7d": wn.astype(np.int64)})
+        return (
+            pd.concat([a, b], ignore_index=True)
+            .groupby("day", as_index=False, sort=False)[["dau", "dau_7d"]]
+            .sum()
+        )
+
+    cells = sharded_groupby_apply(
+        ev.map_batches(pairs, batch_format="pyarrow"), ["user_id"], in_shard
+    )
+    final = (
+        cells.groupby("day")
+        .sum(["dau", "dau_7d"])
+        .to_pandas()
+        .rename(columns={"sum(dau)": "dau", "sum(dau_7d)": "dau_7d"})
+    )
+    final = final[final["dau"] > 0].sort_values("day")
+    days = final["day"].to_numpy().astype("datetime64[D]").astype(
+        "datetime64[us]")
+    return pa.table(
+        {"day": pa.array(days, type=pa.timestamp("us")),
+         "dau": pa.array(final["dau"].to_numpy().astype(np.int64)),
+         "dau_7d": pa.array(final["dau_7d"].to_numpy().astype(np.int64))}
+    )
+
+
+QUERIES["rolling_dau"] = q_rolling_dau
+ORACLE_SQL["rolling_dau"] = f"""
+    WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events),
+    days AS (SELECT DISTINCT d FROM pairs)
+    SELECT CAST(days.d AS TIMESTAMP) AS day,
+           (SELECT COUNT(*) FROM pairs p WHERE p.d = days.d) AS dau,
+           (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+             WHERE p.d BETWEEN days.d - {ROLLING_DAU_WINDOW - 1} AND days.d)
+               AS dau_7d
+    FROM days ORDER BY day
+"""

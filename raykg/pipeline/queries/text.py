@@ -1962,3 +1962,95 @@ ORACLE_SQL["ccnet_buckets"] = f"""
                 AS BIGINT) AS bucket
     FROM lm JOIN documents d USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness per source: token totals, vocabulary size, and hapax
+# legomena (tokens occurring exactly once) — corpus-quality signals for
+# data-mixing decisions
+# ---------------------------------------------------------------------------
+
+
+def q_hapax_rate(sf_dir: str):
+    """Per document source: exact token count, vocabulary size, and hapax
+    count (tokens whose corpus-wide frequency within the source is
+    exactly 1) — the vocabulary-richness profile that flags templated or
+    machine-generated sources.
+
+    Plan, scale notes: batches fold text to (source, token, n) cells
+    vectorized (one split + one np.unique — no Python token loop), then
+    ONE hash(source, token) exchange co-locates each token's cells;
+    shards emit per-source 3-cell partials and the final groupby runs
+    over the bounded source domain.  Token strings cross the wire once,
+    pre-aggregated."""
+    from ...ops.agg import sharded_groupby_apply
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        txt = batch["text"].to_pylist()
+        all_src, all_tok = [], []
+        for s, t in zip(src, txt):
+            toks = (t or "").split()
+            all_src.extend([s] * len(toks))
+            all_tok.extend(toks)
+        if not all_tok:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "tok": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        df = pd.DataFrame({"source": all_src, "tok": all_tok})
+        g = df.groupby(["source", "tok"], sort=False).size().reset_index(
+            name="n")
+        return pa.table(
+            {"source": pa.array(g["source"], type=pa.string()),
+             "tok": pa.array(g["tok"], type=pa.string()),
+             "n": pa.array(g["n"].to_numpy().astype(np.int64))}
+        )
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "tok"], sort=False)["n"].sum().reset_index()
+        g["hapax"] = (g["n"] == 1).astype(np.int64)
+        g["one"] = 1
+        return g.groupby("source", as_index=False, sort=False).agg(
+            n_tokens=("n", "sum"), n_vocab=("one", "sum"),
+            n_hapax=("hapax", "sum"),
+        )
+
+    parts = sharded_groupby_apply(
+        docs.map_batches(cells, batch_format="pyarrow"),
+        ["source", "tok"], in_shard,
+    )
+    final = (
+        parts.groupby("source")
+        .sum(["n_tokens", "n_vocab", "n_hapax"])
+        .to_pandas()
+        .rename(columns={"sum(n_tokens)": "n_tokens",
+                         "sum(n_vocab)": "n_vocab",
+                         "sum(n_hapax)": "n_hapax"})
+        .sort_values("source")
+    )
+    return pa.table(
+        {"source": pa.array(final["source"], type=pa.string()),
+         "n_tokens": pa.array(final["n_tokens"].to_numpy().astype(np.int64)),
+         "n_vocab": pa.array(final["n_vocab"].to_numpy().astype(np.int64)),
+         "n_hapax": pa.array(final["n_hapax"].to_numpy().astype(np.int64))}
+    )
+
+
+QUERIES["hapax_rate"] = q_hapax_rate
+ORACLE_SQL["hapax_rate"] = r"""
+    WITH toks AS (SELECT source, unnest(regexp_extract_all(text, '\S+'))
+                      AS tok
+                  FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM tf GROUP BY source ORDER BY source
+"""
