@@ -296,6 +296,7 @@ def run_bench() -> dict:
     timed("fk_audit", consume=len)
     timed("rolling_dau", consume=len)
     timed("hapax_rate", consume=len)
+    timed("tool_transitions", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -3267,11 +3267,21 @@ def q_fk_audit(sf_dir: str):
 
         return cells
 
+    # four reads union into one exchange, so cap each scan's block count
+    # by bytes (32 MiB/block): Ray's default parallelism-driven split would
+    # put 64 near-empty blocks per table on the wire at test scale (256
+    # tiny Sort inputs = pure driver overhead), while at 100 TB the same
+    # rule still yields thousands of read blocks per table.
+    import os as _os
+
     streams = []
     for table, table_roles in roles.items():
+        path = f"{sf_dir}/{table}.parquet"
+        nb = int(max(1, min(512, _os.path.getsize(path) // (32 << 20))))
         ds = ray.data.read_parquet(
-            f"{sf_dir}/{table}.parquet",
+            path,
             columns=sorted({c for _, c, _ in table_roles}),
+            override_num_blocks=nb,
         )
         streams.append(
             ds.map_batches(cell_emitter(table_roles), batch_format="pyarrow")

@@ -1571,3 +1571,76 @@ ORACLE_SQL["concept_decay"] = f"""
            CAST(SUM(n_matches) AS BIGINT) AS n_mentions
     FROM w GROUP BY tag ORDER BY tag
 """
+
+
+# ---------------------------------------------------------------------------
+# Tool-transition matrix: first-order transitions between consecutive
+# turns' tool usage within a conversation — the agent-behavior profile
+# over transcripts (which tool follows which)
+# ---------------------------------------------------------------------------
+
+
+def q_tool_transitions(sf_dir: str):
+    """(tool_from, tool_to, n) counts over consecutive turns of each
+    conversation, with untooled turns as '(none)' — the first-order
+    Markov profile of agent tool usage.
+
+    Plan, scale notes: one hash(conv) exchange co-locates each
+    conversation's (turn_idx, tool) rows; the in-shard kernel sorts once
+    and resolves transitions with a vectorized shift+mask (no per-conv
+    Python), emitting cells over the bounded tool x tool domain."""
+    from ...ops.agg import sharded_groupby_apply
+
+    t = read_transcripts(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tool = pc.fill_null(batch["tool"], "(none)")
+        return pa.table(
+            {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"],
+             "tool": tool}
+        )
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        tool = df["tool"].to_numpy()
+        same = conv[:-1] == conv[1:]
+        out = pd.DataFrame(
+            {"tool_from": tool[:-1][same], "tool_to": tool[1:][same]}
+        )
+        return (
+            out.groupby(["tool_from", "tool_to"], sort=False)
+            .size().reset_index(name="n")
+        )
+
+    cells = sharded_groupby_apply(
+        t.map_batches(prep, batch_format="pyarrow"), ["conv_id"], in_shard
+    )
+    final = (
+        cells.groupby(["tool_from", "tool_to"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["tool_from", "tool_to"])
+    )
+    return pa.table(
+        {"tool_from": pa.array(final["tool_from"], type=pa.string()),
+         "tool_to": pa.array(final["tool_to"], type=pa.string()),
+         "n": pa.array(final["n"].to_numpy().astype(np.int64))}
+    )
+
+
+QUERIES["tool_transitions"] = q_tool_transitions
+ORACLE_SQL["tool_transitions"] = f"""
+    WITH {_T_CTE},
+    s AS (SELECT conv_id, turn_idx, COALESCE(tool, '(none)') AS tool FROM t),
+    p AS (SELECT tool,
+                 lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS nxt
+          FROM s)
+    SELECT tool AS tool_from, nxt AS tool_to, COUNT(*) AS n
+    FROM p WHERE nxt IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
