@@ -297,6 +297,8 @@ def run_bench() -> dict:
     timed("rolling_dau", consume=len)
     timed("hapax_rate", consume=len)
     timed("tool_transitions", consume=len)
+    timed("skew_report", consume=len)
+    timed("embed_pair_dot", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -503,3 +503,90 @@ ORACLE_SQL["xalign_mutual"] = """
     FROM bb JOIN ab ON ab.a_id = bb.a_id AND ab.b_id = bb.b_id
     WHERE ab.gap_a >= 1 AND bb.gap_b >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-similarity distribution audit: exact quantized dot products of
+# deterministic embedding pairs, bucketed into a histogram — the drift
+# check run on an embedding column after re-encoding a corpus
+# ---------------------------------------------------------------------------
+
+PAIR_DOT_QUANT = 64      # per-element quantizer: q = round(e * 64), int64
+PAIR_DOT_BUCKET = 64     # histogram bucket width over the integer dot
+
+
+def q_embed_pair_dot(sf_dir: str):
+    """Histogram of exact integer dot products over the deterministic
+    pairing (vec_id 2i, 2i+1): each element quantizes to
+    round(e * 64) and the pair's dot buckets by floor(dot / 64) — the
+    similarity-distribution audit that catches encoder regressions
+    without floating-point drift between engines.
+
+    Plan, scale notes: pairs co-locate via ONE hash(vec_id >> 1)
+    exchange (both members of a pair share the shard key); the in-shard
+    kernel stacks the shard's vectors once and does a single batched
+    row-wise multiply-sum (no per-pair Python), emitting bounded
+    histogram cells.  The final groupby runs over the bucket domain."""
+    from ...ops.agg import sharded_groupby_apply
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def add_pair(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pair_id", pa.array(vid >> 1, type=pa.int64())
+        )
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id", kind="stable")
+        pid = df["pair_id"].to_numpy()
+        # keep only complete pairs (an odd tail vec has no partner)
+        first = np.unique(pid, return_index=True)[1]
+        counts = np.diff(np.append(first, len(pid)))
+        keep_pids = np.unique(pid)[counts == 2]
+        mask = np.isin(pid, keep_pids)
+        if not mask.any():
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        E = np.rint(
+            np.stack(df.loc[mask, "embedding"].to_numpy()) * PAIR_DOT_QUANT
+        ).astype(np.int64)
+        dots = (E[0::2] * E[1::2]).sum(axis=1)
+        bucket = dots // PAIR_DOT_BUCKET
+        uniq, n = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": uniq, "n_pairs": n.astype(np.int64)})
+
+    cells = sharded_groupby_apply(
+        emb.map_batches(add_pair, batch_format="pyarrow"),
+        ["pair_id"], in_shard,
+    )
+    final = (
+        cells.groupby("bucket")
+        .sum("n_pairs")
+        .to_pandas()
+        .rename(columns={"sum(n_pairs)": "n_pairs"})
+        .sort_values("bucket")
+    )
+    return pa.table(
+        {"bucket": pa.array(final["bucket"].to_numpy().astype(np.int64)),
+         "n_pairs": pa.array(final["n_pairs"].to_numpy().astype(np.int64))}
+    )
+
+
+QUERIES["embed_pair_dot"] = q_embed_pair_dot
+ORACLE_SQL["embed_pair_dot"] = f"""
+    WITH p AS (SELECT a.embedding AS ea, b.embedding AS eb
+               FROM embeddings a
+               JOIN embeddings b
+                 ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0),
+    d AS (SELECT CAST(list_sum(list_transform(list_zip(ea, eb),
+                x -> CAST(ROUND(x[1] * {PAIR_DOT_QUANT}) AS BIGINT)
+                   * CAST(ROUND(x[2] * {PAIR_DOT_QUANT}) AS BIGINT)))
+                AS BIGINT) AS dot
+          FROM p)
+    SELECT CAST(floor(dot / {PAIR_DOT_BUCKET}.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs
+    FROM d GROUP BY 1 ORDER BY 1
+"""

@@ -3351,3 +3351,122 @@ ORACLE_SQL["fk_audit"] = " UNION ALL ".join(
     """
     for rel, child, ckey, parent, pkey in FK_RELATIONSHIPS
 )
+
+
+# ---------------------------------------------------------------------------
+# Partitioning-key skew profiler: row/distinct/max-frequency per candidate
+# shuffle key — the report you read BEFORE choosing a partitioning scheme
+# ---------------------------------------------------------------------------
+
+SKEW_COLUMNS = (
+    # (label, table, column)
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+def q_skew_report(sf_dir: str):
+    """Per candidate partitioning key: exact row count, distinct-key
+    count, the hottest key's row count, and its share in basis points —
+    the skew profile that decides salting / bucket counts before any
+    shuffle is planned.
+
+    Plan, scale notes: same shape as the FK audit — each table scans
+    once per profiled column set with byte-sized blocks, batches fold to
+    (col, key, n) pre-agg cells, ONE hash(col, key) exchange co-locates
+    keys, shards emit per-column 3-cell partials (sum / count / max),
+    and the final groupby runs over the 4-value column domain.  The
+    hot-key max composes correctly across shards because a key lives in
+    exactly one shard."""
+    from ...ops.agg import sharded_groupby_apply
+
+    import os as _os
+
+    col_ids = {label: i for i, (label, _t, _c) in enumerate(SKEW_COLUMNS)}
+    by_table: dict = {}
+    for label, table, column in SKEW_COLUMNS:
+        by_table.setdefault(table, []).append((col_ids[label], column))
+
+    def emitter(specs):
+        def cells(batch: pa.Table) -> pa.Table:
+            cols, keys, ns = [], [], []
+            for cid, column in specs:
+                k = batch[column].to_numpy(zero_copy_only=False)
+                uniq, counts = np.unique(k, return_counts=True)
+                cols.append(np.full(len(uniq), cid, dtype=np.int8))
+                keys.append(uniq.astype(np.int64))
+                ns.append(counts.astype(np.int64))
+            return pa.table(
+                {"col": pa.array(np.concatenate(cols), type=pa.int8()),
+                 "k": pa.array(np.concatenate(keys), type=pa.int64()),
+                 "n": pa.array(np.concatenate(ns), type=pa.int64())}
+            )
+
+        return cells
+
+    streams = []
+    for table, specs in by_table.items():
+        path = f"{sf_dir}/{table}.parquet"
+        nb = int(max(1, min(512, _os.path.getsize(path) // (32 << 20))))
+        ds = ray.data.read_parquet(
+            path, columns=sorted({c for _, c in specs}),
+            override_num_blocks=nb,
+        )
+        streams.append(ds.map_batches(emitter(specs), batch_format="pyarrow"))
+    cells = streams[0]
+    for s in streams[1:]:
+        cells = cells.union(s)
+
+    def in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["col", "k"], sort=False)["n"].sum().reset_index()
+        return g.groupby("col", as_index=False, sort=False).agg(
+            n_rows=("n", "sum"), n_distinct=("n", "size"), max_key_rows=("n", "max")
+        )
+
+    parts = sharded_groupby_apply(cells, ["col", "k"], in_shard)
+    final = (
+        parts.groupby("col")
+        .aggregate(*_skew_aggs())
+        .to_pandas()
+        .rename(columns={"sum(n_rows)": "n_rows",
+                         "sum(n_distinct)": "n_distinct",
+                         "max(max_key_rows)": "max_key_rows"})
+        .sort_values("col")
+    )
+    labels = [label for label, _t, _c in SKEW_COLUMNS]
+    n_rows = final["n_rows"].to_numpy().astype(np.int64)
+    mx = final["max_key_rows"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "column": pa.array([labels[int(c)] for c in final["col"]],
+                               type=pa.string()),
+            "n_rows": pa.array(n_rows),
+            "n_distinct": pa.array(
+                final["n_distinct"].to_numpy().astype(np.int64)),
+            "max_key_rows": pa.array(mx),
+            "top_share_bp": pa.array((10000 * mx) // n_rows, type=pa.int64()),
+        }
+    )
+
+
+def _skew_aggs():
+    from ray.data.aggregate import Max, Sum
+
+    return [Sum("n_rows"), Sum("n_distinct"), Max("max_key_rows")]
+
+
+QUERIES["skew_report"] = q_skew_report
+ORACLE_SQL["skew_report"] = " UNION ALL ".join(
+    f"""
+    (WITH f AS (SELECT {column} AS k, COUNT(*) AS n FROM {table} GROUP BY 1)
+     SELECT '{label}' AS "column",
+            CAST(SUM(n) AS BIGINT) AS n_rows,
+            COUNT(*) AS n_distinct,
+            CAST(MAX(n) AS BIGINT) AS max_key_rows,
+            CAST((10000 * MAX(n)) // SUM(n) AS BIGINT) AS top_share_bp
+     FROM f)
+    """
+    for label, table, column in SKEW_COLUMNS
+)
