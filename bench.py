@@ -299,6 +299,14 @@ def run_bench() -> dict:
     timed("tool_transitions", consume=len)
     timed("skew_report", consume=len)
     timed("embed_pair_dot", consume=len)
+    # round-4 sixth-session additions: the remaining TPC-H analogues
+    timed("tpch_q7", consume=len)
+    timed("tpch_q8", consume=len)
+    timed("tpch_q9", consume=len)
+    timed("tpch_q12", consume=len)
+    timed("tpch_q13", consume=len)
+    timed("tpch_q21", consume=len)
+    timed("tpch_q22", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

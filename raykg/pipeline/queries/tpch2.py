@@ -1,0 +1,1013 @@
+"""TPC-H analogues Q7/Q8/Q9/Q12/Q13/Q21/Q22 over the synthetic tables.
+
+Completes the relational family (Q1/3/4/5/6/10/14/17/18/19 live in
+``relational.py``).  The synthetic schema has no partsupp, no
+commit/receipt dates, no shipmode/phone/comment columns, so each query
+keeps the PUBLIC benchmark's join/aggregate SHAPE and swaps the missing
+column for a present one (documented per query).  All money math is
+exact int64 cents (x100) or cents-squared (price x (100-disc)) so the
+Ray result and the DuckDB oracle hash bit-equal.
+
+Scale conventions (same as relational.py): dimension maps broadcast via
+``ray.put`` under ``_ATTACH_BROADCAST_MAX`` rows and switch to
+``bucketed_hash_join`` above it; every fact scan is column-pruned and
+emits per-batch partial cells bounded by the group-domain size, so the
+only exchanges are O(cells) reduces (plus the one hash(orderkey) shard
+exchange where an EXISTS needs order co-location).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ._shared import QUERIES, ORACLE_SQL
+
+_ATTACH_BROADCAST_MAX = 2_000_000
+
+
+def _attach_by_key(big, small, on: str, val_cols, gate: int = _ATTACH_BROADCAST_MAX):
+    """INNER-join ``small``'s ``val_cols`` onto ``big`` by the shared key
+    column ``on`` (non-matching big rows drop).  Under ``gate`` small rows
+    the map is sorted arrays broadcast once via ``ray.put`` + a vectorized
+    ``searchsorted`` per batch; above it the plan switches to
+    ``bucketed_hash_join`` — same rows, shuffle instead of broadcast.
+    ``small`` must carry exactly ``[on, *val_cols]``."""
+    from ...ops.join import bucketed_hash_join
+
+    small = small.materialize()
+    if small.count() > gate:
+        return bucketed_hash_join(big, small, on=on)
+
+    try:
+        stypes = {f.name: f.type for f in small.schema().base_schema}
+    except AttributeError:  # older Schema wrapper
+        stypes = {n: t for n, t in zip(small.schema().names, small.schema().types)}
+
+    batches = [b for b in small.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if batches:
+        tbl = pa.concat_tables(batches)
+        keys = tbl[on].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        vals = []
+        for c in val_cols:
+            col = tbl[c].combine_chunks()
+            try:
+                v = col.to_numpy(zero_copy_only=False)
+            except (pa.ArrowInvalid, NotImplementedError):
+                v = np.asarray(col.to_pylist(), dtype=object)
+            vals.append(v[order])
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+        vals = [np.zeros(0, dtype=object) for _ in val_cols]
+    ref = ray.put((keys, vals))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, vs = ray.get(ref)
+        bk = batch[on].to_numpy(zero_copy_only=False)
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, bk), len(k) - 1)
+            hit = k[pos] == bk
+        else:
+            hit = np.zeros(len(bk), dtype=bool)
+            pos = np.zeros(len(bk), dtype=np.int64)
+        out = batch.filter(pa.array(hit))
+        p = pos[hit]
+        for c, v in zip(val_cols, vs):
+            out = out.append_column(
+                c, pa.array(v[p], type=stypes[c], from_pandas=True)
+            )
+        return out
+
+    return big.map_batches(attach, batch_format="pyarrow")
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def _rev_c2(batch: pa.Table, keep=None) -> np.ndarray:
+    """Exact revenue cells: price_cents x (100 - disc_cents)."""
+    ep = _cents(batch["l_extendedprice"])
+    d = _cents(batch["l_discount"])
+    rev = ep * (100 - d)
+    return rev if keep is None else rev[keep]
+
+
+def _year_of(ts: np.ndarray) -> np.ndarray:
+    return (ts.astype("datetime64[Y]").astype(np.int64) + 1970).astype(np.int64)
+
+
+def _sorted_supplier_nations(sf_dir: str):
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy()
+    order = np.argsort(sk, kind="stable")
+    return sk[order], sup["s_nationkey"].to_numpy()[order]
+
+
+# ---------------------------------------------------------------------------
+# Q7 volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+TPCH_Q7_NATION1 = "NATION_3"
+TPCH_Q7_NATION2 = "NATION_7"
+TPCH_Q7_DATE_LO = "1996-01-01"
+TPCH_Q7_DATE_HI = "1998-01-01"
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping (public benchmark semantics): revenue
+    between supplier nation and customer nation for the unordered pair
+    (NATION1, NATION2), by ship year, over [DATE_LO, DATE_HI).
+
+    Plan, scale notes: nation is driver-tiny; the supplier dim restricted
+    to the two nations broadcasts (sorted arrays, ray.put once).  Customer
+    filters to the two nations (~2/25 of rows) and attaches to orders via
+    the gated broadcast-or-bucketed map, producing (o_orderkey ->
+    c_nationkey); that map attaches to the date-filtered lineitem stream
+    the same way.  lineitem streams ONCE; each batch folds into at most
+    2 x 2 x years exact-int cells, so the final exchange is O(cells)."""
+    import pyarrow.compute as pc
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    key_of = {v: k for k, v in name_of.items()}
+    n1, n2 = key_of[TPCH_Q7_NATION1], key_of[TPCH_Q7_NATION2]
+
+    sk, sn = _sorted_supplier_nations(sf_dir)
+    pair_mask = (sn == n1) | (sn == n2)
+    sup_ref = ray.put((sk[pair_mask], sn[pair_mask]))
+
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .map_batches(
+            lambda b, n1=n1, n2=n2: b.filter(
+                pc.or_(pc.equal(b["c_nationkey"], n1), pc.equal(b["c_nationkey"], n2))
+            ).rename_columns(["o_custkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    omap = _attach_by_key(orders, cust, on="o_custkey", val_cols=["c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    lo = np.datetime64(TPCH_Q7_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q7_DATE_HI).astype("datetime64[us]")
+
+    def date_filter(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((sd >= lo) & (sd < hi)))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    ).map_batches(date_filter, batch_format="pyarrow")
+
+    _EMPTY = pa.table(
+        {
+            "s_nat": pa.array([], type=pa.int64()),
+            "c_nat": pa.array([], type=pa.int64()),
+            "l_year": pa.array([], type=pa.int64()),
+            "revenue_c2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        psk, psn = ray.get(sup_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(psk) == 0 or batch.num_rows == 0:
+            return _EMPTY
+        pos = np.minimum(np.searchsorted(psk, lsk), len(psk) - 1)
+        s_nat = psn[pos]
+        c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = (psk[pos] == lsk) & (
+            ((s_nat == n1) & (c_nat == n2)) | ((s_nat == n2) & (c_nat == n1))
+        )
+        if not keep.any():
+            return _EMPTY
+        yr = _year_of(batch["l_shipdate"].to_numpy(zero_copy_only=False)[keep])
+        rev = _rev_c2(batch, keep)
+        s_nat, c_nat = s_nat[keep].astype(np.int64), c_nat[keep].astype(np.int64)
+        code = (s_nat * 64 + (c_nat == n2).astype(np.int64)) * 8192 + yr
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "s_nat": pa.array(uniq // (64 * 8192), type=pa.int64()),
+                "c_nat": pa.array(
+                    np.where((uniq // 8192) % 64 == 1, n2, n1), type=pa.int64()
+                ),
+                "l_year": pa.array(uniq % 8192, type=pa.int64()),
+                "revenue_c2": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    joined = _attach_by_key(li, omap, on="l_orderkey", val_cols=["c_nationkey"])
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .sum("revenue_c2")
+        .to_pandas()
+        .rename(columns={"sum(revenue_c2)": "revenue_c2"})
+    )
+    out["supp_nation"] = out["s_nat"].map(name_of)
+    out["cust_nation"] = out["c_nat"].map(name_of)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return pa.table(
+        {
+            "supp_nation": pa.array(out["supp_nation"], type=pa.string()),
+            "cust_nation": pa.array(out["cust_nation"], type=pa.string()),
+            "l_year": pa.array(out["l_year"].to_numpy(np.int64), type=pa.int64()),
+            "revenue_c2": pa.array(
+                out["revenue_c2"].to_numpy(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q7"] = q_tpch_q7
+ORACLE_SQL["tpch_q7"] = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = '{TPCH_Q7_NATION1}' AND n2.n_name = '{TPCH_Q7_NATION2}')
+           OR (n1.n_name = '{TPCH_Q7_NATION2}' AND n2.n_name = '{TPCH_Q7_NATION1}'))
+      AND l_shipdate >= TIMESTAMP '{TPCH_Q7_DATE_LO}'
+      AND l_shipdate <  TIMESTAMP '{TPCH_Q7_DATE_HI}'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 national market share
+# ---------------------------------------------------------------------------
+
+TPCH_Q8_REGION = "ASIA"
+TPCH_Q8_NATION = "NATION_10"
+TPCH_Q8_TYPE = "PROMO"
+TPCH_Q8_DATE_LO = "1996-01-01"
+TPCH_Q8_DATE_HI = "1998-01-01"
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share (public benchmark semantics): of the
+    revenue from TPCH_Q8_TYPE parts sold to customers in TPCH_Q8_REGION
+    during the order-date window, the share supplied by TPCH_Q8_NATION,
+    per order year.  The share is exact integer basis points
+    (10000 * nation / total, floor) so the oracle hashes bit-equal.
+
+    Plan, scale notes: region/nation tiny; supplier-nation broadcast;
+    customers in the region attach to the window-filtered orders (gated
+    broadcast-or-bucketed), producing (o_orderkey -> o_year); type-matched
+    part keys semi-filter lineitem the same gated way.  lineitem streams
+    once into per-batch (o_year, nation_rev, total_rev) cells — at most
+    one cell per year per batch."""
+    import pyarrow.compute as pc
+
+    from ...ops.join import semi_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg["r_name"], TPCH_Q8_REGION))["r_regionkey"][0].as_py()
+    region_nations = np.sort(
+        nat.filter(pc.equal(nat["n_regionkey"], rkey))["n_nationkey"].to_numpy()
+    )
+    target_nat = nat.filter(pc.equal(nat["n_name"], TPCH_Q8_NATION))[
+        "n_nationkey"
+    ][0].as_py()
+
+    sk, sn = _sorted_supplier_nations(sf_dir)
+    sup_ref = ray.put((sk, sn))
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(region_nations, nk), len(region_nations) - 1)
+        return batch.filter(pa.array(region_nations[pos] == nk)).select(["c_custkey"])
+
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .map_batches(cust_filter, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.rename_columns(["o_custkey"]), batch_format="pyarrow"
+        )
+    )
+
+    lo = np.datetime64(TPCH_Q8_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q8_DATE_HI).astype("datetime64[us]")
+
+    def orders_window(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": batch["o_custkey"].filter(pa.array(keep)),
+                "o_year": pa.array(_year_of(od[keep]), type=pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_window, batch_format="pyarrow")
+    # customers in the region are the semi-filter; orders keep o_year
+    orders_in = semi_join(orders, cust, on="o_custkey", right_on="o_custkey")
+    omap = orders_in.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"], "o_year": b["o_year"]}),
+        batch_format="pyarrow",
+    )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        .filter(expr=f"p_type == '{TPCH_Q8_TYPE}'")
+        .select_columns(["p_partkey"])
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = semi_join(li, parts, on="l_partkey", right_on="p_partkey")
+    joined = _attach_by_key(li, omap, on="l_orderkey", val_cols=["o_year"])
+
+    _EMPTY = pa.table(
+        {
+            "o_year": pa.array([], type=pa.int64()),
+            "nation_rev_c2": pa.array([], type=pa.int64()),
+            "total_rev_c2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        ks, ns = ray.get(sup_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, lsk), len(ks) - 1)
+        s_nat = ns[pos]
+        rev = _rev_c2(batch)
+        yr = batch["o_year"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(yr, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        natl = np.zeros(len(uniq), dtype=np.int64)
+        is_t = s_nat == target_nat
+        if is_t.any():
+            np.add.at(natl, inv[is_t], rev[is_t])
+        return pa.table(
+            {
+                "o_year": pa.array(uniq.astype(np.int64), type=pa.int64()),
+                "nation_rev_c2": pa.array(natl, type=pa.int64()),
+                "total_rev_c2": pa.array(tot, type=pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby("o_year")
+        .sum(["nation_rev_c2", "total_rev_c2"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(nation_rev_c2)": "nation_rev_c2",
+                "sum(total_rev_c2)": "total_rev_c2",
+            }
+        )
+        .sort_values("o_year")
+    )
+    natv = out["nation_rev_c2"].to_numpy(np.int64)
+    totv = out["total_rev_c2"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "o_year": pa.array(out["o_year"].to_numpy(np.int64), type=pa.int64()),
+            "nation_rev_c2": pa.array(natv, type=pa.int64()),
+            "total_rev_c2": pa.array(totv, type=pa.int64()),
+            "mkt_share_bp": pa.array(10000 * natv // totv, type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q8"] = q_tpch_q8
+ORACLE_SQL["tpch_q8"] = f"""
+    WITH all_nations AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS volume_c2,
+               n2.n_name AS supp_nation
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+             region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = '{TPCH_Q8_REGION}' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '{TPCH_Q8_DATE_LO}'
+          AND o_orderdate <  TIMESTAMP '{TPCH_Q8_DATE_HI}'
+          AND p_type = '{TPCH_Q8_TYPE}')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = '{TPCH_Q8_NATION}'
+                         THEN volume_c2 ELSE 0 END) AS BIGINT) AS nation_rev_c2,
+           CAST(SUM(volume_c2) AS BIGINT) AS total_rev_c2,
+           CAST(10000 * SUM(CASE WHEN supp_nation = '{TPCH_Q8_NATION}'
+                                 THEN volume_c2 ELSE 0 END)
+                // SUM(volume_c2) AS BIGINT) AS mkt_share_bp
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 product-type profit
+# ---------------------------------------------------------------------------
+
+TPCH_Q9_NAME_TOKEN = "widget"
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product-type profit (public benchmark shape; the synthetic
+    schema has no partsupp, so profit is l_extendedprice*(1-l_discount)
+    without the supplycost term, and the year is year(l_shipdate) — no
+    orders join needed): profit by supplier nation and year for parts
+    whose p_name contains TPCH_Q9_NAME_TOKEN.
+
+    Plan, scale notes: matching part keys semi-filter lineitem through
+    the gated broadcast path; supplier-nation broadcasts; lineitem
+    streams once into <= 25 x years exact-int cells per batch."""
+    from ...ops.join import semi_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    sk, sn = _sorted_supplier_nations(sf_dir)
+    sup_ref = ray.put((sk, sn))
+
+    def part_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.match_substring(batch["p_name"], TPCH_Q9_NAME_TOKEN)
+        return batch.filter(keep).select(["p_partkey"])
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(part_filter, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = semi_join(li, parts, on="l_partkey", right_on="p_partkey")
+
+    _EMPTY = pa.table(
+        {
+            "nat": pa.array([], type=pa.int64()),
+            "l_year": pa.array([], type=pa.int64()),
+            "profit_c2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        ks, ns = ray.get(sup_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, lsk), len(ks) - 1)
+        s_nat = ns[pos].astype(np.int64)
+        yr = _year_of(batch["l_shipdate"].to_numpy(zero_copy_only=False))
+        rev = _rev_c2(batch)
+        code = s_nat * 8192 + yr
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "nat": pa.array(uniq // 8192, type=pa.int64()),
+                "l_year": pa.array(uniq % 8192, type=pa.int64()),
+                "profit_c2": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    out = (
+        li.map_batches(cells, batch_format="pyarrow")
+        .groupby(["nat", "l_year"])
+        .sum("profit_c2")
+        .to_pandas()
+        .rename(columns={"sum(profit_c2)": "profit_c2"})
+    )
+    out["n_name"] = out["nat"].map(name_of)
+    out = out.sort_values(["n_name", "l_year"], ascending=[True, False])
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], type=pa.string()),
+            "l_year": pa.array(out["l_year"].to_numpy(np.int64), type=pa.int64()),
+            "profit_c2": pa.array(out["profit_c2"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q9"] = q_tpch_q9
+ORACLE_SQL["tpch_q9"] = f"""
+    SELECT n_name,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS profit_c2
+    FROM part, supplier, lineitem, nation
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%{TPCH_Q9_NAME_TOKEN}%'
+    GROUP BY n_name, l_year
+    ORDER BY n_name, l_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shipping-priority line counts
+# ---------------------------------------------------------------------------
+
+TPCH_Q12_DATE_LO = "1997-01-01"
+TPCH_Q12_DATE_HI = "1998-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shipping modes / order priority (public benchmark shape;
+    no l_shipmode column, so the group key is l_linestatus): for lines
+    shipped in the window, count high-priority (1-URGENT / 2-HIGH) vs
+    low-priority orders per linestatus.
+
+    Plan, scale notes: the full (o_orderkey -> o_orderpriority) map is
+    corpus-scale, so the attach is the gated broadcast-or-bucketed path;
+    lineitem date-filters at the read and folds into <= 2 cells per
+    batch; the final exchange is over the 2-value linestatus domain."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    lo = np.datetime64(TPCH_Q12_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q12_DATE_HI).astype("datetime64[us]")
+
+    def date_filter(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((sd >= lo) & (sd < hi))).select(
+            ["l_orderkey", "l_linestatus"]
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    ).map_batches(date_filter, batch_format="pyarrow")
+
+    joined = _attach_by_key(li, orders, on="l_orderkey", val_cols=["o_orderpriority"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "l_linestatus": pd.Series([], dtype=str),
+                    "high_line_count": pd.Series([], dtype=np.int64),
+                    "low_line_count": pd.Series([], dtype=np.int64),
+                }
+            )
+        high = df["o_orderpriority"].isin(_Q12_HIGH).to_numpy().astype(np.int64)
+        agg = (
+            pd.DataFrame({"l_linestatus": df["l_linestatus"].to_numpy(), "h": high})
+            .groupby("l_linestatus", sort=False)["h"]
+            .agg(["sum", "count"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "l_linestatus": agg["l_linestatus"],
+                "high_line_count": agg["sum"].to_numpy(np.int64),
+                "low_line_count": (agg["count"] - agg["sum"]).to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        joined.map_batches(cells, batch_format="pandas")
+        .groupby("l_linestatus")
+        .sum(["high_line_count", "low_line_count"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(high_line_count)": "high_line_count",
+                "sum(low_line_count)": "low_line_count",
+            }
+        )
+        .sort_values("l_linestatus")
+    )
+    return pa.table(
+        {
+            "l_linestatus": pa.array(out["l_linestatus"], type=pa.string()),
+            "high_line_count": pa.array(
+                out["high_line_count"].to_numpy(np.int64), type=pa.int64()
+            ),
+            "low_line_count": pa.array(
+                out["low_line_count"].to_numpy(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q12"] = q_tpch_q12
+ORACLE_SQL["tpch_q12"] = f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '{TPCH_Q12_DATE_LO}'
+      AND l_shipdate <  TIMESTAMP '{TPCH_Q12_DATE_HI}'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 customer order-count distribution
+# ---------------------------------------------------------------------------
+
+TPCH_Q13_EXCLUDE = "4-NOT SPECIFIED"
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer distribution (public benchmark shape; no comment
+    column, so the excluded-order predicate is o_orderpriority <>
+    TPCH_Q13_EXCLUDE): how many customers placed 0, 1, 2, ... qualifying
+    orders.
+
+    Plan, scale notes: orders pre-aggregate (o_custkey, n) per batch, ONE
+    hash(custkey) shard exchange sums them, each shard emits its local
+    histogram of counts (<= max-orders-per-customer cells), and the
+    zero bucket is total customers minus customers seen — a metadata
+    count, no customer scan beyond it.  Relies on the FK integrity the
+    fk_audit query verifies (every o_custkey exists in customer)."""
+    from ...ops.agg import sharded_groupby_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr=f"o_orderpriority != '{TPCH_Q13_EXCLUDE}'")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("o_custkey", sort=False)["n"].sum()
+        hist = tot.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": hist.index.to_numpy(np.int64),
+                "custdist": hist.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        sharded_groupby_apply(
+            orders.map_batches(pre, batch_format="pyarrow"), ["o_custkey"], per_cust
+        )
+        .groupby("c_count")
+        .sum("custdist")
+        .to_pandas()
+        .rename(columns={"sum(custdist)": "custdist"})
+    )
+    total_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = total_cust - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist = hist.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return pa.table(
+        {
+            "c_count": pa.array(hist["c_count"].to_numpy(np.int64), type=pa.int64()),
+            "custdist": pa.array(hist["custdist"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q13"] = q_tpch_q13
+ORACLE_SQL["tpch_q13"] = f"""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '{TPCH_Q13_EXCLUDE}'
+        GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+
+TPCH_Q21_TOPK = 100
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers who kept orders waiting (public benchmark shape;
+    no commit/receipt dates, so "late" is l_returnflag = 'R'): for 'F'
+    orders, count lines whose supplier is the ONLY returned-flag supplier
+    on a multi-supplier order — the same EXISTS / NOT EXISTS pair as the
+    benchmark, resolved by co-locating each order's lines.
+
+    Plan, scale notes: 'F' order keys semi-filter the 3-column lineitem
+    stream; ONE hash(orderkey) shard exchange co-locates orders, each
+    shard resolving the exists/not-exists vectorized and emitting
+    <= |suppliers-in-shard| cells; the per-supplier reduce is
+    supplier-domain-sized, names attach from the broadcast supplier dim,
+    and the final top-k is per-block partials + one tiny reduce (no
+    global sort)."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import semi_join
+    from ...ops.topk import global_topk
+
+    fkeys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        )
+        .filter(expr="o_orderstatus == 'F'")
+        .select_columns(["o_orderkey"])
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    li = semi_join(li, fkeys, on="l_orderkey", right_on="o_orderkey")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_suppkey"])
+        nsupp = d.groupby("l_orderkey", sort=False).size()
+        r = df[df["l_returnflag"] == "R"]
+        nr = r.drop_duplicates(["l_orderkey", "l_suppkey"]).groupby(
+            "l_orderkey", sort=False
+        ).size()
+        eligible = nr[nr == 1].index.intersection(nsupp[nsupp >= 2].index)
+        rr = r[r["l_orderkey"].isin(eligible)]
+        out = rr.groupby("l_suppkey", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "numwait"})
+
+    cells = sharded_groupby_apply(li, ["l_orderkey"], fold)
+    per_supp = (
+        cells.groupby("l_suppkey")
+        .sum("numwait")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "s_suppkey": b["l_suppkey"],
+                    "numwait": b["sum(numwait)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    name_of_ref = ray.put(
+        dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+    )
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_of_ref)
+        return pa.table(
+            {
+                "s_name": pa.array(
+                    [names[k] for k in batch["s_suppkey"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "numwait": pa.array(
+                    batch["numwait"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    named = per_supp.map_batches(attach_name, batch_format="pyarrow")
+    return global_topk(
+        named, "numwait", TPCH_Q21_TOPK, descending=True, tiebreak=["s_name"]
+    )
+
+
+QUERIES["tpch_q21"] = q_tpch_q21
+ORACLE_SQL["tpch_q21"] = f"""
+    WITH w AS (
+        SELECT s_name
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R'))
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM w
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {TPCH_Q21_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 global sales opportunity
+# ---------------------------------------------------------------------------
+
+TPCH_Q22_CODES = (1, 3, 5, 7, 9)
+TPCH_Q22_SINCE = "2000-01-01"
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global sales opportunity (public benchmark shape; no
+    phone column, so cntrycode := c_nationkey % 10 in TPCH_Q22_CODES, and
+    "never ordered" is "no order since TPCH_Q22_SINCE" so the synthetic
+    corpus — where every customer has old orders — still produces a
+    non-trivial answer): customers in the code set with above-average
+    positive account balance and no recent orders, grouped by code.
+    "Above average" is the exact integer predicate bal_c * n > sum_c —
+    identical arithmetic on both sides, no float average.
+
+    Plan, scale notes: one customer pass builds the (sum_c, n) scalar via
+    per-batch partials; the no-orders test is the broadcast anti-join on
+    distinct o_custkey; a second customer stream filters and folds into
+    <= |codes| cells per batch."""
+    from ...ops.join import semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def in_codes(batch: pa.Table) -> pa.Table:
+        code = batch["c_nationkey"].to_numpy(zero_copy_only=False) % 10
+        keep = np.isin(code, TPCH_Q22_CODES)
+        out = batch.filter(pa.array(keep))
+        bal_c = np.rint(
+            out["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": out["c_custkey"],
+                "cntrycode": pa.array(
+                    (out["c_nationkey"].to_numpy(zero_copy_only=False) % 10).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+                "bal_c": pa.array(bal_c, type=pa.int64()),
+            }
+        )
+
+    coded = cust.map_batches(in_codes, batch_format="pyarrow").materialize()
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bal_c"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table(
+            {
+                "sum_c": pa.array([int(pos.sum())], type=pa.int64()),
+                "n": pa.array([len(pos)], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        coded.map_batches(pos_partial, batch_format="pyarrow")
+        .sum(["sum_c", "n"])
+    )
+    if stats is None:  # empty coded set: no customer qualifies
+        sum_c, n = 0, 0
+    else:
+        sum_c, n = int(stats["sum(sum_c)"]), int(stats["sum(n)"])
+
+    since = np.datetime64(TPCH_Q22_SINCE).astype("datetime64[us]")
+
+    def recent(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(od >= since)).select(["o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent, batch_format="pyarrow")
+    no_orders = semi_join(coded, orders, on="c_custkey", right_on="o_custkey", anti=True)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        bal = batch["bal_c"].to_numpy(zero_copy_only=False)
+        keep = bal * n > sum_c
+        code = batch["cntrycode"].to_numpy(zero_copy_only=False)[keep]
+        bal = bal[keep]
+        uniq, inv = np.unique(code, return_inverse=True)
+        nums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nums, inv, 1)
+        tots = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tots, inv, bal)
+        return pa.table(
+            {
+                "cntrycode": pa.array(uniq, type=pa.int64()),
+                "numcust": pa.array(nums, type=pa.int64()),
+                "totacctbal_c": pa.array(tots, type=pa.int64()),
+            }
+        )
+
+    out = (
+        no_orders.map_batches(cells, batch_format="pyarrow")
+        .groupby("cntrycode")
+        .sum(["numcust", "totacctbal_c"])
+        .to_pandas()
+    )
+    if "cntrycode" not in out.columns:  # empty survivor set: typed empty frame
+        out = pd.DataFrame(
+            {
+                "cntrycode": pd.Series([], dtype=np.int64),
+                "numcust": pd.Series([], dtype=np.int64),
+                "totacctbal_c": pd.Series([], dtype=np.int64),
+            }
+        )
+    else:
+        out = out.rename(
+            columns={
+                "sum(numcust)": "numcust",
+                "sum(totacctbal_c)": "totacctbal_c",
+            }
+        ).sort_values("cntrycode")
+    return pa.table(
+        {
+            "cntrycode": pa.array(out["cntrycode"].to_numpy(np.int64), type=pa.int64()),
+            "numcust": pa.array(out["numcust"].to_numpy(np.int64), type=pa.int64()),
+            "totacctbal_c": pa.array(
+                out["totacctbal_c"].to_numpy(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q22"] = q_tpch_q22
+_Q22_CODES_SQL = ", ".join(str(c) for c in TPCH_Q22_CODES)
+ORACLE_SQL["tpch_q22"] = f"""
+    WITH pos AS (
+        SELECT c_custkey,
+               CAST(c_nationkey % 10 AS BIGINT) AS code,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_nationkey % 10 IN ({_Q22_CODES_SQL})),
+    stat AS (
+        SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n FROM pos WHERE bal_c > 0)
+    SELECT code AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+    FROM pos, stat
+    WHERE bal_c * n > sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = pos.c_custkey
+                        AND o_orderdate >= TIMESTAMP '{TPCH_Q22_SINCE}')
+    GROUP BY code
+    ORDER BY code
+"""
