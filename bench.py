@@ -307,6 +307,8 @@ def run_bench() -> dict:
     timed("tpch_q13", consume=len)
     timed("tpch_q21", consume=len)
     timed("tpch_q22", consume=len)
+    timed("value_ttest", consume=len)
+    timed("daily_trend", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

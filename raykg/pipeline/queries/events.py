@@ -1733,3 +1733,106 @@ ORACLE_SQL["rolling_dau"] = f"""
                AS dau_7d
     FROM days ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test and Mann–Kendall trend — moment-/integer-exact inference
+# ---------------------------------------------------------------------------
+
+TTEST_LEVEL_A = "purchase"
+TTEST_LEVEL_B = "error"
+
+
+def q_value_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test of mean event value between the
+    purchase and error event types: integer-cent moments (exact below
+    2^53 on both engines), per-batch additive partials, one 2-key
+    combine; only the O(1)-scale outputs (t, Welch dof, mean diff) are
+    emitted 6-digit-rounded (`ops/ttest.py` — same contract as
+    value_anova)."""
+    from ...ops.ttest import welch_ttest
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value": pa.array(
+                    np.rint(v * 100).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return welch_ttest(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "value", TTEST_LEVEL_A, TTEST_LEVEL_B,
+    )
+
+
+QUERIES["value_ttest"] = q_value_ttest
+ORACLE_SQL["value_ttest"] = f"""
+    WITH g AS (SELECT event_type,
+                      COUNT(*) * 1.0 AS n,
+                      SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1.0 AS s,
+                      SUM(CAST(ROUND(value * 100) AS BIGINT)
+                          * CAST(ROUND(value * 100) AS BIGINT)) * 1.0 AS ss
+               FROM events
+               WHERE event_type IN ('{TTEST_LEVEL_A}', '{TTEST_LEVEL_B}')
+               GROUP BY 1),
+    m AS (SELECT
+            (SELECT n FROM g WHERE event_type = '{TTEST_LEVEL_A}') AS n1,
+            (SELECT s FROM g WHERE event_type = '{TTEST_LEVEL_A}') AS s1,
+            (SELECT ss FROM g WHERE event_type = '{TTEST_LEVEL_A}') AS ss1,
+            (SELECT n FROM g WHERE event_type = '{TTEST_LEVEL_B}') AS n2,
+            (SELECT s FROM g WHERE event_type = '{TTEST_LEVEL_B}') AS s2,
+            (SELECT ss FROM g WHERE event_type = '{TTEST_LEVEL_B}') AS ss2),
+    v AS (SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                 ((ss1 - s1 * s1 / n1) / (n1 - 1.0)) / n1 AS a,
+                 ((ss2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 AS b
+          FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           ROUND(100.0 * (m1 - m2), 6) AS mean_diff_x100,
+           ROUND((m1 - m2) / SQRT(a + b), 6) AS t_stat,
+           ROUND((a + b) * (a + b)
+                 / (a * a / (n1 - 1.0) + b * b / (n2 - 1.0)), 6) AS dof
+    FROM v
+"""
+
+
+def q_daily_trend(sf_dir: str):
+    """Mann–Kendall monotonic-trend test over the per-day event counts:
+    S = Σ sign differences is EXACT INTEGER, the bucketing is per-batch
+    day partials + one calendar-bounded groupby, and the O(days²)
+    pairwise fold runs on the driver over a few-thousand-element vector
+    (`ops/trend.py`).  Tie-corrected normal Z emitted 6-digit-rounded."""
+    from ...ops.trend import daily_count_trend
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return daily_count_trend(ev, "ts")
+
+
+QUERIES["daily_trend"] = q_daily_trend
+ORACLE_SQL["daily_trend"] = """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(SIGN(b.n - a.n)) AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON b.day > a.day),
+    ties AS (SELECT n AS val, COUNT(*) * 1.0 AS t FROM d GROUP BY n),
+    var AS (SELECT ((SELECT COUNT(*) * 1.0 FROM d)
+                    * ((SELECT COUNT(*) * 1.0 FROM d) - 1)
+                    * (2 * (SELECT COUNT(*) * 1.0 FROM d) + 5)
+                    - SUM(t * (t - 1) * (2 * t + 5))) / 18.0 AS v
+            FROM ties)
+    SELECT (SELECT COUNT(*) FROM d) AS n_buckets,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM d) AS n_rows,
+           s.s_stat,
+           ROUND(CASE WHEN var.v <= 0 THEN 0.0
+                      WHEN s.s_stat > 0 THEN (s.s_stat - 1) / SQRT(var.v)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1) / SQRT(var.v)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM s, var
+"""

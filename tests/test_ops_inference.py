@@ -1,0 +1,96 @@
+"""Welch t-test and Mann–Kendall trend: closed-form / pure-Python parity,
+partition invariance, degenerate inputs."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from raykg.ops.trend import daily_count_trend, mann_kendall
+from raykg.ops.ttest import welch_ttest
+
+
+def _welch_reference(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    n1, n2 = len(a), len(b)
+    m1, m2 = a.mean(), b.mean()
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / np.sqrt(se2)
+    dof = se2 * se2 / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    return t, dof
+
+
+def test_welch_matches_closed_form(ray_session):
+    rng = np.random.default_rng(7)
+    a = rng.integers(50, 150, 400)
+    b = rng.integers(80, 260, 300)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b) + ["noise"] * 50,
+            "v": np.concatenate([a, b, rng.integers(0, 9, 50)]),
+        }
+    )
+    got = welch_ttest(
+        ray.data.from_pandas(df).repartition(9), "g", "v", "a", "b"
+    ).to_pandas()
+    t, dof = _welch_reference(a, b)
+    assert got["n_a"][0] == 400 and got["n_b"][0] == 300
+    assert abs(got["t_stat"][0] - t) < 1e-5
+    assert abs(got["dof"][0] - dof) < 1e-4
+    assert abs(got["mean_diff_x100"][0] - 100 * (a.mean() - b.mean())) < 1e-3
+
+
+def test_welch_partition_invariant(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 500),
+            "v": rng.integers(-50, 50, 500),
+        }
+    )
+    outs = [
+        welch_ttest(ray.data.from_pandas(df).repartition(p), "g", "v", "a", "b")
+        .to_pandas()
+        .iloc[0]
+        for p in (1, 13)
+    ]
+    assert outs[0].equals(outs[1])
+
+
+def _mk_reference(x):
+    s = 0
+    n = len(x)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += int(np.sign(x[j] - x[i]))
+    return s
+
+
+def test_mann_kendall_s_exact():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 12, 60)
+    s, z = mann_kendall(x)
+    assert s == _mk_reference(x)
+    # monotone series: maximal S and strongly positive z
+    s_up, z_up = mann_kendall(np.arange(40))
+    assert s_up == 40 * 39 // 2 and z_up > 5
+
+
+def test_mann_kendall_all_ties():
+    s, z = mann_kendall(np.full(10, 7))
+    assert s == 0 and np.isnan(z)
+
+
+def test_daily_count_trend(ray_session):
+    # three days with rising counts 1/2/3 -> S over (1,2,3) = 3
+    ts = np.array(
+        ["2024-01-01T05:00", "2024-01-02T01:00", "2024-01-02T02:00",
+         "2024-01-03T01:00", "2024-01-03T02:00", "2024-01-03T03:00"],
+        dtype="datetime64[us]",
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": ts}))
+    got = daily_count_trend(ds, "ts").to_pandas().iloc[0]
+    assert got["n_buckets"] == 3 and got["n_rows"] == 6 and got["s_stat"] == 3
