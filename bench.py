@@ -309,6 +309,8 @@ def run_bench() -> dict:
     timed("tpch_q22", consume=len)
     timed("value_ttest", consume=len)
     timed("daily_trend", consume=len)
+    timed("value_slope", consume=len)
+    timed("vocab_overlap", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

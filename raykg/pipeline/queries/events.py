@@ -1836,3 +1836,75 @@ ORACLE_SQL["daily_trend"] = """
                       ELSE 0.0 END, 6) AS z_stat
     FROM s, var
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-type value trend: grouped OLS of cents on days-since-reference
+# ---------------------------------------------------------------------------
+
+SLOPE_REF_DATE = "2024-01-01"
+
+
+def q_value_slope(sf_dir: str):
+    """Per-event-type OLS trend of value over time: y = integer cents,
+    x = whole days since SLOPE_REF_DATE — both exact ints below 2^53, so
+    the six additive moments match the oracle bit-for-bit and only the
+    rounded slope/intercept/r2 ratios are float (`ops/regress.py`;
+    zero exchanges — per-batch grouped partials, driver combine over the
+    bounded type domain)."""
+    from ...ops.regress import linreg_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    ref = np.datetime64(SLOPE_REF_DATE, "D")
+
+    def xy(batch: pa.Table) -> pa.Table:
+        tsv = batch["ts"].to_numpy(zero_copy_only=False)
+        days = (tsv.astype("datetime64[D]") - ref).astype(np.int64)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": pa.array(days, type=pa.int64()),
+                "y": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    out = linreg_by(
+        ev.map_batches(xy, batch_format="pyarrow"), ["event_type"], "x", "y"
+    )
+    return out.sort_by("event_type")
+
+
+QUERIES["value_slope"] = q_value_slope
+ORACLE_SQL["value_slope"] = f"""
+    WITH m AS (SELECT event_type,
+                      CAST(COUNT(*) AS DOUBLE) AS n,
+                      SUM(CAST(DATEDIFF('day', DATE '{SLOPE_REF_DATE}',
+                                        CAST(ts AS DATE)) AS DOUBLE)) AS sx,
+                      SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE))
+                          AS sy,
+                      SUM(CAST(DATEDIFF('day', DATE '{SLOPE_REF_DATE}',
+                                        CAST(ts AS DATE)) AS DOUBLE)
+                          * CAST(DATEDIFF('day', DATE '{SLOPE_REF_DATE}',
+                                          CAST(ts AS DATE)) AS DOUBLE)) AS sxx,
+                      SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE))
+                          AS syy,
+                      SUM(CAST(DATEDIFF('day', DATE '{SLOPE_REF_DATE}',
+                                        CAST(ts AS DATE)) AS DOUBLE)
+                          * CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE))
+                          AS sxy
+               FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    ORDER BY event_type
+"""

@@ -2054,3 +2054,48 @@ ORACLE_SQL["hapax_rate"] = r"""
            CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
     FROM tf GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary drift: pairwise trigram-set Jaccard
+# ---------------------------------------------------------------------------
+
+VOCAB_OVERLAP_N = 3
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise lexical-drift audit: Jaccard of each source pair's
+    DISTINCT word-trigram sets.  No gram self-join — each gram carries a
+    source BITMASK through one hash(gram) exchange and only (mask, count)
+    histogram cells reach the driver, so cost is one vocabulary-sized
+    exchange for ALL pairs (`ops/vocab.py`)."""
+    from ...ops.vocab import gram_overlap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return gram_overlap(docs, "source", "text", n=VOCAB_OVERLAP_N)
+
+
+QUERIES["vocab_overlap"] = q_vocab_overlap
+ORACLE_SQL["vocab_overlap"] = r"""
+    WITH w AS (SELECT source, regexp_extract_all(text, '\S+') AS ws
+               FROM documents),
+    b AS (SELECT DISTINCT source,
+                 unnest(CASE WHEN len(ws) >= 3 THEN list_transform(
+                     generate_series(1, len(ws) - 2),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 ELSE [] END) AS gram
+          FROM w),
+    sizes AS (SELECT source, COUNT(*) AS n FROM b GROUP BY 1),
+    inter AS (SELECT x.source AS source_a, y.source AS source_b,
+                     COUNT(*) AS inter
+              FROM b x JOIN b y ON x.gram = y.gram AND x.source < y.source
+              GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n,
+           ROUND(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+    FROM inter i, sizes sa, sizes sb
+    WHERE sa.source = i.source_a AND sb.source = i.source_b
+    ORDER BY 1, 2
+"""
