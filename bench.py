@@ -311,6 +311,7 @@ def run_bench() -> dict:
     timed("daily_trend", consume=len)
     timed("value_slope", consume=len)
     timed("vocab_overlap", consume=len)
+    timed("value_outliers", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

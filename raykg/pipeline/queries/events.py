@@ -1908,3 +1908,57 @@ ORACLE_SQL["value_slope"] = f"""
     FROM m
     ORDER BY event_type
 """
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust per-type outlier scan: events whose value fails the
+    modified-z test against their type's exact median/MAD.  Order stats
+    come from a bounded (type x cent-domain) histogram — one small
+    exchange — and the threshold 0.6745|x-med|/MAD > 3.5 is the pure
+    integer predicate 6745|x-med| > 35000 MAD on both engines
+    (`ops/robust.py`); the second pass streams and filters vectorized
+    with the per-type stats broadcast once."""
+    from ...ops.robust import mad_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "v": pa.array(
+                    np.rint(
+                        batch["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return mad_outliers(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "v", ["event_id", "event_type"],
+    )
+
+
+QUERIES["value_outliers"] = q_value_outliers
+ORACLE_SQL["value_outliers"] = """
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events),
+    m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+          FROM c GROUP BY 1),
+    d AS (SELECT c.event_id, c.event_type, c.v,
+                 ABS(c.v - m.med) AS dev
+          FROM c, m WHERE c.event_type = m.event_type),
+    md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+           FROM d GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.v AS value_c,
+           CAST(d.dev AS BIGINT) AS dev_c
+    FROM d, md
+    WHERE d.event_type = md.event_type AND 6745 * d.dev > 35000 * md.mad
+    ORDER BY d.event_id
+"""

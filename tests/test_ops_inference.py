@@ -94,3 +94,51 @@ def test_daily_count_trend(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"ts": ts}))
     got = daily_count_trend(ds, "ts").to_pandas().iloc[0]
     assert got["n_buckets"] == 3 and got["n_rows"] == 6 and got["s_stat"] == 3
+
+
+def test_mad_outliers_matches_reference(ray_session):
+    from raykg.ops.robust import group_median_mad, mad_outliers
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(600),
+            "g": rng.choice(["a", "b"], 600),
+            "v": rng.integers(0, 200, 600),
+        }
+    )
+    # plant extreme outliers
+    df.loc[5, "v"] = 10_000
+    df.loc[17, "v"] = -9_000
+    ds = ray.data.from_pandas(df).repartition(7)
+    stats = group_median_mad(ds, "g", "v")
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        med = int(v[(len(v) - 1) // 2])
+        dev = np.sort(np.abs(sub["v"].to_numpy() - med))
+        mad = int(dev[(len(dev) - 1) // 2])
+        assert stats[g] == (med, mad)
+    got = (
+        mad_outliers(ds, "g", "v", ["event_id", "g"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    want = []
+    for _, row in df.iterrows():
+        med, mad = stats[row["g"]]
+        if 6745 * abs(row["v"] - med) > 35000 * mad:
+            want.append(row["event_id"])
+    assert got["event_id"].tolist() == want
+    assert {5, 17} <= set(want)
+
+
+def test_mad_zero_flags_any_deviation(ray_session):
+    from raykg.ops.robust import mad_outliers
+
+    df = pd.DataFrame(
+        {"event_id": range(9), "g": ["a"] * 9, "v": [5] * 8 + [6]}
+    )
+    got = mad_outliers(
+        ray.data.from_pandas(df), "g", "v", ["event_id"]
+    ).to_pandas()
+    assert got["event_id"].tolist() == [8]
