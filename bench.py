@@ -312,6 +312,7 @@ def run_bench() -> dict:
     timed("value_slope", consume=len)
     timed("vocab_overlap", consume=len)
     timed("value_outliers", consume=len)
+    timed("turn_coherence", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -1644,3 +1644,65 @@ ORACLE_SQL["tool_transitions"] = f"""
     FROM p WHERE nxt IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_turn_coherence(sf_dir: str):
+    """Per-conversation topical coherence: token-set Jaccard between each
+    ADJACENT turn pair (turn order, pairs where both texts are non-null),
+    accumulated as the exact integer sum of floor(1e6 * i / u) — no float
+    mean to reconcile across engines.  One conv-sharded exchange
+    co-locates each conversation's turns; the pairwise set work is
+    bounded by turns-per-conversation."""
+    from ...ops.agg import sharded_groupby_apply
+
+    t = read_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        out_conv, out_pairs, out_sum = [], [], []
+        for conv, g in df.groupby("conv_id", sort=False):
+            texts = g["text"].tolist()
+            toks = [
+                set(tx.split()) if isinstance(tx, str) else None for tx in texts
+            ]
+            n_pairs = 0
+            s = 0
+            for a, b in zip(toks, toks[1:]):
+                if a is None or b is None:
+                    continue
+                n_pairs += 1
+                u = len(a | b)
+                if u:
+                    s += (1_000_000 * len(a & b)) // u
+            out_conv.append(conv)
+            out_pairs.append(n_pairs)
+            out_sum.append(s)
+        return pd.DataFrame(
+            {
+                "conv_id": out_conv,
+                "n_pairs": np.asarray(out_pairs, dtype=np.int64),
+                "sum_jacc_x1e6": np.asarray(out_sum, dtype=np.int64),
+            }
+        )
+
+    return sharded_groupby_apply(t, ["conv_id"], fold)
+
+
+QUERIES["turn_coherence"] = q_turn_coherence
+ORACLE_SQL["turn_coherence"] = rf"""
+    WITH {_T_CTE},
+    tok AS (SELECT conv_id, turn_idx,
+                   list_distinct(regexp_extract_all(text, '\S+')) AS ws
+            FROM t),
+    p AS (SELECT conv_id, ws,
+                 lead(ws) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+          FROM tok),
+    j AS (SELECT conv_id,
+                 len(list_intersect(ws, nxt)) AS i,
+                 len(ws) + len(nxt) - len(list_intersect(ws, nxt)) AS u
+          FROM p WHERE ws IS NOT NULL AND nxt IS NOT NULL)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN u > 0 THEN (1000000 * i) // u ELSE 0 END)
+                AS BIGINT) AS sum_jacc_x1e6
+    FROM j GROUP BY conv_id
+"""
