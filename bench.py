@@ -313,6 +313,7 @@ def run_bench() -> dict:
     timed("vocab_overlap", consume=len)
     timed("value_outliers", consume=len)
     timed("turn_coherence", consume=len)
+    timed("modularity", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

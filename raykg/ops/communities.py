@@ -156,3 +156,127 @@ def label_propagation(
     return labels.map_batches(
         lambda b: b.rename_columns(["node", "community"]), batch_format="pyarrow"
     )
+
+
+def modularity(
+    pairs: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    id_a: str = "u",
+    id_b: str = "v",
+    num_shards: int = 32,
+    num_buckets: int = 32,
+    max_broadcast_nodes: int | None = None,
+) -> pa.Table:
+    """Newman modularity of a (node, community) partition over the
+    undirected simple graph induced by ``pairs``, as EXACT INTEGERS:
+
+        Q = q_num / (4 m²),   q_num = Σ_c (4·m·in_c − deg_c²)
+
+    One row {n_comms, m_edges, q_num} — no float division to reconcile
+    with an oracle.  Edges dedup through one hash(u,v) exchange; the
+    community lookup broadcasts under the LPA gate (bucketed hash joins
+    above it); per-batch (community, in_c, deg) cells make the final
+    exchange community-domain-sized."""
+    from .agg import sharded_groupby_apply
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[id_a].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch[id_b].to_pylist(), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(np.minimum(a, b), type=pa.int64()),
+                "v": pa.array(np.maximum(a, b), type=pa.int64()),
+            }
+        )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])
+
+    edges = sharded_groupby_apply(
+        pairs.map_batches(norm, batch_format="pyarrow"),
+        ["u", "v"],
+        distinct,
+        num_shards=num_shards,
+    ).materialize()
+    m = edges.count()
+
+    labels = labels.materialize()
+    n_nodes = labels.count()
+    bcast_max = (
+        _BROADCAST_MAX_LABELS if max_broadcast_nodes is None else max_broadcast_nodes
+    )
+    if n_nodes <= bcast_max:
+        refs = labels.to_arrow_refs()
+        cache: dict = {}
+
+        def with_comms(batch: pa.Table, refs=refs, cache=cache) -> pa.Table:
+            if "lut" not in cache:
+                tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+                full = pa.concat_tables(tabs)
+                k = full["node"].combine_chunks().to_numpy(zero_copy_only=False)
+                v = full["community"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                order = np.argsort(k)
+                cache["lut"] = (k[order], v[order])
+            k, lv = cache["lut"]
+            uu = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+            vv = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "cu": pa.array(lv[np.searchsorted(k, uu)], type=pa.int64()),
+                    "cv": pa.array(lv[np.searchsorted(k, vv)], type=pa.int64()),
+                }
+            )
+
+        tagged = edges.map_batches(with_comms, batch_format="pyarrow")
+    else:
+        from .join import bucketed_hash_join
+
+        lab_u = labels.map_batches(
+            lambda b: b.rename_columns(["u", "cu"]), batch_format="pyarrow"
+        )
+        lab_v = labels.map_batches(
+            lambda b: b.rename_columns(["v", "cv"]), batch_format="pyarrow"
+        )
+        tagged = bucketed_hash_join(
+            bucketed_hash_join(edges, lab_u, on="u", num_buckets=num_buckets),
+            lab_v,
+            on="v",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: b.select(["cu", "cv"]), batch_format="pyarrow"
+        )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        cu = batch["cu"].to_numpy(zero_copy_only=False)
+        cv = batch["cv"].to_numpy(zero_copy_only=False)
+        ends = np.concatenate([cu, cv])
+        uniq, deg = np.unique(ends, return_counts=True)
+        same = cu[cu == cv]
+        in_map = dict(zip(*np.unique(same, return_counts=True)))
+        in_c = np.array([in_map.get(c, 0) for c in uniq], dtype=np.int64)
+        return pa.table(
+            {
+                "c": pa.array(uniq, type=pa.int64()),
+                "in_c": pa.array(in_c, type=pa.int64()),
+                "deg": pa.array(deg.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = (
+        tagged.map_batches(cells, batch_format="pyarrow")
+        .groupby("c")
+        .sum(["in_c", "deg"])
+        .to_pandas()
+    )
+    in_c = folded["sum(in_c)"].to_numpy(np.int64)
+    deg = folded["sum(deg)"].to_numpy(np.int64)
+    q_num = int((4 * m * in_c - deg * deg).sum())
+    return pa.table(
+        {
+            "n_comms": pa.array([len(folded)], type=pa.int64()),
+            "m_edges": pa.array([m], type=pa.int64()),
+            "q_num": pa.array([q_num], type=pa.int64()),
+        }
+    )

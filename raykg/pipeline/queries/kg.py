@@ -2184,3 +2184,42 @@ ORACLE_SQL["kg_cardinality"] = f"""
                 ELSE 'N-N' END AS card_class
     FROM s JOIN d USING (pred)
 """
+
+
+def q_modularity(sf_dir: str):
+    """Newman modularity of the 2-round label-propagation partition over
+    the co-order part graph, as exact integers {n_comms, m_edges, q_num}
+    with Q = q_num / (4 m²) — `ops/communities.modularity`.  Edges dedup
+    in one hash exchange, the partition broadcasts under the LPA gate,
+    and the final exchange is community-domain-sized cells."""
+    from ...ops.communities import label_propagation, modularity
+
+    pairs = _co_order_pairs(sf_dir)
+    labels = label_propagation(pairs, rounds=2, num_shards=32)
+    return modularity(_co_order_pairs(sf_dir), labels)
+
+
+QUERIES["modularity"] = q_modularity
+ORACLE_SQL["modularity"] = f"""
+    WITH comm AS ({ORACLE_SQL["communities"]}),
+    p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    mm AS (SELECT COUNT(*) AS m FROM p),
+    e2 AS (SELECT lu.community AS cu, lv.community AS cv
+           FROM p JOIN comm lu ON lu.node = p.u
+                  JOIN comm lv ON lv.node = p.v),
+    deg AS (SELECT c, CAST(SUM(d) AS BIGINT) AS deg_c FROM (
+                SELECT cu AS c, COUNT(*) AS d FROM e2 GROUP BY 1
+                UNION ALL
+                SELECT cv AS c, COUNT(*) AS d FROM e2 GROUP BY 1)
+            GROUP BY c),
+    inc AS (SELECT cu AS c, CAST(COUNT(*) AS BIGINT) AS in_c
+            FROM e2 WHERE cu = cv GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_comms,
+           CAST(mm.m AS BIGINT) AS m_edges,
+           CAST(SUM(4 * mm.m * COALESCE(inc.in_c, 0)
+                    - deg.deg_c * deg.deg_c) AS BIGINT) AS q_num
+    FROM deg LEFT JOIN inc ON inc.c = deg.c, mm
+    GROUP BY mm.m
+"""

@@ -70,3 +70,46 @@ def test_random_graph_matches_reference(ray_session):
             pairs.append((min(u, v), max(u, v)))
     for rounds in (1, 2):
         assert run(pairs, rounds=rounds) == local_lp(pairs, rounds)
+
+
+def test_modularity_exact_small_graph(ray_session):
+    """Two triangles joined by one bridge: hand-computable Q."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from raykg.ops.communities import modularity
+
+    pairs = pd.DataFrame(
+        {
+            "u": [1, 1, 2, 4, 4, 5, 3],
+            "v": [2, 3, 3, 5, 6, 6, 4],
+        }
+    )
+    labels = pd.DataFrame(
+        {"node": [1, 2, 3, 4, 5, 6], "community": [1, 1, 1, 4, 4, 4]}
+    )
+    got = modularity(
+        ray.data.from_pandas(pairs).repartition(3),
+        ray.data.from_pandas(labels),
+    ).to_pandas().iloc[0]
+    # m=7; in_1=3, deg_1=7; in_4=3, deg_4=7
+    # q_num = (4*7*3 - 49) * 2 = (84-49)*2 = 70
+    assert got["m_edges"] == 7 and got["n_comms"] == 2 and got["q_num"] == 70
+
+
+def test_modularity_duplicate_and_reversed_pairs_dedup(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops.communities import modularity
+
+    pairs = pd.DataFrame({"u": [1, 2, 1, 2], "v": [2, 1, 2, 3]})
+    labels = pd.DataFrame({"node": [1, 2, 3], "community": [1, 1, 3]})
+    got = modularity(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(labels)
+    ).to_pandas().iloc[0]
+    # distinct edges: (1,2), (2,3) -> m=2
+    assert got["m_edges"] == 2
+    # in_1=1 deg_1=3; in_3=0 deg_3=1 -> q_num = (8-9) + (0-1) = -2
+    assert got["q_num"] == -2
