@@ -305,14 +305,14 @@ def run_bench() -> dict:
     timed("tpch_q9", consume=len)
     timed("tpch_q12", consume=len)
     timed("tpch_q13", consume=len)
-    timed("tpch_q21", consume=len)
+    timed("tpch_q21")
     timed("tpch_q22", consume=len)
     timed("value_ttest", consume=len)
     timed("daily_trend", consume=len)
     timed("value_slope", consume=len)
     timed("vocab_overlap", consume=len)
-    timed("value_outliers", consume=len)
-    timed("turn_coherence", consume=len)
+    timed("value_outliers")
+    timed("turn_coherence")
     timed("modularity", consume=len)
 
     headline = timings["triples_scaled"]
