@@ -314,6 +314,9 @@ def run_bench() -> dict:
     timed("value_outliers")
     timed("turn_coherence")
     timed("modularity", consume=len)
+    timed("tpch_q16", consume=len)
+    timed("tpch_q11", consume=len)
+    timed("cohort_value", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -284,3 +284,66 @@ def range_join(
         return pa.Table.from_arrays(arrays, names=[n for n, _ in out_fields])
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def attach_by_key(
+    big: "ray.data.Dataset",
+    small: "ray.data.Dataset",
+    on: str,
+    val_cols: Sequence[str],
+    gate: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """INNER-join ``small``'s ``val_cols`` onto ``big`` by the shared key
+    column ``on`` (non-matching big rows drop).  Under ``gate`` small
+    rows the map is sorted arrays broadcast once via ``ray.put`` + one
+    vectorized ``searchsorted`` per batch; above it the plan switches to
+    :func:`bucketed_hash_join` — same rows, shuffle instead of
+    broadcast.  ``small`` must carry exactly ``[on, *val_cols]``."""
+    import numpy as np
+
+    small = small.materialize()
+    if small.count() > gate:
+        return bucketed_hash_join(big, small, on=on)
+
+    try:
+        stypes = {f.name: f.type for f in small.schema().base_schema}
+    except AttributeError:  # older Schema wrapper
+        stypes = {n: t for n, t in zip(small.schema().names, small.schema().types)}
+
+    batches = [b for b in small.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if batches:
+        tbl = pa.concat_tables(batches)
+        keys = tbl[on].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        vals = []
+        for c in val_cols:
+            col = tbl[c].combine_chunks()
+            try:
+                v = col.to_numpy(zero_copy_only=False)
+            except (pa.ArrowInvalid, NotImplementedError):
+                v = np.asarray(col.to_pylist(), dtype=object)
+            vals.append(v[order])
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+        vals = [np.zeros(0, dtype=object) for _ in val_cols]
+    ref = ray.put((keys, vals))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, vs = ray.get(ref)
+        bk = batch[on].to_numpy(zero_copy_only=False)
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, bk), len(k) - 1)
+            hit = k[pos] == bk
+        else:
+            hit = np.zeros(len(bk), dtype=bool)
+            pos = np.zeros(len(bk), dtype=np.int64)
+        out = batch.filter(pa.array(hit))
+        p = pos[hit]
+        for c, v in zip(val_cols, vs):
+            out = out.append_column(
+                c, pa.array(v[p], type=stypes[c], from_pandas=True)
+            )
+        return out
+
+    return big.map_batches(attach, batch_format="pyarrow")

@@ -1962,3 +1962,142 @@ ORACLE_SQL["value_outliers"] = """
     WHERE d.event_type = md.event_type AND 6745 * d.dev > 35000 * md.mad
     ORDER BY d.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: cumulative value by signup-week cohort x weeks-since
+# ---------------------------------------------------------------------------
+
+COHORT_REF_DATE = "2024-01-01"
+
+
+def q_cohort_value(sf_dir: str):
+    """Cohort lifetime-value table: users bucketed by the week of their
+    FIRST event (weeks since COHORT_REF_DATE), value summed per
+    (cohort_week, age_weeks) in exact integer cents plus exact distinct
+    users.  Pass 1 folds per-user first-event timestamps through one
+    hash(user) exchange; the (user -> cohort week) map attaches through
+    the gated broadcast-or-bucketed path; pass 2 pre-aggregates
+    (cohort, age, user) cells per batch so the final exchange is bounded
+    by users x weeks, not events."""
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import attach_by_key
+
+    ref = np.datetime64(COHORT_REF_DATE, "D")
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        tsv = batch["ts"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": uid, "t0": tsv})
+        g = df.groupby("user_id", as_index=False, sort=False)["t0"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def first_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False, sort=False)["t0"].min()
+        wk = (
+            (g["t0"].to_numpy().astype("datetime64[D]") - ref).astype(np.int64)
+            // 7
+        )
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(np.int64), "cohort_week": wk}
+        )
+
+    firsts = sharded_groupby_apply(
+        ev.select_columns(["user_id", "ts"]).map_batches(
+            first_partial, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        first_fold,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pa.array(
+                    b["user_id"].to_numpy(zero_copy_only=False), type=pa.int64()
+                ),
+                "cohort_week": pa.array(
+                    b["cohort_week"].to_numpy(zero_copy_only=False),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    tagged = attach_by_key(ev, firsts, on="user_id", val_cols=["cohort_week"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        tsv = batch["ts"].to_numpy(zero_copy_only=False)
+        wk = (tsv.astype("datetime64[D]") - ref).astype(np.int64) // 7
+        cw = batch["cohort_week"].to_numpy(zero_copy_only=False)
+        age = wk - cw
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "cohort_week": cw,
+                "age_weeks": age,
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "value_c": v,
+            }
+        )
+        g = df.groupby(
+            ["cohort_week", "age_weeks", "user_id"], as_index=False, sort=False
+        )["value_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        per_user = df.groupby(
+            ["cohort_week", "age_weeks", "user_id"], as_index=False, sort=False
+        )["value_c"].sum()
+        g = per_user.groupby(
+            ["cohort_week", "age_weeks"], as_index=False, sort=False
+        ).agg(n_users=("user_id", "nunique"), value_c=("value_c", "sum"))
+        return g
+
+    out = (
+        sharded_groupby_apply(
+            tagged.map_batches(pre, batch_format="pyarrow"),
+            ["cohort_week", "age_weeks"],
+            fold,
+        )
+        .to_pandas()
+        .sort_values(["cohort_week", "age_weeks"])
+    )
+    return pa.table(
+        {
+            "cohort_week": pa.array(
+                out["cohort_week"].to_numpy(np.int64), type=pa.int64()
+            ),
+            "age_weeks": pa.array(
+                out["age_weeks"].to_numpy(np.int64), type=pa.int64()
+            ),
+            "n_users": pa.array(out["n_users"].to_numpy(np.int64), type=pa.int64()),
+            "value_c": pa.array(out["value_c"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["cohort_value"] = q_cohort_value
+ORACLE_SQL["cohort_value"] = f"""
+    WITH f AS (SELECT user_id,
+                      DATEDIFF('day', DATE '{COHORT_REF_DATE}',
+                               CAST(MIN(ts) AS DATE)) // 7 AS cohort_week
+               FROM events GROUP BY 1),
+    e AS (SELECT e.user_id, f.cohort_week,
+                 DATEDIFF('day', DATE '{COHORT_REF_DATE}',
+                          CAST(e.ts AS DATE)) // 7 - f.cohort_week AS age_weeks,
+                 CAST(ROUND(e.value * 100) AS BIGINT) AS v
+          FROM events e JOIN f USING (user_id))
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(age_weeks AS BIGINT) AS age_weeks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(v) AS BIGINT) AS value_c
+    FROM e
+    GROUP BY cohort_week, age_weeks
+    ORDER BY cohort_week, age_weeks
+"""

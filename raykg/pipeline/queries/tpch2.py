@@ -32,60 +32,11 @@ _ATTACH_BROADCAST_MAX = 2_000_000
 
 
 def _attach_by_key(big, small, on: str, val_cols, gate: int = _ATTACH_BROADCAST_MAX):
-    """INNER-join ``small``'s ``val_cols`` onto ``big`` by the shared key
-    column ``on`` (non-matching big rows drop).  Under ``gate`` small rows
-    the map is sorted arrays broadcast once via ``ray.put`` + a vectorized
-    ``searchsorted`` per batch; above it the plan switches to
-    ``bucketed_hash_join`` — same rows, shuffle instead of broadcast.
-    ``small`` must carry exactly ``[on, *val_cols]``."""
-    from ...ops.join import bucketed_hash_join
+    """Shared gated broadcast-or-bucketed inner attach — see
+    `ops/join.attach_by_key` (promoted there for reuse)."""
+    from ...ops.join import attach_by_key
 
-    small = small.materialize()
-    if small.count() > gate:
-        return bucketed_hash_join(big, small, on=on)
-
-    try:
-        stypes = {f.name: f.type for f in small.schema().base_schema}
-    except AttributeError:  # older Schema wrapper
-        stypes = {n: t for n, t in zip(small.schema().names, small.schema().types)}
-
-    batches = [b for b in small.iter_batches(batch_format="pyarrow") if b.num_rows]
-    if batches:
-        tbl = pa.concat_tables(batches)
-        keys = tbl[on].to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        keys = keys[order]
-        vals = []
-        for c in val_cols:
-            col = tbl[c].combine_chunks()
-            try:
-                v = col.to_numpy(zero_copy_only=False)
-            except (pa.ArrowInvalid, NotImplementedError):
-                v = np.asarray(col.to_pylist(), dtype=object)
-            vals.append(v[order])
-    else:
-        keys = np.zeros(0, dtype=np.int64)
-        vals = [np.zeros(0, dtype=object) for _ in val_cols]
-    ref = ray.put((keys, vals))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        k, vs = ray.get(ref)
-        bk = batch[on].to_numpy(zero_copy_only=False)
-        if len(k):
-            pos = np.minimum(np.searchsorted(k, bk), len(k) - 1)
-            hit = k[pos] == bk
-        else:
-            hit = np.zeros(len(bk), dtype=bool)
-            pos = np.zeros(len(bk), dtype=np.int64)
-        out = batch.filter(pa.array(hit))
-        p = pos[hit]
-        for c, v in zip(val_cols, vs):
-            out = out.append_column(
-                c, pa.array(v[p], type=stypes[c], from_pandas=True)
-            )
-        return out
-
-    return big.map_batches(attach, batch_format="pyarrow")
+    return attach_by_key(big, small, on, val_cols, gate=gate)
 
 
 def _cents(col: pa.ChunkedArray) -> np.ndarray:
@@ -1010,4 +961,191 @@ ORACLE_SQL["tpch_q22"] = f"""
                         AND o_orderdate >= TIMESTAMP '{TPCH_Q22_SINCE}')
     GROUP BY code
     ORDER BY code
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 parts/supplier relationship (partsupp replaced by distinct
+# (l_partkey, l_suppkey) pairs from lineitem — the synthetic schema has
+# no partsupp table)
+# ---------------------------------------------------------------------------
+
+TPCH_Q16_BRAND = "Brand#13"
+TPCH_Q16_TYPE = "PROMO"
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 parts/supplier-relationship count (public benchmark
+    shape; partsupp is the distinct (part, supplier) pairs observed in
+    lineitem, and the no-complaints supplier exclusion is dropped — no
+    comment column): distinct suppliers per (brand, type, size) for
+    parts not of TPCH_Q16_BRAND and not of TPCH_Q16_TYPE.
+
+    Plan, scale notes: the part dim (partkey -> brand/type/size,
+    pre-filtered) attaches through the gated broadcast-or-bucketed map;
+    each lineitem batch pre-dedups (brand, type, size, suppkey), ONE
+    hash(brand,type,size) exchange co-locates each group, and the
+    per-shard distinct-supplier count is exact."""
+    from ...ops.agg import sharded_groupby_apply
+
+    def part_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.not_equal(batch["p_brand"], TPCH_Q16_BRAND),
+            pc.not_equal(batch["p_type"], TPCH_Q16_TYPE),
+        )
+        return batch.filter(keep).rename_columns(
+            ["l_partkey", "p_brand", "p_type", "p_size"]
+        )
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(part_filter, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    tagged = _attach_by_key(
+        li, parts, on="l_partkey", val_cols=["p_brand", "p_type", "p_size"]
+    )
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])[
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .groupby(["p_brand", "p_type", "p_size"], sort=False, as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "supplier_cnt"})
+
+    out = (
+        sharded_groupby_apply(
+            tagged.map_batches(pre, batch_format="pandas"),
+            ["p_brand", "p_type", "p_size"],
+            fold,
+        )
+        .to_pandas()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"], type=pa.string()),
+            "p_type": pa.array(out["p_type"], type=pa.string()),
+            "p_size": pa.array(out["p_size"].to_numpy(np.int64), type=pa.int64()),
+            "supplier_cnt": pa.array(
+                out["supplier_cnt"].to_numpy(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q16"] = q_tpch_q16
+ORACLE_SQL["tpch_q16"] = f"""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> '{TPCH_Q16_BRAND}' AND p_type <> '{TPCH_Q16_TYPE}'
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 important stock (partsupp value replaced by shipped lineitem value)
+# ---------------------------------------------------------------------------
+
+# keep parts above 5/4 of the average per-part value: the TPC-H fraction
+# is SF-scaled (0.0001/SF); tying the cut to the average makes the
+# predicate scale-free and it still ships as pure integers
+TPCH_Q11_NUM, TPCH_Q11_DEN = 4, 5
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock (public benchmark shape; no partsupp, so
+    a part's "stock value" is its total shipped extendedprice): parts
+    whose exact integer-cent value exceeds DEN/NUM x the per-part
+    average — the threshold ships as the pure integer predicate
+    value_c * n_parts * NUM > total_c * DEN, no float fraction and no
+    SF-dependent constant.
+
+    Plan, scale notes: per-batch (partkey, cents) partials, ONE
+    hash(partkey) exchange sums them; the grand total folds from the
+    part-domain-sized table (a second tiny pass over cells, not over
+    lineitem) and broadcasts as a scalar into the filter."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["l_extendedprice"])
+        uniq, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, type=pa.int64()),
+                "value_c": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    per_part = (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .sum("value_c")
+        .map_batches(
+            lambda b: pa.table(
+                {"l_partkey": b["l_partkey"], "value_c": b["sum(value_c)"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    total = per_part.sum("value_c") or 0
+    n_parts = per_part.count()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["value_c"].to_numpy(zero_copy_only=False)
+        return batch.filter(
+            pa.array(v * n_parts * TPCH_Q11_NUM > total * TPCH_Q11_DEN)
+        )
+
+    out = per_part.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if "value_c" not in out.columns:  # empty survivor set
+        out = pd.DataFrame(
+            {
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "value_c": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = out.sort_values(["value_c", "l_partkey"], ascending=[False, True])
+    return pa.table(
+        {
+            "l_partkey": pa.array(out["l_partkey"].to_numpy(np.int64), type=pa.int64()),
+            "value_c": pa.array(out["value_c"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q11"] = q_tpch_q11
+ORACLE_SQL["tpch_q11"] = f"""
+    WITH v AS (SELECT l_partkey,
+                      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS value_c
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(value_c) AS total_c, COUNT(*) AS n FROM v)
+    SELECT v.l_partkey, v.value_c
+    FROM v, t
+    WHERE v.value_c * t.n * {TPCH_Q11_NUM} > t.total_c * {TPCH_Q11_DEN}
+    ORDER BY v.value_c DESC, v.l_partkey
 """
