@@ -317,6 +317,9 @@ def run_bench() -> dict:
     timed("tpch_q16", consume=len)
     timed("tpch_q11", consume=len)
     timed("cohort_value", consume=len)
+    timed("tpch_q2", consume=len)
+    timed("tpch_q15", consume=len)
+    timed("tpch_q20", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -1149,3 +1149,337 @@ ORACLE_SQL["tpch_q11"] = f"""
     WHERE v.value_c * t.n * {TPCH_Q11_NUM} > t.total_c * {TPCH_Q11_DEN}
     ORDER BY v.value_c DESC, v.l_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q15 top supplier (quarterly revenue view + max)
+# ---------------------------------------------------------------------------
+
+TPCH_Q15_DATE_LO = "1997-01-01"
+TPCH_Q15_DATE_HI = "1997-04-01"
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier (public benchmark semantics): the
+    supplier(s) with maximum revenue over the quarterly ship-date
+    window, exact int64 cents² revenue.
+
+    Plan, scale notes: lineitem date-filters at the read and folds into
+    per-batch (suppkey, revenue) cells; the only exchange is the
+    supplier-domain-sized reduce, the max + tie filter is a driver fold
+    over that bounded table, and names attach from the supplier dim."""
+    lo = np.datetime64(TPCH_Q15_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q15_DATE_HI).astype("datetime64[us]")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        rev = _rev_c2(batch, keep)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq, type=pa.int64()),
+                "total_rev_c2": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    per_supp = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("total_rev_c2")
+        .to_pandas()
+        .rename(columns={"sum(total_rev_c2)": "total_rev_c2"})
+    )
+    best = per_supp[per_supp["total_rev_c2"] == per_supp["total_rev_c2"].max()]
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+    best = best.sort_values("s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(best["s_suppkey"].to_numpy(np.int64), type=pa.int64()),
+            "s_name": pa.array(
+                [names[k] for k in best["s_suppkey"]], type=pa.string()
+            ),
+            "total_rev_c2": pa.array(
+                best["total_rev_c2"].to_numpy(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q15"] = q_tpch_q15
+ORACLE_SQL["tpch_q15"] = f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_rev_c2
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{TPCH_Q15_DATE_LO}'
+          AND l_shipdate <  TIMESTAMP '{TPCH_Q15_DATE_HI}'
+        GROUP BY 1)
+    SELECT r.s_suppkey, s.s_name, r.total_rev_c2
+    FROM revenue r, supplier s
+    WHERE r.s_suppkey = s.s_suppkey
+      AND r.total_rev_c2 = (SELECT MAX(total_rev_c2) FROM revenue)
+    ORDER BY r.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 minimum-cost supplier (partsupp cost replaced by cheapest observed
+# shipment; region-restricted)
+# ---------------------------------------------------------------------------
+
+TPCH_Q2_REGION = "EUROPE"
+TPCH_Q2_MAX_SIZE = 10
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier (public benchmark shape; no
+    partsupp, so a supplier's "cost" for a part is its cheapest observed
+    single-shipment extendedprice in cents): for parts with p_size <=
+    TPCH_Q2_MAX_SIZE, the TPCH_Q2_REGION supplier with the minimum cost
+    (ties -> smallest suppkey), with name and nation attached.
+
+    Plan, scale notes: region suppliers broadcast (tiny); qualifying
+    part keys semi-filter lineitem through the gated broadcast path;
+    per-batch (part, supp, min-cents) partials make the ONE
+    hash(partkey) exchange carry at most |parts x region suppliers|
+    rows; the per-part argmin is a vectorized per-shard fold."""
+    import pyarrow.compute as pc
+
+    from ...ops.agg import sharded_groupby_apply
+    from ...ops.join import semi_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg["r_name"], TPCH_Q2_REGION))["r_regionkey"][0].as_py()
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nation_name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    region_nations = set(nat_in["n_nationkey"].to_pylist())
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    sup_region = {
+        k: (n, nk)
+        for k, n, nk in zip(
+            sup["s_suppkey"].to_pylist(),
+            sup["s_name"].to_pylist(),
+            sup["s_nationkey"].to_pylist(),
+        )
+        if nk in region_nations
+    }
+    sup_keys = np.sort(np.array(list(sup_region), dtype=np.int64))
+    sup_ref = ray.put(sup_keys)
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+        )
+        .filter(expr=f"p_size <= {TPCH_Q2_MAX_SIZE}")
+        .select_columns(["p_partkey"])
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    li = semi_join(li, parts, on="l_partkey", right_on="p_partkey")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sup_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(sk):
+            pos = np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)
+            keep = sk[pos] == lsk
+        else:
+            keep = np.zeros(len(lsk), dtype=bool)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        spk = lsk[keep]
+        cost = _cents(batch["l_extendedprice"])[keep]
+        df = pd.DataFrame({"l_partkey": pk, "l_suppkey": spk, "cost_c": cost})
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False, sort=False)[
+            "cost_c"
+        ].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False, sort=False)[
+            "cost_c"
+        ].min()
+        g = g.sort_values(
+            ["l_partkey", "cost_c", "l_suppkey"], kind="stable"
+        ).drop_duplicates("l_partkey")
+        return g
+
+    out = (
+        sharded_groupby_apply(
+            li.map_batches(pre, batch_format="pyarrow"), ["l_partkey"], argmin
+        )
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    names = [sup_region[k][0] for k in out["l_suppkey"]]
+    nations = [nation_name[sup_region[k][1]] for k in out["l_suppkey"]]
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["l_partkey"].to_numpy(np.int64), type=pa.int64()),
+            "s_suppkey": pa.array(out["l_suppkey"].to_numpy(np.int64), type=pa.int64()),
+            "cost_c": pa.array(out["cost_c"].to_numpy(np.int64), type=pa.int64()),
+            "s_name": pa.array(names, type=pa.string()),
+            "n_name": pa.array(nations, type=pa.string()),
+        }
+    )
+
+
+QUERIES["tpch_q2"] = q_tpch_q2
+ORACLE_SQL["tpch_q2"] = f"""
+    WITH cost AS (
+        SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+               CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cost_c
+        FROM lineitem, part, supplier, nation, region
+        WHERE l_partkey = p_partkey AND p_size <= {TPCH_Q2_MAX_SIZE}
+          AND l_suppkey = supplier.s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = '{TPCH_Q2_REGION}'
+        GROUP BY 1, 2),
+    best AS (SELECT p_partkey, s_suppkey, cost_c,
+                    ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                       ORDER BY cost_c, s_suppkey) AS rn
+             FROM cost)
+    SELECT b.p_partkey, b.s_suppkey, b.cost_c, s.s_name, n.n_name
+    FROM best b, supplier s, nation n
+    WHERE b.rn = 1 AND b.s_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    ORDER BY b.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 excess suppliers (availqty replaced by a scale-free concentration
+# threshold over shipped quantity)
+# ---------------------------------------------------------------------------
+
+TPCH_Q20_NAME_TOKEN = "bolt"
+TPCH_Q20_DATE_LO = "1997-01-01"
+TPCH_Q20_DATE_HI = "1998-01-01"
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion (public benchmark shape; no
+    partsupp availqty, so the "excess" test is scale-free shipped-
+    quantity concentration): suppliers whose total shipped quantity of
+    TPCH_Q20_NAME_TOKEN parts in the window exceeds the per-supplier
+    average — the pure integer predicate q_s * n_supp > total_q.
+
+    Plan, scale notes: matching part keys semi-filter lineitem through
+    the gated broadcast path; per-batch (supp, qty) cells make the only
+    exchange supplier-domain-sized; the average folds from that bounded
+    table and names attach from the supplier dim."""
+    from ...ops.join import semi_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    sup_info = {
+        k: (n, nk)
+        for k, n, nk in zip(
+            sup["s_suppkey"].to_pylist(),
+            sup["s_name"].to_pylist(),
+            sup["s_nationkey"].to_pylist(),
+        )
+    }
+
+    def part_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.match_substring(batch["p_name"], TPCH_Q20_NAME_TOKEN)
+        return batch.filter(keep).select(["p_partkey"])
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(part_filter, batch_format="pyarrow")
+
+    lo = np.datetime64(TPCH_Q20_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(TPCH_Q20_DATE_HI).astype("datetime64[us]")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        q = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq, type=pa.int64()),
+                "qty": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    li = semi_join(li, parts, on="l_partkey", right_on="p_partkey")
+    per_supp = (
+        li.map_batches(cells, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("qty")
+        .to_pandas()
+        .rename(columns={"sum(qty)": "qty"})
+    )
+    n_supp = len(per_supp)
+    total_q = int(per_supp["qty"].sum())
+    best = per_supp[per_supp["qty"] * n_supp > total_q].sort_values("s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(best["s_suppkey"].to_numpy(np.int64), type=pa.int64()),
+            "s_name": pa.array(
+                [sup_info[k][0] for k in best["s_suppkey"]], type=pa.string()
+            ),
+            "n_name": pa.array(
+                [nation_name[sup_info[k][1]] for k in best["s_suppkey"]],
+                type=pa.string(),
+            ),
+            "qty": pa.array(best["qty"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
+
+
+QUERIES["tpch_q20"] = q_tpch_q20
+ORACLE_SQL["tpch_q20"] = f"""
+    WITH q AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND p_name LIKE '%{TPCH_Q20_NAME_TOKEN}%'
+          AND l_shipdate >= TIMESTAMP '{TPCH_Q20_DATE_LO}'
+          AND l_shipdate <  TIMESTAMP '{TPCH_Q20_DATE_HI}'
+        GROUP BY 1),
+    t AS (SELECT SUM(qty) AS total_q, COUNT(*) AS n FROM q)
+    SELECT q.s_suppkey, s.s_name, n.n_name, q.qty
+    FROM q, t, supplier s, nation n
+    WHERE q.qty * t.n > t.total_q
+      AND q.s_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    ORDER BY q.s_suppkey
+"""
