@@ -44,9 +44,14 @@ def label_propagation(
     num_shards: int = 32,
     num_buckets: int = 32,
     max_broadcast_nodes: int | None = None,
+    return_edges: bool = False,
 ) -> "ray.data.Dataset":
     """(u, v) pair Dataset -> (node, community) after ``rounds`` synchronous
-    majority-label updates (module docstring)."""
+    majority-label updates (module docstring).  ``return_edges=True``
+    additionally returns the internally-deduped SYMMETRIZED (s, d) edge
+    Dataset as ``(labels, edges)`` so downstream passes (e.g.
+    :func:`modularity`) reuse it instead of re-paying the dedup
+    exchange."""
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[id_a].to_pylist(), dtype=np.int64)
@@ -153,9 +158,10 @@ def label_propagation(
             relabeled, ["node"], mode_per_node, num_shards=num_shards
         )
 
-    return labels.map_batches(
+    out = labels.map_batches(
         lambda b: b.rename_columns(["node", "community"]), batch_format="pyarrow"
     )
+    return (out, edges) if return_edges else out
 
 
 def modularity(
@@ -166,6 +172,7 @@ def modularity(
     num_shards: int = 32,
     num_buckets: int = 32,
     max_broadcast_nodes: int | None = None,
+    assume_deduped: bool = False,
 ) -> pa.Table:
     """Newman modularity of a (node, community) partition over the
     undirected simple graph induced by ``pairs``, as EXACT INTEGERS:
@@ -173,31 +180,43 @@ def modularity(
         Q = q_num / (4 m²),   q_num = Σ_c (4·m·in_c − deg_c²)
 
     One row {n_comms, m_edges, q_num} — no float division to reconcile
-    with an oracle.  Edges dedup through one hash(u,v) exchange; the
-    community lookup broadcasts under the LPA gate (bucketed hash joins
-    above it); per-batch (community, in_c, deg) cells make the final
-    exchange community-domain-sized."""
+    with an oracle.  Edges dedup through one hash(u,v) exchange — or
+    zero when ``assume_deduped=True`` (the caller passes an
+    already-distinct pair set, e.g. the symmetrized edges
+    ``label_propagation(return_edges=True)`` built: the u<v filter is a
+    stateless map, no exchange); the community lookup broadcasts under
+    the LPA gate (bucketed hash joins above it); per-batch
+    (community, in_c, deg) cells make the final exchange
+    community-domain-sized."""
     from .agg import sharded_groupby_apply
 
     def norm(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[id_a].to_pylist(), dtype=np.int64)
         b = np.asarray(batch[id_b].to_pylist(), dtype=np.int64)
+        keep = a != b  # guard: self-loops carry no modularity semantics here
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if assume_deduped:
+            keep2 = a < b  # symmetrized input: keep one direction
+            lo, hi = a[keep2], b[keep2]
         return pa.Table.from_pydict(
             {
-                "u": pa.array(np.minimum(a, b), type=pa.int64()),
-                "v": pa.array(np.maximum(a, b), type=pa.int64()),
+                "u": pa.array(lo, type=pa.int64()),
+                "v": pa.array(hi, type=pa.int64()),
             }
         )
 
     def distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["u", "v"])
 
-    edges = sharded_groupby_apply(
-        pairs.map_batches(norm, batch_format="pyarrow"),
-        ["u", "v"],
-        distinct,
-        num_shards=num_shards,
-    ).materialize()
+    normed = pairs.map_batches(norm, batch_format="pyarrow")
+    edges = (
+        normed.materialize()
+        if assume_deduped
+        else sharded_groupby_apply(
+            normed, ["u", "v"], distinct, num_shards=num_shards
+        ).materialize()
+    )
     m = edges.count()
 
     labels = labels.materialize()

@@ -2194,9 +2194,12 @@ def q_modularity(sf_dir: str):
     and the final exchange is community-domain-sized cells."""
     from ...ops.communities import label_propagation, modularity
 
-    pairs = _co_order_pairs(sf_dir)
-    labels = label_propagation(pairs, rounds=2, num_shards=32)
-    return modularity(_co_order_pairs(sf_dir), labels)
+    labels, edges = label_propagation(
+        _co_order_pairs(sf_dir), rounds=2, num_shards=32, return_edges=True
+    )
+    # edges is LPA's already-distinct symmetrized set: one pair source,
+    # no second group_pairs pass, no re-dedup exchange
+    return modularity(edges, labels, id_a="s", id_b="d", assume_deduped=True)
 
 
 QUERIES["modularity"] = q_modularity
