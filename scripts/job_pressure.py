@@ -112,11 +112,17 @@ def run_job(input_path: str, out: str, store_gb: float, kill_after: float | None
         # the first table) so the resume leg has genuinely partial state;
         # kill_after is the fallback deadline if none appear in time
         deadline = t0 + kill_after
+        # poll FAST: a fast run can blow through the whole manifest window
+        # between coarse polls (observed: 0 -> 1153 inside one 2 s sleep),
+        # leaving the fallback to fire after the job already finished —
+        # a completed run, not a mid-write kill
         while time.perf_counter() < deadline:
             n = manifests_done(out)
-            if 32 <= n < 480:
+            if 32 <= n < 1000:
                 break
-            time.sleep(2)
+            if n >= 1000:  # run already (nearly) done — kill now anyway
+                break
+            time.sleep(0.1)
         killed_at = time.perf_counter() - t0
         proc.send_signal(signal.SIGKILL)
         proc.wait()
