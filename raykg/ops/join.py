@@ -305,14 +305,21 @@ def attach_by_key(
     if small.count() > gate:
         return bucketed_hash_join(big, small, on=on)
 
-    try:
-        stypes = {f.name: f.type for f in small.schema().base_schema}
-    except AttributeError:  # older Schema wrapper
-        stypes = {n: t for n, t in zip(small.schema().names, small.schema().types)}
+    def _schema_types() -> dict:
+        sch = small.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        # non-Arrow-backed schema (e.g. from_pandas): coerce via pyarrow
+        return {
+            n: (t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in zip(sch.names, sch.types)
+        }
 
     batches = [b for b in small.iter_batches(batch_format="pyarrow") if b.num_rows]
     if batches:
         tbl = pa.concat_tables(batches)
+        stypes = {f.name: f.type for f in tbl.schema}
         keys = tbl[on].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
@@ -327,6 +334,7 @@ def attach_by_key(
     else:
         keys = np.zeros(0, dtype=np.int64)
         vals = [np.zeros(0, dtype=object) for _ in val_cols]
+        stypes = _schema_types()
     ref = ray.put((keys, vals))
 
     def attach(batch: pa.Table) -> pa.Table:
