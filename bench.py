@@ -320,6 +320,7 @@ def run_bench() -> dict:
     timed("tpch_q2", consume=len)
     timed("tpch_q15", consume=len)
     timed("tpch_q20", consume=len)
+    timed("type_trend", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

@@ -80,3 +80,43 @@ def daily_count_trend(ds, ts_column: str) -> pa.Table:
             "z_stat": pa.array([round(z, 6)], type=pa.float64()),
         }
     )
+
+
+def grouped_daily_trend(ds, group: str, ts_column: str) -> pa.Table:
+    """Per-``group`` Mann–Kendall trend of daily row counts: the bounded
+    (group x day) count table folds from per-batch partials through one
+    calendar-bounded groupby, then each group's exact-integer S and
+    tie-corrected Z compute on the driver (same kernel as
+    :func:`mann_kendall`)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsv = batch[ts_column].to_numpy(zero_copy_only=False)
+        days = tsv.astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"g": batch[group].to_pylist(), "day": days})
+        out = df.groupby(["g", "day"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    daily = (
+        ds.select_columns([group, ts_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "day"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["g", "day"])
+    )
+    rows = []
+    for g, sub in daily.groupby("g", sort=True):
+        counts = sub["n"].to_numpy(np.int64)
+        s, z = mann_kendall(counts)
+        rows.append((g, len(counts), int(counts.sum()), s, round(z, 6)))
+    return pa.table(
+        {
+            group: pa.array([r[0] for r in rows], type=pa.string()),
+            "n_buckets": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+            "s_stat": pa.array([r[3] for r in rows], type=pa.int64()),
+            "z_stat": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )

@@ -2101,3 +2101,49 @@ ORACLE_SQL["cohort_value"] = f"""
     GROUP BY cohort_week, age_weeks
     ORDER BY cohort_week, age_weeks
 """
+
+
+def q_type_trend(sf_dir: str):
+    """Per-event-type Mann–Kendall daily-count trend: the bounded
+    (type x day) table folds through one calendar-bounded groupby and
+    each type's exact-integer S plus tie-corrected Z computes on the
+    driver (`ops/trend.grouped_daily_trend`)."""
+    from ...ops.trend import grouped_daily_trend
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return grouped_daily_trend(ev, "event_type", "ts")
+
+
+QUERIES["type_trend"] = q_type_trend
+ORACLE_SQL["type_trend"] = """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT a.event_type,
+                 CAST(SUM(SIGN(b.n - a.n)) AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day
+          GROUP BY 1),
+    sz AS (SELECT event_type, COUNT(*) * 1.0 AS nb,
+                  CAST(SUM(n) AS BIGINT) AS n_rows
+           FROM d GROUP BY 1),
+    ties AS (SELECT event_type, n AS val, COUNT(*) * 1.0 AS t
+             FROM d GROUP BY 1, 2),
+    var AS (SELECT sz.event_type,
+                   (sz.nb * (sz.nb - 1) * (2 * sz.nb + 5)
+                    - SUM(ties.t * (ties.t - 1) * (2 * ties.t + 5))) / 18.0
+                       AS v
+            FROM sz JOIN ties ON ties.event_type = sz.event_type
+            GROUP BY sz.event_type, sz.nb)
+    SELECT sz.event_type,
+           CAST(sz.nb AS BIGINT) AS n_buckets,
+           sz.n_rows,
+           s.s_stat,
+           ROUND(CASE WHEN var.v <= 0 THEN 0.0
+                      WHEN s.s_stat > 0 THEN (s.s_stat - 1) / SQRT(var.v)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1) / SQRT(var.v)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM sz JOIN s ON s.event_type = sz.event_type
+            JOIN var ON var.event_type = sz.event_type
+    ORDER BY sz.event_type
+"""

@@ -142,3 +142,29 @@ def test_mad_zero_flags_any_deviation(ray_session):
         ray.data.from_pandas(df), "g", "v", ["event_id"]
     ).to_pandas()
     assert got["event_id"].tolist() == [8]
+
+
+def test_grouped_daily_trend_matches_per_group_kernel(ray_session):
+    from raykg.ops.trend import grouped_daily_trend, mann_kendall
+
+    rng = np.random.default_rng(29)
+    base = np.datetime64("2024-01-01T00:00", "us")
+    rows = []
+    for g, drift in (("up", 3), ("flat", 0)):
+        for d in range(12):
+            for _ in range(5 + drift * d + int(rng.integers(0, 3))):
+                rows.append((g, base + np.timedelta64(d, "D")))
+    df = pd.DataFrame(rows, columns=["g", "ts"])
+    got = (
+        grouped_daily_trend(
+            ray.data.from_pandas(df).repartition(7), "g", "ts"
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        counts = sub.groupby(sub["ts"].to_numpy().astype("datetime64[D]")).size()
+        s, z = mann_kendall(counts.to_numpy(np.int64))
+        assert got.loc[g, "s_stat"] == s
+        assert abs(got.loc[g, "z_stat"] - round(z, 6)) < 1e-9
+    assert got.loc["up", "s_stat"] > 40
