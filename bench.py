@@ -321,6 +321,7 @@ def run_bench() -> dict:
     timed("tpch_q15", consume=len)
     timed("tpch_q20", consume=len)
     timed("type_trend", consume=len)
+    timed("conv_lang_entropy")
 
     headline = timings["triples_scaled"]
     result = {

@@ -1706,3 +1706,25 @@ ORACLE_SQL["turn_coherence"] = rf"""
                 AS BIGINT) AS sum_jacc_x1e6
     FROM j GROUP BY conv_id
 """
+
+
+def q_conv_lang_entropy(sf_dir: str):
+    """Per-conversation language-mix entropy (code-switching profile):
+    Shannon entropy of the turn-language distribution within each
+    conversation — `ops/entropy.group_entropy` over (conv_id, lang)
+    pair counts, one conv-sharded exchange, additive (Σc, Σc·ln c)
+    partials."""
+    from ...ops.entropy import group_entropy
+
+    t = read_transcripts(sf_dir).select_columns(["conv_id", "lang"])
+    return group_entropy(t, ["conv_id"], "lang")
+
+
+QUERIES["conv_lang_entropy"] = q_conv_lang_entropy
+ORACLE_SQL["conv_lang_entropy"] = f"""
+    WITH {_T_CTE},
+    c AS (SELECT conv_id, lang, COUNT(*) AS c FROM t GROUP BY 1, 2)
+    SELECT conv_id,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+    FROM c GROUP BY conv_id
+"""
