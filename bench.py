@@ -322,6 +322,7 @@ def run_bench() -> dict:
     timed("tpch_q20", consume=len)
     timed("type_trend", consume=len)
     timed("conv_lang_entropy")
+    timed("revenue_lorenz", consume=len)
 
     headline = timings["triples_scaled"]
     result = {

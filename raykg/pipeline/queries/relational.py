@@ -3470,3 +3470,109 @@ ORACLE_SQL["skew_report"] = " UNION ALL ".join(
     """
     for label, table, column in SKEW_COLUMNS
 )
+
+
+def q_revenue_lorenz(sf_dir: str):
+    """Revenue-concentration (Lorenz) profile: customers ranked by total
+    order revenue descending, cumulative revenue share at each decile
+    boundary in exact integer basis points.  Per-customer cents fold in
+    one hash(custkey) exchange; `ops/index.zip_with_index` ranks the
+    customer-domain table with a range-partitioned sort (ties carry
+    equal revenue, so every tie permutation yields the same decile
+    sums — no tiebreak column needed); a final streaming pass folds ten
+    masked partial sums per batch, so no row-level cumulative column
+    ever materializes."""
+    from ...ops.index import zip_with_index
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        c = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq, type=pa.int64()),
+                "rev_c": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    rev = (
+        orders.map_batches(pre, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("rev_c")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "rev_c": b["sum(rev_c)"],
+                    "neg_rev": pa.array(
+                        -b["sum(rev_c)"].to_numpy(zero_copy_only=False),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ranked = zip_with_index(rev, sort_key="neg_rev", id_col="rk").materialize()
+    total = int(ranked.sum("rev_c") or 0)
+    n = ranked.count()
+    bounds = [(n * k + 9) // 10 for k in range(1, 11)]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rk = batch["rk"].to_numpy(zero_copy_only=False)
+        rv = batch["rev_c"].to_numpy(zero_copy_only=False)
+        sums = [int(rv[rk < b].sum()) for b in bounds]
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(1, 11, dtype=np.int64), type=pa.int64()),
+                "cum_rev_c": pa.array(np.asarray(sums, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    out = (
+        ranked.map_batches(partials, batch_format="pyarrow")
+        .groupby("decile")
+        .sum("cum_rev_c")
+        .to_pandas()
+        .rename(columns={"sum(cum_rev_c)": "cum_rev_c"})
+        .sort_values("decile")
+    )
+    cum = out["cum_rev_c"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "decile": pa.array(out["decile"].to_numpy(np.int64), type=pa.int64()),
+            "cum_rev_c": pa.array(cum, type=pa.int64()),
+            "cum_share_bp": pa.array(
+                10000 * cum // total if total else cum * 0, type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["revenue_lorenz"] = q_revenue_lorenz
+ORACLE_SQL["revenue_lorenz"] = """
+    WITH rev AS (SELECT o_custkey,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS rev_c
+                 FROM orders GROUP BY 1),
+    r AS (SELECT rev_c,
+                 ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) - 1 AS rk
+          FROM rev),
+    t AS (SELECT COUNT(*) AS n, SUM(rev_c) AS total FROM rev),
+    ks AS (SELECT unnest(generate_series(1, 10)) AS decile)
+    SELECT CAST(ks.decile AS BIGINT) AS decile,
+           CAST((SELECT SUM(r.rev_c) FROM r, t
+                 WHERE r.rk < (t.n * ks.decile + 9) // 10) AS BIGINT)
+               AS cum_rev_c,
+           CAST(10000 * (SELECT SUM(r.rev_c) FROM r, t
+                         WHERE r.rk < (t.n * ks.decile + 9) // 10)
+                // (SELECT total FROM t) AS BIGINT) AS cum_share_bp
+    FROM ks ORDER BY ks.decile
+"""
