@@ -323,6 +323,7 @@ def run_bench() -> dict:
     timed("type_trend", consume=len)
     timed("conv_lang_entropy")
     timed("revenue_lorenz", consume=len)
+    timed("order_gaps")
 
     headline = timings["triples_scaled"]
     result = {

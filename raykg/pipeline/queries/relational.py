@@ -3576,3 +3576,58 @@ ORACLE_SQL["revenue_lorenz"] = """
                 // (SELECT total FROM t) AS BIGINT) AS cum_share_bp
     FROM ks ORDER BY ks.decile
 """
+
+
+def q_order_gaps(sf_dir: str):
+    """Per-customer inter-order cadence profile: number of gaps, total
+    and maximum gap in EXACT integer days between consecutive orders
+    (order-date order, orderkey tie-break).  One hash(custkey) exchange
+    co-locates each customer's orders; the per-shard kernel is one
+    lexsort + grouped diff — no per-customer Python loop.  Customers
+    with a single order drop (no gap), mirroring the LAG oracle."""
+    from ...ops.agg import sharded_groupby_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        d = pd.DataFrame(
+            {"c": df["o_custkey"].to_numpy(), "k": df["o_orderkey"].to_numpy(),
+             "d": days}
+        ).sort_values(["c", "d", "k"], kind="stable")
+        gap = d["d"].diff()
+        same = d["c"].eq(d["c"].shift())
+        d["gap"] = gap.where(same)
+        g = d.dropna(subset=["gap"]).groupby("c", sort=False)["gap"].agg(
+            ["size", "sum", "max"]
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": g.index.to_numpy(np.int64),
+                "n_gaps": g["size"].to_numpy(np.int64),
+                "sum_gap_days": g["sum"].to_numpy(np.int64),
+                "max_gap_days": g["max"].to_numpy(np.int64),
+            }
+        )
+
+    return sharded_groupby_apply(orders, ["o_custkey"], fold)
+
+
+QUERIES["order_gaps"] = q_order_gaps
+ORACLE_SQL["order_gaps"] = """
+    WITH g AS (SELECT o_custkey,
+                      DATEDIFF('day',
+                               LAG(CAST(o_orderdate AS DATE)) OVER (
+                                   PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+                               CAST(o_orderdate AS DATE)) AS gap
+               FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+"""
