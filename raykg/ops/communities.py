@@ -241,10 +241,23 @@ def modularity(
             k, lv = cache["lut"]
             uu = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
             vv = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            # bounds-checked lookup: an edge endpoint missing from `labels`
+            # must raise loudly, not index past the array or land on the
+            # nearest label (and the bucketed path's inner join would drop
+            # it — keep both plans' degenerate behavior identical).
+            pu = np.minimum(np.searchsorted(k, uu), len(k) - 1)
+            pv = np.minimum(np.searchsorted(k, vv), len(k) - 1)
+            if len(k) == 0 or not (np.all(k[pu] == uu) and np.all(k[pv] == vv)):
+                missing = np.concatenate([uu[k[pu] != uu], vv[k[pv] != vv]]) if len(k) else np.concatenate([uu, vv])
+                raise ValueError(
+                    "modularity: edge endpoints missing from `labels` "
+                    f"(e.g. node {missing[0]!r}); every node incident to an "
+                    "edge must carry a community label"
+                )
             return pa.Table.from_pydict(
                 {
-                    "cu": pa.array(lv[np.searchsorted(k, uu)], type=pa.int64()),
-                    "cv": pa.array(lv[np.searchsorted(k, vv)], type=pa.int64()),
+                    "cu": pa.array(lv[pu], type=pa.int64()),
+                    "cv": pa.array(lv[pv], type=pa.int64()),
                 }
             )
 
@@ -265,7 +278,15 @@ def modularity(
             num_buckets=num_buckets,
         ).map_batches(
             lambda b: b.select(["cu", "cv"]), batch_format="pyarrow"
-        )
+        ).materialize()
+        # inner joins silently drop edges whose endpoint has no label; fail
+        # loudly instead so both plans agree with the broadcast path.
+        if tagged.count() != m:
+            raise ValueError(
+                f"modularity: {m - tagged.count()} of {m} edges have an "
+                "endpoint missing from `labels`; every node incident to an "
+                "edge must carry a community label"
+            )
 
     def cells(batch: pa.Table) -> pa.Table:
         cu = batch["cu"].to_numpy(zero_copy_only=False)

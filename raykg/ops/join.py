@@ -298,11 +298,27 @@ def attach_by_key(
     rows the map is sorted arrays broadcast once via ``ray.put`` + one
     vectorized ``searchsorted`` per batch; above it the plan switches to
     :func:`bucketed_hash_join` — same rows, shuffle instead of
-    broadcast.  ``small`` must carry exactly ``[on, *val_cols]``."""
+    broadcast.  ``small`` must carry exactly ``[on, *val_cols]`` and its
+    keys MUST be unique: with duplicate keys the broadcast searchsorted
+    would keep only one match per key while the bucketed fallback would
+    emit full multiplicity — same inputs, different row counts depending
+    on the gate — so duplicates raise loudly instead.  Use
+    :func:`bucketed_hash_join` directly for many-to-many attaches."""
     import numpy as np
 
     small = small.materialize()
-    if small.count() > gate:
+    n_small = small.count()
+    if n_small > gate:
+        # enforce the unique-key contract on this plan too (one bounded
+        # exchange over the SMALL side only) so both plans agree.
+        n_keys = small.select_columns([on]).groupby(on).count().count()
+        if n_keys != n_small:
+            raise ValueError(
+                f"attach_by_key: duplicate keys in `small` ({n_small} rows, "
+                f"{n_keys} distinct); the broadcast and bucketed plans would "
+                "disagree on multiplicity — dedup `small` or use "
+                "bucketed_hash_join"
+            )
         return bucketed_hash_join(big, small, on=on)
 
     def _schema_types() -> dict:
@@ -323,6 +339,13 @@ def attach_by_key(
         keys = tbl[on].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
+        if len(keys) and len(np.unique(keys)) != len(keys):
+            dup = keys[:-1][keys[1:] == keys[:-1]]
+            raise ValueError(
+                f"attach_by_key: duplicate keys in `small` (e.g. {dup[0]!r}); "
+                "the broadcast and bucketed plans would disagree on "
+                "multiplicity — dedup `small` or use bucketed_hash_join"
+            )
         vals = []
         for c in val_cols:
             col = tbl[c].combine_chunks()

@@ -34,7 +34,10 @@ def mann_kendall(counts: np.ndarray) -> tuple[int, float]:
         n * (n - 1) * (2 * n + 5) - int((t * (t - 1) * (2 * t + 5)).sum())
     ) / 18.0
     if var <= 0:
-        return s, float("nan")
+        # degenerate series (n < 2 or all values tied): the oracles emit
+        # 0.0 for this case (CASE WHEN var <= 0 THEN 0.0), so match them
+        # rather than returning NaN and breaking value-hash parity.
+        return s, 0.0
     if s > 0:
         z = (s - 1) / np.sqrt(var)
     elif s < 0:
@@ -111,9 +114,11 @@ def grouped_daily_trend(ds, group: str, ts_column: str) -> pa.Table:
         counts = sub["n"].to_numpy(np.int64)
         s, z = mann_kendall(counts)
         rows.append((g, len(counts), int(counts.sum()), s, round(z, 6)))
+    # infer the group column type from the data (int64 ids, strings, ...)
+    # instead of hardcoding pa.string() — the kernel is type-agnostic.
     return pa.table(
         {
-            group: pa.array([r[0] for r in rows], type=pa.string()),
+            group: pa.array([r[0] for r in rows], from_pandas=True),
             "n_buckets": pa.array([r[1] for r in rows], type=pa.int64()),
             "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
             "s_stat": pa.array([r[3] for r in rows], type=pa.int64()),

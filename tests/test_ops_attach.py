@@ -58,3 +58,19 @@ def test_empty_small_side_drops_everything(ray_session):
     )
     out = attach_by_key(big, small, on="k", val_cols=["v"])
     assert out.count() == 0
+
+
+def test_duplicate_small_keys_raise_on_both_plans(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    big = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3], "x": [10, 20, 30]})
+    )
+    small = ray.data.from_arrow(
+        pa.table({"k": [1, 1, 2], "v": [7, 8, 9]})
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        attach_by_key(big, small, on="k", val_cols=["v"], gate=1_000).count()
+    with pytest.raises(ValueError, match="duplicate keys"):
+        attach_by_key(big, small, on="k", val_cols=["v"], gate=0).count()

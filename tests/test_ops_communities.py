@@ -113,3 +113,22 @@ def test_modularity_duplicate_and_reversed_pairs_dedup(ray_session):
     assert got["m_edges"] == 2
     # in_1=1 deg_1=3; in_3=0 deg_3=1 -> q_num = (8-9) + (0-1) = -2
     assert got["q_num"] == -2
+
+
+def test_modularity_unlabeled_node_raises_on_both_plans(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from raykg.ops.communities import modularity
+
+    pairs = pd.DataFrame({"u": [1, 2], "v": [2, 3]})
+    labels = pd.DataFrame({"node": [1, 2], "community": [1, 1]})  # 3 missing
+    # the broadcast plan's error surfaces wrapped in RayTaskError
+    for kw in ({}, {"max_broadcast_nodes": 0}):
+        with pytest.raises(Exception, match="missing from `labels`"):
+            modularity(
+                ray.data.from_pandas(pairs),
+                ray.data.from_pandas(labels),
+                **kw,
+            )

@@ -80,8 +80,12 @@ def test_mann_kendall_s_exact():
 
 
 def test_mann_kendall_all_ties():
+    # degenerate (var <= 0) series: z = 0.0, matching the SQL oracles'
+    # CASE WHEN var <= 0 THEN 0.0 — never NaN.
     s, z = mann_kendall(np.full(10, 7))
-    assert s == 0 and np.isnan(z)
+    assert s == 0 and z == 0.0
+    s1, z1 = mann_kendall(np.array([5]))
+    assert s1 == 0 and z1 == 0.0
 
 
 def test_daily_count_trend(ray_session):
@@ -168,3 +172,21 @@ def test_grouped_daily_trend_matches_per_group_kernel(ray_session):
         assert got.loc[g, "s_stat"] == s
         assert abs(got.loc[g, "z_stat"] - round(z, 6)) < 1e-9
     assert got.loc["up", "s_stat"] > 40
+
+
+def test_grouped_daily_trend_int_group_keys(ray_session):
+    # non-string group keys must carry their type through (no forced cast)
+    from raykg.ops.trend import grouped_daily_trend
+
+    base = np.datetime64("2024-03-01T00:00", "us")
+    rows = []
+    for g in (7, 9):
+        for d in range(4):
+            for _ in range(1 + d * g % 5):
+                rows.append((g, base + np.timedelta64(d, "D")))
+    df = pd.DataFrame(rows, columns=["gid", "ts"])
+    got = grouped_daily_trend(
+        ray.data.from_pandas(df).repartition(3), "gid", "ts"
+    ).to_pandas()
+    assert sorted(got["gid"].tolist()) == [7, 9]
+    assert pd.api.types.is_integer_dtype(got["gid"])
