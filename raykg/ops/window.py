@@ -30,6 +30,7 @@ _KINDS = {
     "lag", "lead", "row_number", "cumsum", "cummax", "cummin", "delta",
     "rolling_sum", "percent_rank", "ntile",
 }
+_RANK_KINDS = {"row_number", "percent_rank", "ntile"}
 
 
 def window_over(
@@ -68,6 +69,20 @@ def window_over(
     for kind, _src, _out, _p in specs:
         if kind not in _KINDS:
             raise ValueError(f"unknown window kind: {kind!r}")
+
+    # Rank-only windows (percent_rank / ntile / row_number) depend only on
+    # each row's position and its key's total count, never on neighbor
+    # VALUES — route them to rank-by-sort (`ops/rank.with_keyed_ranks`):
+    # one range-partitioned sort, no worker ever holds a whole key.  The
+    # sharded path below co-locates every row of a key in ONE shard
+    # worker, which dies at 100 TB for low-cardinality keys (a language,
+    # a priority).  Value windows (lag / cumsum / ...) keep the sharded
+    # plan: they need neighbor rows, and their keys are high-cardinality
+    # in every caller (per-customer, per-conversation).
+    if all(kind in _RANK_KINDS for kind, _s, _o, _p in specs):
+        from .rank import with_keyed_ranks
+
+        return with_keyed_ranks(ds, keys, order_by, specs)
 
     def shard_windows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)

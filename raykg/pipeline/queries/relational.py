@@ -857,8 +857,12 @@ def q_lineitem_wsample(sf_dir: str):
 
 def q_order_ranks(sf_dir: str):
     """PERCENT_RANK + NTILE(4) per priority group over orders —
-    `ops/window.window_over` rank kinds (one key-sharded exchange, one
-    vectorized pass per shard; exact SQL NTILE bucket-size semantics)."""
+    `ops/window.window_over` rank kinds, auto-routed to rank-by-sort
+    (`ops/rank.with_keyed_ranks`): ONE range-partitioned sort on
+    (priority, orderkey), per-key offsets from block-edge metadata.  No
+    shard worker ever holds a whole priority group — with 5 distinct
+    priorities the old per-key shard plan put ~20% of the table in one
+    worker, a scale-killer at 100 TB.  Exact SQL NTILE bucket sizes."""
     from ...ops.window import window_over
 
     orders = ray.data.read_parquet(

@@ -1913,8 +1913,11 @@ def q_ccnet_buckets(sf_dir: str):
     `ops/lm.py`) and NTILE(3) into quality buckets — 1=head is the
     best-scoring third that CCNet keeps for training.  lang attaches via
     a bucketed hash join on doc_id (both sides corpus-scale); the split
-    is one (lang)-sharded NTILE window (`ops/window.py`, exact SQL NTILE
-    semantics)."""
+    is NTILE(3) via rank-by-sort (`ops/window.py` rank kinds auto-route
+    to `ops/rank.with_keyed_ranks`): one range-partitioned sort on
+    (lang, -score, doc_id) — no worker ever holds a whole language,
+    which the old lang-sharded plan required (terabytes per worker at
+    100 TB).  Exact SQL NTILE semantics."""
     import pyarrow.compute as pc
 
     from ...ops.join import bucketed_hash_join

@@ -56,3 +56,129 @@ def test_group_argmin_partition_invariant(ray_session):
             want[["k", "o", "payload"]],
             check_dtype=False,
         )
+
+
+def test_with_keyed_ranks_matches_pandas(ray_session):
+    """percent_rank / ntile / row_number per key vs a pandas reference,
+    across partition counts (keys span many blocks)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops.rank import with_keyed_ranks
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 900),
+            "o": rng.permutation(900),
+            "x": rng.integers(0, 5, 900),
+        }
+    )
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = want.groupby("k", sort=False)
+    rn = g.cumcount() + 1
+    n = g["o"].transform("size")
+    want["rn"] = rn
+    want["pr"] = np.where(n > 1, (rn - 1) / (n - 1).clip(lower=1), 0.0)
+    k = 4
+    q, r = n // k, n % k
+    big = (q + 1) * r
+    want["t4"] = np.where(
+        rn <= big,
+        (rn + q) // (q + 1),
+        np.where(q > 0, r + (rn - big + q - 1) // np.maximum(q, 1), r),
+    ).astype("int64")
+
+    for parts in (1, 7, 40):
+        got = (
+            with_keyed_ranks(
+                ray.data.from_pandas(df).repartition(parts),
+                keys=["k"],
+                order_by=["o"],
+                specs=[
+                    ("row_number", "rn", None),
+                    ("percent_rank", "pr", None),
+                    ("ntile", "t4", 4),
+                ],
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        for col in ("rn", "pr", "t4"):
+            assert (got[col].to_numpy() == want[col].to_numpy()).all(), (
+                parts,
+                col,
+            )
+
+
+def test_with_keyed_ranks_single_giant_key(ray_session):
+    """One key spanning every block — the exact case the sharded plan
+    cannot survive at scale."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops.rank import with_keyed_ranks
+
+    df = pd.DataFrame({"k": ["only"] * 500, "o": np.arange(500)})
+    got = (
+        with_keyed_ranks(
+            ray.data.from_pandas(df).repartition(23),
+            keys=["k"],
+            order_by=["o"],
+            specs=[("row_number", "rn", None), ("ntile", "t3", 3)],
+        )
+        .to_pandas()
+        .sort_values("o")
+    )
+    assert got["rn"].tolist() == list(range(1, 501))
+    # NTILE(3) over 500: buckets of 167/167/166
+    assert got["t3"].value_counts().sort_index().tolist() == [167, 167, 166]
+
+
+def test_window_over_routes_rank_kinds_to_sort_path(ray_session):
+    """Rank-only window_over calls match the sharded plan bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops import window as w
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y"], 400),
+            "o": rng.permutation(400),
+        }
+    )
+    routed = (
+        w.window_over(
+            ray.data.from_pandas(df).repartition(9),
+            keys=["k"],
+            order_by=["o"],
+            specs=[("percent_rank", None, "pr", None), ("ntile", None, "t5", 5)],
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # force the legacy sharded plan by including a value kind, then drop it
+    sharded = (
+        w.window_over(
+            ray.data.from_pandas(df).repartition(9),
+            keys=["k"],
+            order_by=["o"],
+            specs=[
+                ("percent_rank", None, "pr", None),
+                ("ntile", None, "t5", 5),
+                ("cumsum", "o", "cs", None),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert (routed["pr"].to_numpy() == sharded["pr"].to_numpy()).all()
+    assert (routed["t5"].to_numpy() == sharded["t5"].to_numpy()).all()
