@@ -22,6 +22,7 @@ sharding bounds the callback count; both are needed at scale.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 import numpy as np
@@ -33,6 +34,18 @@ import ray.data
 from .hashing import bucket_of_column
 
 _SHARD_COL = "__agg_shard"
+
+# Fit-in-worker guard: every sharded_groupby_apply shard must fit one
+# worker's heap.  At the default 64 shards / 128 GiB node that holds to
+# ~10^7-row shards; beyond the cap we fail LOUDLY naming the hot key
+# instead of OOMing mid-run at 100×.  Tune per deployment via env
+# (read at call time on the driver, so it applies cluster-wide).
+def _caps(row_cap, byte_cap):
+    if row_cap is None:
+        row_cap = int(os.environ.get("RAYKG_SHARD_ROW_CAP", 20_000_000))
+    if byte_cap is None:
+        byte_cap = int(os.environ.get("RAYKG_SHARD_BYTE_CAP", 8 << 30))
+    return row_cap, byte_cap
 
 
 def _shard_ids(batch: pa.Table, keys: Sequence[str], num_shards: int) -> np.ndarray:
@@ -49,6 +62,8 @@ def sharded_groupby_apply(
     keys: Sequence[str],
     apply: Callable[[pd.DataFrame], pd.DataFrame],
     num_shards: int = 64,
+    row_cap: int | None = None,
+    byte_cap: int | None = None,
 ) -> "ray.data.Dataset":
     """``ds.groupby(keys) -> apply(shard_df)`` with O(num_shards) engine
     groups.
@@ -56,8 +71,15 @@ def sharded_groupby_apply(
     ``apply`` receives one shard as a pandas DataFrame (all rows of every
     key hashed to that shard, helper column removed) and must itself group
     by ``keys`` vectorized — e.g. ``df.groupby(keys).agg(...)``.  All rows
-    of one key are guaranteed to be in the same shard."""
+    of one key are guaranteed to be in the same shard.
+
+    FIT-IN-WORKER CONTRACT: one shard's rows must fit one worker's heap.
+    A shard over ``row_cap`` rows or ``byte_cap`` bytes (defaults from
+    RAYKG_SHARD_ROW_CAP / RAYKG_SHARD_BYTE_CAP) raises a ValueError
+    naming the hottest key and the scale-safe alternative instead of
+    OOMing — a skewed or low-cardinality key cannot ride this plan."""
     keys = list(keys)
+    row_cap, byte_cap = _caps(row_cap, byte_cap)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -65,6 +87,22 @@ def sharded_groupby_apply(
         )
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
+        n, nbytes = len(g), int(g.memory_usage(deep=False).sum())
+        if n > row_cap or nbytes > byte_cap:
+            sizes = g.groupby(keys, sort=False).size().sort_values()
+            hot_key, hot_n = sizes.index[-1], int(sizes.iloc[-1])
+            raise ValueError(
+                f"sharded_groupby_apply: shard holds {n:,} rows / "
+                f"{nbytes >> 20} MiB, over the fit-in-one-worker cap "
+                f"(RAYKG_SHARD_ROW_CAP={row_cap:,} / RAYKG_SHARD_BYTE_CAP="
+                f"{byte_cap >> 20} MiB); hottest key {hot_key!r} has "
+                f"{hot_n:,} rows across {len(sizes):,} keys. Raise "
+                "num_shards if many keys share the shard; if ONE key is "
+                "the volume, this plan cannot scale — use rank-by-sort "
+                "(ops/rank.with_keyed_ranks) for rank windows, t-digest / "
+                "sketch partials (ops/sketch.py) for quantiles, or "
+                "pre-aggregate per batch before the exchange."
+            )
         return apply(g.drop(columns=[_SHARD_COL]))
 
     return (

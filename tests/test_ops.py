@@ -932,3 +932,27 @@ def test_exact_dedup_best_keeps_highest_score():
     # group "aa": score 9 tie between ids 2 and 3 -> smallest id wins
     rows = {r["doc_id"]: (r["score"], r["n_dups"]) for _, r in out.iterrows()}
     assert rows == {2: (9, 3), 4: (3, 2), 6: (7, 1), 7: (2, 1)}
+
+
+def test_sharded_groupby_volume_guard(ray_session):
+    """A shard over the fit-in-worker cap fails loudly, naming the hot
+    key and the scale-safe alternative — never a silent OOM at 100x."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from raykg.ops.agg import sharded_groupby_apply
+
+    df = pd.DataFrame({"k": ["hot"] * 90 + ["cold"] * 10, "v": range(100)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(Exception, match="hot"):
+        sharded_groupby_apply(
+            ds, ["k"], lambda g: g.groupby("k").size().reset_index(),
+            num_shards=1, row_cap=50,
+        ).materialize()
+    # under the cap: runs fine
+    out = sharded_groupby_apply(
+        ds, ["k"], lambda g: g.groupby("k", sort=False).size().rename("n").reset_index(),
+        num_shards=1, row_cap=1000,
+    ).to_pandas()
+    assert sorted(out["n"].tolist()) == [10, 90]
