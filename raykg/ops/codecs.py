@@ -9,9 +9,9 @@ stages (`ops/multimodal.py`) decode them for REAL:
   rows with 4-byte padding (the only variant these codecs emit; the
   decoder validates and rejects anything else).
 - **WAV** RIFF PCM 16-bit via the stdlib ``wave`` module.
-- **PNG** 8-bit gray / RGB / palette / gray+alpha / RGBA, non-interlaced:
-  stdlib ``zlib`` inflate + all five scanline filters (None/Sub/Up/
-  Average/Paeth, RFC 2083 §6).  Adam7 interlace raises.
+- **PNG** 8-bit gray / RGB / palette / gray+alpha / RGBA, interlaced or
+  not: stdlib ``zlib`` inflate + all five scanline filters (None/Sub/Up/
+  Average/Paeth, RFC 2083 §6) and Adam7 de-interlacing (§2.6).
 - **GIF** 87a/89a with global or local color tables: a full LZW
   decoder (variable code width 3–12 bits, clear/end codes); multi-frame
   GIFs double as a video container (`decode_gif_frames`).
@@ -468,28 +468,65 @@ def _png_filter_row(ftype: int, line: np.ndarray, prev: np.ndarray,
     return (out % 256).astype(np.uint8)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+# Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
     """HxWx3 uint8 RGB -> PNG (color type 2, bit depth 8).  ``filter_type``
     applies one filter to every scanline — 0 for speed; 1-4 exist so tests
-    can exercise every decoder unfilter path."""
+    can exercise every decoder unfilter path.  ``interlace`` writes the
+    seven Adam7 passes (each pass filtered as its own sub-image)."""
     h, w, ch = arr.shape
     if ch != 3:
         raise ValueError("encode_png needs HxWx3 RGB")
     arr = arr.astype(np.uint8)
     raw = bytearray()
-    prev = np.zeros(w * 3, dtype=np.uint8)
-    for y in range(h):
-        line = arr[y].reshape(-1)
-        raw.append(filter_type)
-        raw += _png_filter_row(filter_type, line, prev, 3).tobytes()
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    passes = (
+        [arr[ys::yst, xs::xst] for xs, ys, xst, yst in _ADAM7]
+        if interlace
+        else [arr]
+    )
+    for sub in passes:
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue  # empty pass contributes no bytes at all
+        prev = np.zeros(pw * 3, dtype=np.uint8)
+        for y in range(ph):
+            line = np.ascontiguousarray(sub[y]).reshape(-1)
+            raw.append(filter_type)
+            raw += _png_filter_row(filter_type, line, prev, 3).tobytes()
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_adam7(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
+    """De-interlace the 7 Adam7 passes of an unfiltered-per-pass IDAT
+    stream into one (height, width, ch) pixel array."""
+    out = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for xs, ys, xst, yst in _ADAM7:
+        pw = (width - xs + xst - 1) // xst
+        ph = (height - ys + yst - 1) // yst
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * ch
+        need = (stride + 1) * ph
+        recon = _png_unfilter(raw[pos : pos + need], ph, stride, ch)
+        pos += need
+        out[ys::yst, xs::xst] = recon.reshape(ph, pw, ch)
+    if pos != len(raw):
+        raise ValueError("PNG Adam7 IDAT length mismatch")
+    return out
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -542,7 +579,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> HxWx3 uint8 RGB (alpha dropped, gray replicated, palette
-    resolved).  Supports bit depth 8, color types 0/2/3/4/6, interlace 0."""
+    resolved).  Supports bit depth 8, color types 0/2/3/4/6, and both
+    interlace methods (none / Adam7)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -562,8 +600,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
             if ctype_ not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {ctype_}")
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
         elif chunk == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif chunk == b"IDAT":
@@ -575,10 +613,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[ctype_]
     stride = width * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG IDAT length mismatch")
-    recon = _png_unfilter(raw, height, stride, ch)
-    px = recon.reshape(height, width, ch)
+    if interlace:
+        px = _png_adam7(raw, width, height, ch)
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG IDAT length mismatch")
+        recon = _png_unfilter(raw, height, stride, ch)
+        px = recon.reshape(height, width, ch)
     if ctype_ == 2:
         return px
     if ctype_ == 6:
@@ -702,9 +743,19 @@ def _lzw_encode(indices: List[int], min_code: int) -> bytes:
         outbuf.append(acc & 0xFF)
     return bytes(outbuf)
 
-def encode_gif(frames: List[np.ndarray]) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Destination row of each STORED row for a GIF 4-pass interlaced
+    frame (GIF89a Appendix E): rows 0,8,16.. then 4,12.. then 2,6.. then
+    odd rows."""
+    return np.concatenate(
+        [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
+def encode_gif(frames: List[np.ndarray], interlace: bool = False) -> bytes:
     """List of HxWx3 uint8 frames (same size, <=256 distinct colors across
-    all frames) -> multi-frame GIF89a with one global color table."""
+    all frames) -> multi-frame GIF89a with one global color table.
+    ``interlace`` stores every frame's rows in 4-pass interlaced order."""
     if not frames:
         raise ValueError("encode_gif needs at least one frame")
     h, w, _ = frames[0].shape
@@ -727,7 +778,11 @@ def encode_gif(frames: List[np.ndarray]) -> bytes:
         npx = f.shape[0] * f.shape[1]
         idx = inverse[pos : pos + npx]
         pos += npx
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        if interlace:
+            idx = idx.reshape(h, w)[_gif_interlace_order(h)].reshape(-1)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
         out.append(min_code)
         data = _lzw_encode(idx.tolist(), min_code)
         for i in range(0, len(data), 255):
@@ -742,7 +797,7 @@ def encode_gif(frames: List[np.ndarray]) -> bytes:
 def decode_gif_frames(payload: bytes) -> List[np.ndarray]:
     """GIF -> list of HxWx3 uint8 frames (full logical-screen frames; no
     disposal compositing — each frame renders over black).  Interlaced
-    frames raise."""
+    frames de-interlace (GIF89a 4-pass row order)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -773,8 +828,6 @@ def decode_gif_frames(payload: bytes) -> List[np.ndarray]:
             size = 2 << (iflags & 0x07)
             ct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
             pos += size * 3
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF frame")
         if ct is None:
             raise ValueError("GIF frame without any color table")
         min_code = payload[pos]
@@ -789,6 +842,8 @@ def decode_gif_frames(payload: bytes) -> List[np.ndarray]:
         if len(idx) < fw * fh:
             raise ValueError("GIF frame pixel data truncated")
         px = ct[idx[: fw * fh]].reshape(fh, fw, 3)
+        if iflags & 0x40:  # interlaced: rows stored in 4-pass order
+            px = px[np.argsort(_gif_interlace_order(fh), kind="stable")]
         frame = np.zeros((h, w, 3), dtype=np.uint8)
         frame[top : top + fh, left : left + fw] = px
         frames.append(frame)

@@ -79,8 +79,10 @@ def documents_to_png_media(batch: pa.Table) -> pa.Table:
     """Deterministic REAL PNG payloads derived from document-text digests:
     a (1+d4%8) x (1+d3%8) gradient image with channel c at pixel (x, y) =
     (d_c + k_c*x + m_c*y) mod 256, PNG-encoded with filter type
-    ``doc_id % 5`` — so the corpus exercises every scanline filter and the
-    whole pixel content is mirrorable in SQL (integer arithmetic only)."""
+    ``doc_id % 5`` and Adam7 interlacing for odd doc_ids — so the corpus
+    exercises every scanline filter AND both interlace methods (both are
+    lossless, so one SQL oracle of pure integer arithmetic pins both
+    decode paths)."""
     from . import codecs
 
     ids = batch["doc_id"].to_pylist()
@@ -97,7 +99,11 @@ def documents_to_png_media(batch: pa.Table) -> pa.Table:
             ],
             axis=2,
         ).astype(np.uint8)
-        payloads.append(codecs.encode_png(arr, filter_type=int(i) % 5))
+        payloads.append(
+            codecs.encode_png(
+                arr, filter_type=int(i) % 5, interlace=int(i) % 2 == 1
+            )
+        )
     return pa.table(
         {
             "media_id": pa.array(ids, type=pa.int64()),
@@ -108,13 +114,15 @@ def documents_to_png_media(batch: pa.Table) -> pa.Table:
 
 def documents_to_gif_media(batch: pa.Table) -> pa.Table:
     """Deterministic REAL multi-frame GIF payloads (1+d5%3 frames of a
-    16-gray-level gradient, value (d0 + 3x + 5y + 7f) mod 16 scaled x17)
-    — same SQL-mirrorable construction as ``documents_to_png_media``."""
+    16-gray-level gradient, value (d0 + 3x + 5y + 7f) mod 16 scaled x17),
+    4-pass interlaced for odd doc_ids (interlacing is lossless, so the
+    one SQL oracle pins both row orders) — same SQL-mirrorable
+    construction as ``documents_to_png_media``."""
     from . import codecs
 
     ids = batch["doc_id"].to_pylist()
     payloads = []
-    for t in batch["text"].to_pylist():
+    for i, t in zip(ids, batch["text"].to_pylist()):
         d = _doc_digest(t)
         w, h, n = 1 + d[3] % 8, 1 + d[4] % 8, 1 + d[5] % 3
         xx, yy = np.meshgrid(np.arange(w), np.arange(h))
@@ -122,7 +130,7 @@ def documents_to_gif_media(batch: pa.Table) -> pa.Table:
         for f in range(n):
             v = ((d[0] + 3 * xx + 5 * yy + 7 * f) % 16 * 17).astype(np.uint8)
             frames.append(np.stack([v, v, v], axis=2))
-        payloads.append(codecs.encode_gif(frames))
+        payloads.append(codecs.encode_gif(frames, interlace=int(i) % 2 == 1))
     return pa.table(
         {
             "media_id": pa.array(ids, type=pa.int64()),

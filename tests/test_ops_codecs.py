@@ -220,17 +220,17 @@ def test_png_gray_alpha_palette_decode():
     assert (codecs.decode_png(png(4, 4, 3, raw, plte.tobytes())) == plte[pix]).all()
 
 
-def test_png_interlace_rejected():
+def test_png_bad_interlace_method_rejected():
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)  # bogus method
     data = (
         codecs._PNG_SIG
         + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         codecs.decode_png(data)
 
 
@@ -331,3 +331,38 @@ def test_real_frame_sampling(ray_session):
         assert sorted(g["frame_idx"]) == [0, 4, 7, 11]  # evenly spaced over 12
     for f in out["frame"]:
         assert codecs.decode_image(bytes(f)).shape == (3, 3, 3)
+
+
+def test_png_adam7_round_trip():
+    """Adam7-interlaced PNG de-interlaces to pixel-equal output, for every
+    filter type and for sizes exercising empty/ragged passes."""
+    import numpy as np
+
+    from raykg.ops.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(47)
+    for h, w in ((1, 1), (3, 5), (8, 8), (13, 21), (31, 2)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            enc = encode_png(img, filter_type=ft, interlace=True)
+            assert (decode_png(enc) == img).all(), (h, w, ft)
+            # and the stream really is marked interlaced
+            assert enc[28] == 1
+
+
+def test_gif_interlaced_round_trip():
+    import numpy as np
+
+    from raykg.ops.codecs import decode_gif_frames, encode_gif
+
+    rng = np.random.default_rng(53)
+    for h, w in ((1, 4), (5, 3), (16, 7), (23, 11)):
+        # <=256 colors: draw from a small palette
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        idx = rng.integers(0, len(pal), (h, w))
+        img = pal[idx]
+        enc = encode_gif([img, img[::-1].copy()], interlace=True)
+        frames = decode_gif_frames(enc)
+        assert len(frames) == 2
+        assert (frames[0] == img).all(), (h, w)
+        assert (frames[1] == img[::-1]).all()
