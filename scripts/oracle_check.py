@@ -53,7 +53,7 @@ def value_hash(df: pd.DataFrame) -> str:
     ).hexdigest()[:16]
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
@@ -71,9 +71,10 @@ def main() -> int:
         help="write per-query wall seconds (ray + oracle) as JSON",
     )
     ap.add_argument("names", nargs="*")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=8, include_dashboard=False)
 
     sys.path.insert(0, "/root/repo")
@@ -143,7 +144,8 @@ def main() -> int:
     if args.budget is not None and total_min > args.budget:
         print(f"BUDGET EXCEEDED: {total_min:.2f} min > {args.budget} min")
         failures += 1
-    ray.shutdown()
+    if owns_ray:  # never tear down a caller-owned session (test fixture)
+        ray.shutdown()
     return 1 if failures else 0
 
 
