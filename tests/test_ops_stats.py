@@ -703,7 +703,7 @@ def test_betweenness_matches_brute_force():
 
 def test_ntile_bucket_matches_sql_ntile():
     import duckdb
-    from raykg.pipeline.queries.relational import _ntile_bucket
+    from raykg.pipeline.queries.relational.tpch import _ntile_bucket
 
     for n in (4, 5, 7, 23, 100):
         ranks = np.arange(n)

@@ -4,7 +4,7 @@ forcing the gate to zero."""
 
 import pytest
 
-import raykg.pipeline.queries.relational as rel
+import raykg.pipeline.queries.relational.tpch as rel
 
 SF = "/root/testdata/sf0.001"
 
