@@ -717,6 +717,21 @@ PL_REGULAR_VERBS = [
     "siedzieć", "leżeć", "woleć",
 ]
 
+# round-5 extension: -ować tech/business verbs (all conjugate -uję on
+# the -ow stem, past/conditional on the full stem — both mechanical)
+PL_REGULAR_VERBS += [
+    "generować", "wygenerować", "filtrować", "przefiltrować", "sortować",
+    "posortować", "grupować", "pogrupować", "sumować", "zsumować",
+    "kopiować", "skopiować", "eksportować", "wyeksportować",
+    "importować", "zaimportować", "aktualizować", "zaktualizować",
+    "analizować", "przeanalizować", "instalować", "zainstalować",
+    "konfigurować", "skonfigurować", "programować", "zaprogramować",
+    "projektować", "zaprojektować", "publikować", "opublikować",
+    "edytować", "notować", "zanotować", "raportować", "organizować",
+    "zorganizować", "definiować", "zdefiniować", "modyfikować",
+    "zmodyfikować", "weryfikować", "zweryfikować", "archiwizować",
+]
+
 # present tense -am class is safe ONLY for bare -ać stems (NOT -ować,
 # which conjugates -uję: pracować -> pracuję, never "pracowam")
 PL_AM_CLASS = [
@@ -752,6 +767,45 @@ PL_ANY_PARTICIPLE = [
     "kochać", "szukać", "opowiadać", "witać", "wysyłać", "zbierać",
     "sprawdzać", "odwiedzać", "zwiedzać",
 ]
+
+# verbal nouns (gerunds) are affix-regular for these stem shapes; the
+# s/z-stem mutations (prosić -> proszenie) are excluded below
+_PL_VN_SKIP = {"prosić", "poprosić", "przeprosić", "woleć", "obejrzeć"}
+
+
+def pl_verbal_noun(inf: str) -> str | None:
+    """czytać -> czytanie, robić -> robienie, uczyć -> uczenie,
+    widzieć -> widzenie; None where the stem mutates (excluded)."""
+    if inf in _PL_VN_SKIP:
+        return None
+    if inf.endswith("ać"):
+        return inf[:-1] + "nie"
+    if inf.endswith("ieć"):
+        return inf[:-3] + "enie"
+    if inf.endswith("eć") or inf.endswith("yć"):
+        return inf[:-2] + "enie"
+    if inf.endswith(("sić", "zić")):
+        return None  # proszenie / wożenie mutate
+    if inf.endswith(("cić", "dzić", "lić")):
+        return inf[:-2] + "enie"  # płacenie, sprawdzenie, palenie
+    if inf.endswith("ić"):
+        return inf[:-2] + "ienie"  # robienie, mówienie, dzwonienie
+    return None
+
+
+# passive participle masc-sg for -ić/-yć verbs, explicit because the
+# softening (-iony vs -ony) follows the same stem classes as the noun
+PL_ONY_PARTICIPLE = {
+    "robić": "robiony", "zrobić": "zrobiony", "mówić": "mówiony",
+    "lubić": "lubiony", "uczyć": "uczony", "nauczyć": "nauczony",
+    "kończyć": "kończony", "skończyć": "skończony", "liczyć": "liczony",
+    "policzyć": "policzony", "tworzyć": "tworzony",
+    "stworzyć": "stworzony", "łączyć": "łączony",
+    "połączyć": "połączony", "palić": "palony", "zapalić": "zapalony",
+    "ważyć": "ważony", "sprawdzić": "sprawdzony",
+    "zapłacić": "zapłacony", "odwiedzić": "odwiedzony",
+    "oznaczyć": "oznaczony", "zobaczyć": "zobaczony",
+}
 
 _PL_ADJ_LONG = ("ego", "emu", "ym", "a", "ej", "ą", "e", "ych", "ymi")
 # -ki/-gi stems: endings attach to the bare velar (szybk-), with the
@@ -814,6 +868,106 @@ PL_NOUNS = {
     "model": ["modelu", "modelowi", "modelem", "modele", "modeli",
               "modelom", "modelami", "modelach"],
 }
+
+# round-5 extension: more hand declensions (same hand-written policy —
+# dat/loc palatalization is not affix-regular)
+PL_NOUNS.update({
+    "miasto": ["miasta", "miastu", "miastem", "mieście", "miast",
+               "miastom", "miastami", "miastach"],
+    "kraj": ["kraju", "krajowi", "krajem", "kraje", "krajów", "krajom",
+             "krajami", "krajach"],
+    "okres": ["okresu", "okresowi", "okresem", "okresie", "okresy",
+              "okresów", "okresom", "okresami", "okresach"],
+    "proces": ["procesu", "procesowi", "procesem", "procesie", "procesy",
+               "procesów", "procesom", "procesami", "procesach"],
+    "adres": ["adresu", "adresowi", "adresem", "adresie", "adresy",
+              "adresów", "adresom", "adresami", "adresach"],
+    "numer": ["numeru", "numerowi", "numerem", "numerze", "numery",
+              "numerów", "numerom", "numerami", "numerach"],
+    "obraz": ["obrazu", "obrazowi", "obrazem", "obrazie", "obrazy",
+              "obrazów", "obrazom", "obrazami", "obrazach"],
+    "format": ["formatu", "formatowi", "formatem", "formacie", "formaty",
+               "formatów", "formatom", "formatami", "formatach"],
+    "katalog": ["katalogu", "katalogowi", "katalogiem", "katalogi",
+                "katalogów", "katalogom", "katalogami", "katalogach"],
+    "tekst": ["tekstu", "tekstowi", "tekstem", "tekście", "teksty",
+              "tekstów", "tekstom", "tekstami", "tekstach"],
+    "język": ["języka", "językowi", "językiem", "języku", "języki",
+              "języków", "językom", "językami", "językach"],
+    "czas": ["czasu", "czasowi", "czasem", "czasie", "czasy", "czasów",
+             "czasom", "czasami", "czasach"],
+    "koszt": ["kosztu", "kosztowi", "kosztem", "koszcie", "koszty",
+              "kosztów", "kosztom", "kosztami", "kosztach"],
+    "rynek": ["rynku", "rynkowi", "rynkiem", "rynki", "rynków",
+              "rynkom", "rynkami", "rynkach"],
+    "zespół": ["zespołu", "zespołowi", "zespołem", "zespole", "zespoły",
+               "zespołów", "zespołom", "zespołami", "zespołach"],
+    "produkt": ["produktu", "produktowi", "produktem", "produkcie",
+                "produkty", "produktów", "produktom", "produktami",
+                "produktach"],
+    "element": ["elementu", "elementowi", "elementem", "elemencie",
+                "elementy", "elementów", "elementom", "elementami",
+                "elementach"],
+    "dokument": ["dokumentu", "dokumentowi", "dokumentem", "dokumencie",
+                 "dokumenty", "dokumentów", "dokumentom", "dokumentami",
+                 "dokumentach"],
+    "parametr": ["parametru", "parametrowi", "parametrem", "parametrze",
+                 "parametry", "parametrów", "parametrom", "parametrami",
+                 "parametrach"],
+    "folder": ["folderu", "folderowi", "folderem", "folderze",
+               "foldery", "folderów", "folderom", "folderami",
+               "folderach"],
+    "kolumna": ["kolumny", "kolumnie", "kolumnę", "kolumną", "kolumn",
+                "kolumnom", "kolumnami", "kolumnach"],
+    "osoba": ["osoby", "osobie", "osobę", "osobą", "osób", "osobom",
+              "osobami", "osobach"],
+    "grupa": ["grupy", "grupie", "grupę", "grupą", "grup", "grupom",
+              "grupami", "grupach"],
+    # "liście" omitted: collides with liść nom-pl (wrong > missing)
+    "lista": ["listy", "listę", "listą", "list", "listom",
+              "listami", "listach"],
+    "wersja": ["wersji", "wersję", "wersją", "wersje", "wersjom",
+               "wersjami", "wersjach"],
+    "funkcja": ["funkcji", "funkcję", "funkcją", "funkcje", "funkcjom",
+                "funkcjami", "funkcjach"],
+    "operacja": ["operacji", "operację", "operacją", "operacje",
+                 "operacjom", "operacjami", "operacjach"],
+    "informacja": ["informacji", "informację", "informacją",
+                   "informacje", "informacjom", "informacjami",
+                   "informacjach"],
+    "aplikacja": ["aplikacji", "aplikację", "aplikacją", "aplikacje",
+                  "aplikacjom", "aplikacjami", "aplikacjach"],
+    "organizacja": ["organizacji", "organizację", "organizacją",
+                    "organizacje", "organizacjom", "organizacjami",
+                    "organizacjach"],
+    "usługa": ["usługi", "usłudze", "usługę", "usługą", "usług",
+               "usługom", "usługami", "usługach"],
+    "baza": ["bazy", "bazie", "bazę", "bazą", "baz", "bazom", "bazami",
+             "bazach"],
+    "strona": ["strony", "stronie", "stronę", "stroną", "stron",
+               "stronom", "stronami", "stronach"],
+    "sieć": ["sieci", "siecią", "sieciom", "sieciami", "sieciach"],
+    "wartość": ["wartości", "wartością", "wartościom", "wartościami",
+                "wartościach"],
+    "możliwość": ["możliwości", "możliwością", "możliwościom",
+                  "możliwościami", "możliwościach"],
+})
+
+PL_ADJECTIVES += [
+    ("stary", "starzy"), ("młody", "młodzi"), ("trudny", "trudni"),
+    ("łatwy", "łatwi"), ("gotowy", "gotowi"), ("bogaty", "bogaci"),
+    ("otwarty", "otwarci"), ("zamknięty", None), ("kolejny", "kolejni"),
+    ("publiczny", "publiczni"), ("prywatny", "prywatni"),
+    ("lokalny", "lokalni"), ("globalny", "globalni"),
+    ("centralny", "centralni"), ("cyfrowy", None), ("sieciowy", None),
+    ("techniczny", "techniczni"), ("praktyczny", "praktyczni"),
+    ("historyczny", None), ("klasyczny", None), ("elektroniczny", None),
+    ("narodowy", "narodowi"), ("międzynarodowy", None),
+    ("finansowy", None), ("kulturalny", None),
+    ("polityczny", "polityczni"), ("ekonomiczny", None),
+    ("społeczny", "społeczni"), ("naukowy", "naukowi"),
+    ("zdrowy", "zdrowi"), ("ciepły", None), ("piękny", "piękni"),
+]
 
 
 def build_pl() -> dict:
@@ -886,6 +1040,26 @@ def build_pl() -> dict:
     for lemma, forms in PL_NOUNS.items():
         for f in forms:
             add(t, f, lemma)
+    # verbal nouns (gerunds) decline as neuter nouns and lemmatize to
+    # their own nominative (the lookup-table treatment — gerunds are
+    # nouns there, NOT reduced to the verb): czytania/czytaniu/czytaniem
+    # -> czytanie
+    for inf in PL_REGULAR_VERBS:
+        vn = pl_verbal_noun(inf)
+        if vn is None or vn in PL_NOUNS:
+            continue  # hand declension already covers it
+        add(t, vn[:-1] + "a", vn)
+        add(t, vn[:-1] + "u", vn)
+        add(t, vn + "m", vn)
+    # -ony passive participles decline adjectivally and reduce to the
+    # infinitive — same convention as the -any participles above
+    # (robiony/robiona/robionego ... -> robić)
+    for inf, part in PL_ONY_PARTICIPLE.items():
+        stem = part[:-1]
+        add(t, part, inf)
+        for suf in ("a", "e", "ego", "emu", "ym", "ej", "ą", "ych",
+                    "ymi"):
+            add(t, stem + suf, inf)
     return t
 
 
@@ -919,6 +1093,27 @@ RU_PAST_VERBS = [
     "существовать", "действовать", "участвовать", "пробовать",
     "попробовать", "танцевать",
 ]
+# round-5 extension: more aspect pairs and tech/business verbs (past
+# tense is mechanical on the full stem for every one of these)
+RU_PAST_VERBS += [
+    "завершать", "завершить", "обновлять", "обновить", "удалять",
+    "удалить", "изменять", "изменить", "сохранять", "загружать",
+    "загрузить", "выбирать", "выбрать", "собирать", "собрать",
+    "устанавливать", "установить", "настраивать", "настроить",
+    "вычислять", "вычислить", "объяснять", "объяснить", "определять",
+    "определить", "выполнять", "выполнить", "включать", "включить",
+    "выключать", "выключить", "подключать", "подключить",
+    "обрабатывать", "обработать", "копировать", "скопировать",
+    "вставлять", "вставить", "записывать", "записать", "считать",
+    "посчитать", "сравнивать", "сравнить", "разрабатывать",
+    "разработать", "тестировать", "протестировать", "программировать",
+    "экспортировать", "импортировать", "фильтровать", "сортировать",
+    "группировать", "суммировать", "генерировать", "сгенерировать",
+    "анализировать", "проанализировать", "планировать",
+    "запланировать", "публиковать", "опубликовать", "редактировать",
+    "отредактировать", "форматировать", "отформатировать",
+]
+
 # clean first conjugation: stem(-ть) + ю/ешь/ет/ем/ете/ют, imperative
 # stem + й(те) — safe only for -ать/-ять verbs that stay vocalic
 # (NOT показать->покажу, искать->ищу, понять->пойму, создать->создам)
@@ -928,24 +1123,37 @@ RU_PRESENT_ACLASS = [
     "покупать", "открывать", "закрывать", "рассказывать", "показывать",
     "помогать", "гулять", "терять", "менять", "мечтать", "решать",
     "получать", "отправлять", "добавлять", "проверять", "запускать",
+    # round-5 extension (all vocalic-stem imperfectives)
+    "завершать", "обновлять", "удалять", "изменять", "сохранять",
+    "загружать", "выбирать", "собирать", "устанавливать",
+    "настраивать", "вычислять", "объяснять", "определять", "выполнять",
+    "включать", "выключать", "подключать", "обрабатывать", "вставлять",
+    "записывать", "считать", "сравнивать", "разрабатывать",
 ]
 # second conjugation, no 1sg mutation (stems in р/л/н/vowel):
 # stem(-ить) + ю/ишь/ит/им/ите/ят, imperative stem + и(те)
 RU_IT_FULL = [
     "говорить", "поговорить", "звонить", "позвонить", "строить",
     "построить", "варить", "хранить", "сохранить", "верить", "поверить",
+    # round-5 extension (р/л/н/vowel stems, no 1sg mutation)
+    "удалить", "изменить", "объяснить", "определить", "выполнить",
+    "вычислить", "сравнить", "настроить",
 ]
 # second conjugation, husher stems (ж/ч/ш/щ): у/ат instead of ю/ят;
 # infinitive may be -ать (держать) or -ить (служить)
 RU_IT_HUSHER = [
     "слышать", "услышать", "держать", "лежать", "кричать", "молчать",
     "учить", "выучить", "служить", "дружить", "получить",
+    # round-5 extension (ж/ч/ш/щ stems: у/ат)
+    "завершить", "включить", "выключить", "подключить",
 ]
 # second conjugation, labial stems (б/в/м/п): epenthetic л in 1sg only
 # (любить -> люблю, любишь, ..., любят)
 RU_IT_LABIAL = [
     "любить", "готовить", "приготовить", "ставить", "поставить",
     "отправить", "добавить",
+    # round-5 extension (б/в/м/п stems: epenthetic л in 1sg)
+    "обновить", "вставить", "установить",
 ]
 # second conjugation, dental-mutation 1sg (вижу, прошу, плачу) — only
 # the safe ишь/ит/им/ите/ят block is generated; 1sg omitted
@@ -953,6 +1161,8 @@ RU_IT_SAFE = [
     "видеть", "увидеть", "смотреть", "посмотреть", "сидеть", "просить",
     "попросить", "платить", "заплатить", "носить", "водить", "ходить",
     "приходить", "спросить", "ответить", "запустить", "проверить",
+    # round-5 extension (1sg mutates -> only the ишь/ит block)
+    "загрузить",
 ]
 # -овать/-евать conjugate -ую on the -ов/-ев-less stem
 RU_OVAT = [
@@ -960,6 +1170,15 @@ RU_OVAT = [
     "советовать", "посоветовать", "чувствовать", "требовать",
     "существовать", "действовать", "участвовать", "пробовать",
     "попробовать", "танцевать",
+    # round-5 extension: -овать/-ировать all conjugate -ую on the
+    # suffix-less stem (тестирую, фильтрую, публикую)
+    "копировать", "скопировать", "тестировать", "протестировать",
+    "программировать", "экспортировать", "импортировать",
+    "фильтровать", "сортировать", "группировать", "суммировать",
+    "генерировать", "сгенерировать", "анализировать",
+    "проанализировать", "планировать", "запланировать", "публиковать",
+    "опубликовать", "редактировать", "отредактировать",
+    "форматировать", "отформатировать",
 ]
 # present active participle (-ющий) + gerund (-я) + past active (-вший)
 # for imperfective first-conjugation transitives — conservative subset
@@ -967,12 +1186,22 @@ RU_PARTICIPLE = [
     "работать", "делать", "думать", "знать", "читать", "играть",
     "слушать", "понимать", "покупать", "показывать", "помогать",
     "решать", "получать", "проверять", "использовать",
+    # round-5 extension
+    "завершать", "обновлять", "удалять", "изменять", "сохранять",
+    "загружать", "выбирать", "устанавливать", "обрабатывать",
+    "выполнять", "включать", "анализировать", "тестировать",
+    "планировать", "генерировать",
 ]
 # perfective passive past participle -нный on the infinitive stem
 # (сделанный, прочитанный) — only where the bare stem is correct
 RU_NN_PARTICIPLE = [
     "сделать", "прочитать", "показать", "рассказать", "потерять",
     "нарисовать", "организовать",
+    # round-5 extension (perfectives whose bare stem + нн is correct)
+    "обработать", "разработать", "записать", "посчитать", "выбрать",
+    "собрать", "скопировать", "протестировать", "сгенерировать",
+    "проанализировать", "запланировать", "опубликовать",
+    "отредактировать", "отформатировать",
 ]
 RU_IRREGULARS = [
     ("быть", "был", "была", "было", "были", "есть", "будет", "будут",
@@ -1075,6 +1304,69 @@ RU_NOUNS = {
             "годах"],
 }
 
+# round-5 extension: mechanical noun declensions for the affix-regular
+# classes (NO fleeting vowels, NO stress-dependent spellings — words
+# with е/о-drop like рынок/ошибка stay in the hand lists)
+#
+# masc hard consonant, plural -ы: стол -> стола/столу/столом/столе/
+# столы/столов/столам/столами/столах
+RU_NOUN_M_HARD = [
+    "завод", "компьютер", "телефон", "документ", "журнал", "билет",
+    "магазин", "ресторан", "институт", "университет", "студент",
+    "процесс", "сервис", "сайт", "формат", "метод", "объект",
+    "элемент", "момент", "период", "регион", "департамент",
+    "параметр", "аргумент", "инструмент", "механизм", "алгоритм",
+    "фрагмент", "сегмент", "эксперимент", "контракт", "продукт",
+    "аспект", "эффект", "дефект", "эксперт", "паспорт", "аэропорт",
+    "концерт", "автобус", "интерес", "анализ", "статус", "индекс",
+    "офис", "адрес", "класс", "текст", "тест", "отдел", "канал",
+    "сигнал", "материал", "журналист", "специалист", "программист",
+]
+# masc velar-final (к/г/х), plural -и, instr still -ом
+RU_NOUN_M_VELAR = [
+    "банк", "парк", "урок", "язык", "признак", "источник",
+    "справочник", "блок", "поток", "флаг", "шаг", "долг", "стих",
+    "техник", "заказчик", "счётчик", "датчик", "ученик", "работник",
+    "сотрудник", "участник", "помощник", "разработчик",
+]
+# fem -а, hard non-velar stem, gen-pl = bare stem: работа -> работы/
+# работе/работу/работой/работ/работам/работами/работах
+RU_NOUN_F_A = [
+    "группа", "фирма", "форма", "фраза", "цифра", "буква", "карта",
+    "лампа", "комната", "минута", "секунда", "сумма", "схема", "тема",
+    "проблема", "теорема", "команда", "причина", "машина", "женщина",
+    "картина", "газета", "планета", "монета", "анкета", "программа",
+    "диаграмма", "платформа", "реформа", "норма", "структура",
+    "культура", "литература", "температура", "архитектура",
+    "процедура", "фигура", "мера", "эра", "сфера", "камера", "опера",
+]
+# fem -га/-ха (velar: gen-sg/nom-pl -и), gen-pl = bare stem
+RU_NOUN_F_GA = ["книга", "дорога", "бумага", "эпоха"]
+# deverbal neuters in -ние/-тие: значение -> значения/значению/
+# значением/значении/значений/значениям/значениями/значениях
+RU_NOUN_NIE = [
+    "значение", "решение", "движение", "предложение", "изменение",
+    "явление", "управление", "образование", "объяснение",
+    "соединение", "сообщение", "население", "поведение", "мнение",
+    "внимание", "задание", "здание", "знание", "название", "собрание",
+    "создание", "описание", "основание", "указание", "требование",
+    "использование", "исследование", "обновление", "удаление",
+    "выполнение", "вычисление", "сохранение", "подключение",
+    "завершение", "развитие", "событие", "понятие", "условие",
+    "действие", "отличие", "наличие",
+]
+# fem -ия (цempty -ции/-сии...): информация -> информации/информацию/
+# информацией/информациям/информациями/информациях
+RU_NOUN_F_IYA = [
+    "информация", "организация", "операция", "функция", "конструкция",
+    "инструкция", "редакция", "коллекция", "секция", "позиция",
+    "традиция", "станция", "профессия", "сессия", "комиссия",
+    "миссия", "дискуссия", "территория", "категория", "история",
+    "теория", "лаборатория", "конференция", "тенденция", "инспекция",
+    "реакция", "акция", "нация", "ситуация", "документация",
+    "конфигурация", "интеграция", "миграция", "регистрация", "версия",
+]
+
 _RU_ADJ_HARD = ("ого", "ому", "ым", "ом", "ая", "ой", "ую", "ое",
                 "ые", "ых", "ыми")
 # velar stems (к/г/х): и replaces ы (высоким, высокие, высоких)
@@ -1088,12 +1380,34 @@ RU_ADJ_HARD = [
     "новый", "важный", "полный", "главный", "красный", "чёрный",
     "белый", "умный", "сильный", "разный", "нужный", "точный",
     "сложный", "простой", "быстрый", "старый", "добрый",
+    # round-5 extension
+    "полезный", "активный", "основной", "местный", "личный",
+    "частный", "крупный", "тёплый", "холодный", "свободный",
+    "опасный", "прекрасный", "интересный", "известный",
+    "современный", "народный", "международный", "серьёзный",
+    "обычный", "различный", "отличный", "научный", "длинный",
+    "трудный", "бедный", "богатый", "молодой", "здоровый",
+    "готовый", "правильный", "реальный", "специальный",
+    "социальный", "финансовый", "военный", "государственный",
+    "культурный", "электронный", "цифровой", "мобильный",
+    "локальный", "глобальный", "центральный", "региональный",
+    "национальный", "официальный", "популярный", "стабильный",
 ]
 RU_ADJ_VELAR = [
     "высокий", "низкий", "широкий", "долгий", "строгий", "мягкий",
     "лёгкий", "тихий", "другой",
+    # round-5 extension (к/г/х stems incl. -ческий)
+    "мелкий", "гибкий", "горький", "яркий", "громкий", "тонкий",
+    "крепкий", "редкий", "близкий", "далёкий", "глубокий",
+    "политический", "экономический", "технический", "практический",
+    "исторический", "классический", "физический", "химический",
+    "биологический", "математический", "логический",
+    "автоматический", "динамический", "статический",
+    "критический", "теоретический",
 ]
-RU_ADJ_SOFT = ["последний", "синий", "ранний", "средний"]
+RU_ADJ_SOFT = ["последний", "синий", "ранний", "средний",
+               "крайний", "летний", "зимний", "вечерний", "утренний",
+               "соседний", "древний", "верхний", "нижний", "дальний"]
 
 
 def build_ru() -> dict:
@@ -1157,8 +1471,11 @@ def build_ru() -> dict:
             add(t, inf[:-5] + "уя", inf)  # gerund: используя
         else:
             add(t, inf[:-2] + "я", inf)   # gerund: работая
-        add(t, inf[:-2] + "вший", inf)   # past active: работавший
-        add(t, inf[:-2] + "вшие", inf)
+        # past active participle, full adjectival declension
+        vstem = inf[:-2] + "вш"  # работа-вш
+        for suf in ("ий", "ая", "ее", "ие", "его", "ему", "им", "ей",
+                    "ую", "их", "ими"):
+            add(t, vstem + suf, inf)
     for inf in RU_NN_PARTICIPLE:
         pstem = inf[:-2] + "нн"  # сдела-нн
         for suf in ("ый", "ая", "ое", "ые", "ого", "ым", "ой", "ую",
@@ -1167,6 +1484,35 @@ def build_ru() -> dict:
     for lemma, forms in RU_NOUNS.items():
         for f in forms:
             add(t, f, lemma)
+    # mechanical noun classes (round-5): affix-regular declensions only
+    for lemma in RU_NOUN_M_HARD:
+        for suf in ("а", "у", "ом", "е", "ы", "ов", "ам", "ами", "ах"):
+            add(t, lemma + suf, lemma)
+    for lemma in RU_NOUN_M_VELAR:
+        for suf in ("а", "у", "ом", "е", "и", "ов", "ам", "ами", "ах"):
+            add(t, lemma + suf, lemma)
+    for lemma in RU_NOUN_F_A:
+        stem = lemma[:-1]
+        for suf in ("ы", "е", "у", "ой", "ам", "ами", "ах"):
+            add(t, stem + suf, lemma)
+        if len(stem) >= 4:  # bare-stem gen-pl only when unambiguous
+            add(t, stem, lemma)  # (тем/мер/эр collide with function words)
+    for lemma in RU_NOUN_F_GA:
+        stem = lemma[:-1]
+        for suf in ("и", "е", "у", "ой", "ам", "ами", "ах"):
+            add(t, stem + suf, lemma)
+        if len(stem) >= 4:
+            add(t, stem, lemma)
+    for lemma in RU_NOUN_NIE:
+        stem = lemma[:-1]  # значени-
+        for suf in ("я", "ю", "ем", "и", "ям", "ями", "ях"):
+            add(t, stem + suf, lemma)
+        add(t, stem[:-1] + "й", lemma)  # gen pl: значений
+    for lemma in RU_NOUN_F_IYA:
+        stem = lemma[:-1]  # информаци-
+        for suf in ("и", "ю", "ей", "ям", "ями", "ях"):
+            add(t, stem + suf, lemma)
+        add(t, stem[:-1] + "й", lemma)  # gen pl: информаций
     for lemma in RU_ADJ_HARD:
         stem = lemma[:-2]
         for suf in _RU_ADJ_HARD:

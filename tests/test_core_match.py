@@ -259,11 +259,52 @@ def test_lemma_table_depth_floor():
     }
     assert not shallow, f"languages below the 300-entry floor: {shallow}"
     # pl/ru approximate the reference's *model* mode
-    # (spacy_tokenizer.py:208-215) — round-4 verdict raised their floor
-    # to 1,000 paradigm entries each
+    # (spacy_tokenizer.py:208-215) — round-5 verdict raised their floor
+    # to 5,000 paradigm entries each (participle/noun/adjective
+    # paradigms in scripts/gen_lemma_tables.py)
     for lang in ("pl", "ru"):
         n = len(load_lemma_table(lang))
-        assert n >= 1000, f"{lang} model-mode table too thin: {n}"
+        assert n >= 5000, f"{lang} model-mode table too thin: {n}"
+
+
+def test_lemma_unseen_inflections_pl_ru():
+    """Adversarial fixture: inflected forms NOT in any hand list — they
+    only resolve if the paradigm GENERATORS (verbal nouns, passive/past
+    participles with full declensions, mechanical noun classes,
+    extended adjective paradigms) produce them."""
+    from raykg.core.lemma import Lemmatizer
+
+    pl = Lemmatizer("pl")
+    for form, lemma in [
+        ("skonfigurowałem", "skonfigurować"),   # new -ować verb, past 1sg
+        ("zmodyfikowałybyście", None),          # conditional 2pl-fem: absent is OK
+        ("wygenerowania", "wygenerowanie"),     # verbal noun gen
+        ("robieniu", "robienie"),               # verbal noun dat/loc
+        ("uczonych", "uczyć"),                  # -ony participle gen-pl
+        ("sprawdzonego", "sprawdzić"),          # -ony participle gen-sg
+        ("młodzi", "młody"),                    # virile adjective
+        ("centralnymi", "centralny"),           # adjective instr-pl
+        ("dokumentach", "dokument"),            # noun loc-pl
+        ("informacjami", "informacja"),         # noun instr-pl
+    ]:
+        if lemma is not None:
+            assert pl.lemma(form) == lemma, form
+    ru = Lemmatizer("ru")
+    for form, lemma in [
+        ("обновляете", "обновлять"),            # new imperfective 2pl
+        ("обновлю", "обновить"),                # labial 1sg epenthetic л
+        ("завершила", "завершить"),             # new perfective past fem
+        ("загрузишь", "загрузить"),             # mutation-safe 2sg
+        ("тестирую", "тестировать"),            # -ировать present
+        ("использованиях", "использование"),    # -ние noun loc-pl
+        ("конфигурацию", "конфигурация"),       # -ция noun acc
+        ("разработанными", "разработать"),      # -нный participle instr-pl
+        ("анализировавшего", "анализировать"),  # past active gen-sg
+        ("политическими", "политический"),      # -ческий adj instr-pl
+        ("источниками", "источник"),            # velar noun instr-pl
+        ("глубоких", "глубокий"),               # velar adj gen-pl
+    ]:
+        assert ru.lemma(form) == lemma, form
 
 
 def test_lemma_reference_parity_pins():
