@@ -164,6 +164,129 @@ def build_graph(
     return report
 
 
+def build_prep_corpus(
+    documents,
+    out_dir: str,
+    num_partitions: int = 64,
+    resume: bool = True,
+    lang: str = "en",
+    min_quality: int = 40,
+    jaccard_threshold: float = 0.2,
+    testset=None,
+    pack_capacity: int = 2048,
+) -> dict:
+    """The LLM training-data prep chain as a RESUMABLE job: language
+    filter -> quality filter -> near-dup dedup (exact n-gram Jaccard +
+    connected components) -> optional decontamination against a test
+    set -> token packing.  Each stage persists through the partitioned
+    writer (per-partition atomic manifests), so a killed run resumes:
+
+        out/kept/part=NNNNN/...       (doc_id, text)  hash(doc_id)
+        out/canonical/part=NNNNN/...  (doc_id, text)  cluster survivors
+        out/clean/part=NNNNN/...      (doc_id, text)  only with testset
+        out/packed/part=NNNNN/...     (doc_id, shard, bin, n_tok)
+
+    Resume semantics per stage: ``kept`` prunes already-complete
+    doc-hash partitions BEFORE the lang-id actor pool (the expensive
+    stage reruns only over the missing slice); the shuffle stages
+    (dedup, pack) are skipped ENTIRELY when their output is complete
+    and otherwise recompute from the previous stage's on-disk table —
+    their interior exchanges are not partition-resumable, the stage
+    boundary is the checkpoint.  At 100 TB this chain, not the tag
+    chain, is the long pole; every stage reads its predecessor's
+    partitioned parquet, never the raw corpus twice."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .ops import dedup as dedup_ops
+    from .ops import text as text_ops
+    from .ops.components import connected_components, dedup_survivors
+    from .ops.hashing import bucket_column
+    from .ops.pack import pack_bins
+    from .pipeline.io import PartitionedWriter
+
+    fingerprint = json.dumps(
+        {
+            "lang": lang,
+            "min_quality": min_quality,
+            "jaccard_threshold": jaccard_threshold,
+            "decontam": testset is not None,
+            "pack_capacity": pack_capacity,
+        },
+        sort_keys=True,
+    )
+    report: dict = {"out_dir": out_dir, "tables": {}}
+
+    def _rows(writer) -> int:
+        return sum(
+            json.load(open(writer.manifest_path(p))).get("rows", 0)
+            for p in writer.done_partitions(fingerprint=fingerprint)
+        )
+
+    # stage 1: filter — prune complete partitions BEFORE the actor pool
+    w_kept = PartitionedWriter(os.path.join(out_dir, "kept"), num_partitions)
+    done_k = w_kept.done_partitions(fingerprint=fingerprint) if resume else set()
+    stage_in = documents
+    if done_k and len(done_k) < num_partitions:
+        done_arr = pa.array(sorted(done_k), type=pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            pcol = bucket_column(batch["doc_id"], num_partitions, stable_str=True)
+            return batch.filter(pc.invert(pc.is_in(pcol, value_set=done_arr)))
+
+        stage_in = documents.map_batches(drop_done, batch_format="pyarrow")
+    if len(done_k) < num_partitions:
+        scored = text_ops.add_quality(
+            text_ops.add_lang_id(stage_in, concurrency=(1, 8))
+        )
+        kept = scored.map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.equal(b["pred_lang"], lang),
+                    pc.greater_equal(b["quality_score"], min_quality),
+                )
+            ).select(["doc_id", "text"]),
+            batch_format="pyarrow",
+        )
+        w_kept.write(kept, key_column="doc_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["kept"] = {"rows": _rows(w_kept)}
+
+    # stage 2: near-dup dedup — stage-boundary checkpoint (skip entirely
+    # when complete; the interior exchanges are not partition-resumable)
+    w_can = PartitionedWriter(os.path.join(out_dir, "canonical"), num_partitions)
+    if len(w_can.done_partitions(fingerprint=fingerprint) if resume else set()) < num_partitions:
+        kept_ds = w_kept.read()
+        pairs = dedup_ops.ngram_jaccard_pairs(
+            kept_ds, threshold=jaccard_threshold
+        )
+        clusters = connected_components(pairs)
+        canonical = dedup_survivors(kept_ds, clusters)
+        w_can.write(canonical, key_column="doc_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["canonical"] = {"rows": _rows(w_can)}
+    final = w_can
+
+    # stage 3: decontamination (optional)
+    if testset is not None:
+        w_clean = PartitionedWriter(os.path.join(out_dir, "clean"), num_partitions)
+        if len(w_clean.done_partitions(fingerprint=fingerprint) if resume else set()) < num_partitions:
+            from .ops.decontam import decontaminate
+
+            cleaned = decontaminate(w_can.read(), testset)
+            w_clean.write(cleaned, key_column="doc_id", resume=resume, fingerprint=fingerprint)
+        report["tables"]["clean"] = {"rows": _rows(w_clean)}
+        final = w_clean
+
+    # stage 4: token packing
+    w_pack = PartitionedWriter(os.path.join(out_dir, "packed"), num_partitions)
+    if len(w_pack.done_partitions(fingerprint=fingerprint) if resume else set()) < num_partitions:
+        packed = pack_bins(final.read(), capacity=pack_capacity)
+        w_pack.write(packed, key_column="doc_id", resume=resume, fingerprint=fingerprint)
+    report["tables"]["packed"] = {"rows": _rows(w_pack)}
+    return report
+
+
 def update_graph(
     transcripts,
     ontology,
@@ -335,6 +458,16 @@ def main(argv=None) -> int:
                    help="path to a text file of conv_ids (one per line): "
                         "incrementally refresh ONLY their hash partitions "
                         "of an existing --out graph (update_graph)")
+    p.add_argument("--prep", action="store_true",
+                   help="run the LLM prep-corpus chain (filter -> dedup "
+                        "-> decontam -> pack) instead of the KG chain; "
+                        "--input must be a documents parquet")
+    p.add_argument("--min-quality", type=int, default=40)
+    p.add_argument("--jaccard-threshold", type=float, default=0.2)
+    p.add_argument("--pack-capacity", type=int, default=2048)
+    p.add_argument("--decontam", default=None,
+                   help="test-set parquet (text column) to decontaminate "
+                        "against (13-gram overlap removal)")
     p.add_argument("--pagerank", action="store_true",
                    help="also materialize node PageRank (out/node_ranks)")
     p.add_argument("--entity-ids", action="store_true",
@@ -402,6 +535,24 @@ def main(argv=None) -> int:
             transcripts = ray.data.read_parquet(args.input)
 
         t0 = time.perf_counter()
+        if args.prep:
+            docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+            testset = (
+                ray.data.read_parquet(args.decontam) if args.decontam else None
+            )
+            report = build_prep_corpus(
+                docs,
+                args.out,
+                num_partitions=args.num_partitions,
+                resume=not args.no_resume,
+                min_quality=args.min_quality,
+                jaccard_threshold=args.jaccard_threshold,
+                testset=testset,
+                pack_capacity=args.pack_capacity,
+            )
+            report["seconds"] = round(time.perf_counter() - t0, 2)
+            print(json.dumps(report))
+            return 0
         if args.changed_convs:
             with open(args.changed_convs) as f:
                 changed = [line.strip() for line in f if line.strip()]

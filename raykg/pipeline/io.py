@@ -211,7 +211,10 @@ class PartitionedWriter:
                 if json.load(f).get("rows", 0) == 0:
                     continue
             paths.append(os.path.join(self._part_dir(p), "data.parquet"))
-        return ray.data.read_parquet(paths)
+        # partitioning=None: the part=NNNNN directory name is writer
+        # bookkeeping — hive inference would resurrect it as a column and
+        # collide with the next stage's routing column
+        return ray.data.read_parquet(paths, partitioning=None)
 
     # -- incremental maintenance ---------------------------------------------
 

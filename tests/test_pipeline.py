@@ -521,3 +521,55 @@ def test_mention_context_first_occurrence_orders_by_sentence(
     # keyword, not the later sentence whose within-sentence offset is 0
     assert "We love spark" in row["ctx"].iloc[0]
     assert "rules" not in row["ctx"].iloc[0]
+
+
+def test_prep_corpus_job_resume_and_decontam(ray_session, tmp_path):
+    """The LLM prep chain as a resumable job: filter -> dedup -> decontam
+    -> pack with per-stage manifests.  A finished run re-skips entirely;
+    a partially-invalidated kept stage recomputes only its missing
+    partitions; decontam drops exactly the planted overlap."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from raykg.job import build_prep_corpus
+    from raykg.pipeline.io import PartitionedWriter
+    from raykg.pipeline.transcripts import read_documents_scaled
+
+    out = str(tmp_path / "prep")
+    docs = read_documents_scaled("/root/testdata/sf0.001", 2, salt_vocab=True)
+    r1 = build_prep_corpus(docs, out, num_partitions=4)
+    assert r1["tables"]["kept"]["rows"] > 0
+    assert 0 < r1["tables"]["canonical"]["rows"] <= r1["tables"]["kept"]["rows"]
+    assert r1["tables"]["packed"]["rows"] == r1["tables"]["canonical"]["rows"]
+
+    # full resume: identical report, no recompute
+    docs2 = read_documents_scaled("/root/testdata/sf0.001", 2, salt_vocab=True)
+    r2 = build_prep_corpus(docs2, out, num_partitions=4)
+    assert r2["tables"] == r1["tables"]
+
+    # partial resume of the filter stage: invalidate one partition,
+    # re-run, rows must come back exactly
+    w_kept = PartitionedWriter(out + "/kept", 4)
+    w_kept.invalidate([1])
+    docs3 = read_documents_scaled("/root/testdata/sf0.001", 2, salt_vocab=True)
+    r3 = build_prep_corpus(docs3, out, num_partitions=4)
+    assert r3["tables"]["kept"]["rows"] == r1["tables"]["kept"]["rows"]
+
+    # decontam: plant a test set that shares a 13-gram with some kept doc
+    kept_texts = (
+        PartitionedWriter(out + "/kept", 4).read().take(5)
+    )
+    long_docs = [r["text"] for r in kept_texts if len(r["text"].split()) >= 13]
+    if long_docs:
+        testset = ray.data.from_arrow(
+            pa.table({"text": [long_docs[0]]})
+        )
+        out2 = str(tmp_path / "prep_clean")
+        docs4 = read_documents_scaled("/root/testdata/sf0.001", 2, salt_vocab=True)
+        r4 = build_prep_corpus(
+            docs4, out2, num_partitions=4, testset=testset
+        )
+        assert r4["tables"]["clean"]["rows"] < r4["tables"]["canonical"]["rows"]
+        assert r4["tables"]["packed"]["rows"] == r4["tables"]["clean"]["rows"]
