@@ -933,6 +933,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -946,9 +948,14 @@ def decode_audio(payload: bytes) -> Tuple[int, np.ndarray]:
         from raykg.ops.flac import decode_flac
 
         return decode_flac(payload)
+    if kind == "mp4":
+        from raykg.ops.mp4 import decode_mp4_audio
+
+        return decode_mp4_audio(payload)
     raise NotImplementedError(
         "unrecognized audio container; supported: WAV (PCM/ADPCM/G.711), "
-        "FLAC (MP3 remains the library plug-point)"
+        "FLAC, MP4 (PCM tracks; AAC and MP3 synthesis remain the codec "
+        "plug-points)"
     )
 
 

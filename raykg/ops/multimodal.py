@@ -324,6 +324,87 @@ def documents_to_mjpeg_media(batch: pa.Table) -> pa.Table:
     )
 
 
+def documents_to_mp4_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL MP4 payloads (``ops/mp4.py``): one ``sowt``
+    (LE PCM) audio track of 64+d1%192 samples
+    s_i = ((d2 + 17*i) % 256 - 128) * (1 + d3 % 7), muxed with a
+    digest-derived samples_per_chunk (37 + d5 % 53) so the stsc/stco
+    chunk walk hits ragged multi-chunk layouts.  PCM-in-MP4 is
+    LOSSLESS, so arbitrary waveforms round-trip bit-exactly and the SQL
+    oracle mirrors decoded sums in integer arithmetic — the container
+    demux (box tree + three-table sample walk) is what this pins."""
+    from . import mp4
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        n = 64 + d[1] % 192
+        gain = 1 + d[3] % 7
+        sig = (((d[2] + 17 * np.arange(n)) % 256 - 128) * gain).astype(np.int16)
+        payloads.append(
+            mp4.encode_mp4_audio(sig, 16000, samples_per_chunk=37 + d[5] % 53)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def documents_to_mp4v_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL MP4 VIDEO payloads: an MJPEG ('jpeg' sample
+    entry) track of 1+d5%3 DC-only frames, same byte-exact tile
+    construction as ``documents_to_mjpeg_media`` (offset 29*f per
+    frame) — pins the video-track demux path with the same
+    SQL-mirrorable sums."""
+    from . import jpeg, mp4
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        tw, th, nf = 1 + d[3] % 3, 1 + d[4] % 3, 1 + d[5] % 3
+        tx, ty = np.meshgrid(np.arange(tw), np.arange(th))
+        frames = []
+        for f in range(nf):
+            tiles = ((d[0] + 11 * tx + 23 * ty + 29 * f) % 256).astype(np.uint8)
+            gray = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+            rgb = np.repeat(gray[:, :, None], 3, axis=2)
+            frames.append(jpeg.encode_jpeg(rgb, quality=90, subsample="420"))
+        payloads.append(
+            mp4.encode_mp4_mjpeg(frames, fps=10, width=tw * 8, height=th * 8)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def decode_mp4_frame_sums(batch: pa.Table) -> pa.Table:
+    """REAL MP4 video demux + per-frame JPEG decode -> frame count +
+    exact gray-channel pixel sum (mirrors ``decode_mjpeg_frame_sums``)."""
+    from . import mp4
+
+    n_frames, sums = [], []
+    for p in batch["payload"].to_pylist():
+        frames = mp4.decode_mp4_frames(bytes(p))
+        n_frames.append(len(frames))
+        sums.append(
+            int(sum(int(f[:, :, 0].astype(np.int64).sum()) for f in frames))
+        )
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+            "sum_px": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
 def decode_mjpeg_frame_sums(batch: pa.Table) -> pa.Table:
     """REAL MJPEG decode -> frame count + exact gray-channel pixel sum
     over all frames (mirrors ``decode_gif_frame_sums``)."""

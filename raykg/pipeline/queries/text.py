@@ -470,6 +470,32 @@ def q_media_flac(sf_dir: str):
     return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
 
 
+def q_media_mp4(sf_dir: str):
+    """REAL MP4 container demux through the pipeline (`ops/mp4.py`:
+    ISO-BMFF box tree + stsd/stts/stsc/stsz/stco sample walk with
+    digest-derived ragged chunking) over a lossless `sowt` PCM track —
+    decoded sample sums mirrored in SQL with pure integer arithmetic.
+    The container walk is fully real; compressed codecs (AAC) remain
+    the documented plug-point."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_mp4_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_audio_sums, batch_format="pyarrow")
+
+
+def q_media_mp4v(sf_dir: str):
+    """REAL MP4 VIDEO track demux + per-frame JPEG decode
+    (`ops/mp4.py` 'jpeg' sample entries -> `ops/jpeg.py`): DC-only
+    frames round-trip byte-exactly, so frame counts and pixel sums are
+    mirrored in SQL with modular arithmetic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(mm_ops.documents_to_mp4v_media, batch_format="pyarrow")
+    return media.map_batches(mm_ops.decode_mp4_frame_sums, batch_format="pyarrow")
+
+
 def q_media_mjpeg(sf_dir: str):
     """REAL MJPEG video decode through the pipeline
     (`ops/codecs.py split_mjpeg` marker-aware frame splitter +
@@ -815,6 +841,8 @@ QUERIES["media_gif"] = q_media_gif
 QUERIES["media_jpeg"] = q_media_jpeg
 QUERIES["media_wav"] = q_media_wav
 QUERIES["media_flac"] = q_media_flac
+QUERIES["media_mp4"] = q_media_mp4
+QUERIES["media_mp4v"] = q_media_mp4v
 QUERIES["media_mjpeg"] = q_media_mjpeg
 QUERIES["media_ulaw"] = q_media_ulaw
 QUERIES["media_alaw"] = q_media_alaw
@@ -950,6 +978,31 @@ ORACLE_SQL["media_flac"] = f"""
            CAST(n AS BIGINT) AS n_samples,
            CAST(SUM(v) AS BIGINT) AS sum_amp
     FROM samp GROUP BY media_id, n
+"""
+ORACLE_SQL["media_mp4"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d2, 1 + d3 % 7 AS g, 64 + d1 % 192 AS n FROM d),
+    samp AS (SELECT media_id, n,
+                    g * (((d2 + 17 * i.i) % 256) - 128) AS v
+             FROM dims, UNNEST(generate_series(0, n - 1)) i(i))
+    SELECT media_id, CAST(16000 AS INTEGER) AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_amp
+    FROM samp GROUP BY media_id, n
+"""
+ORACLE_SQL["media_mp4v"] = f"""
+    WITH {_MD5_BYTES_CTE},
+    dims AS (SELECT media_id, d0, 1 + d3 % 3 AS tw, 1 + d4 % 3 AS th,
+                    1 + d5 % 3 AS nf FROM d),
+    cells AS (SELECT media_id, nf, d0, xs.tx, ys.ty, fs.f
+              FROM dims,
+                   UNNEST(generate_series(0, tw - 1)) xs(tx),
+                   UNNEST(generate_series(0, th - 1)) ys(ty),
+                   UNNEST(generate_series(0, nf - 1)) fs(f))
+    SELECT media_id, CAST(nf AS INTEGER) AS n_frames,
+           CAST(64 * SUM((d0 + 11 * tx + 23 * ty + 29 * f) % 256) AS BIGINT)
+               AS sum_px
+    FROM cells GROUP BY media_id, nf
 """
 ORACLE_SQL["media_mjpeg"] = f"""
     WITH {_MD5_BYTES_CTE},
