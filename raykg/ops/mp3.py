@@ -1,0 +1,594 @@
+"""MPEG-1 Audio Layer III (MP3) bitstream decode — ISO/IEC 11172-3 —
+in pure python/numpy.
+
+What is REAL here (and exactly verifiable):
+
+- **frame sync + header** (bitrate/samplerate/padding/mode fields),
+- **side information** (mono + stereo layouts: main_data_begin, scfsi,
+  per-granule part2_3_length / big_values / global_gain /
+  scalefac_compress / table_select / region counts / flags),
+- **bit reservoir**: main data reassembled across frames via
+  main_data_begin, exactly as the spec's reservoir machinery requires,
+- **scalefactor decode** (long-block slen1/slen2 with scfsi sharing),
+- **Huffman decode** of the big_values and count1 regions.  The code
+  tables included (0-3 for pairs, A and B for count1 quads) are checked
+  at import time for PREFIX-FREENESS and KRAFT COMPLETENESS (sum of
+  2^-len == 1) — a mis-transcribed table cannot load silently.  The
+  remaining pair tables (4-31) are a pure DATA gap: the machinery
+  (region split by scalefactor bands, linbits escapes, sign bits) is
+  table-generic, and `HUFFMAN_TABLES[n] = _build(...)` is the entire
+  integration point,
+- **requantization** (gain 2^((global_gain-210)/4), scalefac_scale,
+  preflag/pretab, |x|^(4/3)),
+- **alias reduction** (the 8 cs/ca butterflies per subband boundary),
+- **36-point IMDCT + sine window + overlap-add + frequency inversion**
+  for long (block_type 0) granules, vectorized as one matrix product.
+
+The LAST stage — the polyphase synthesis filterbank that turns 32
+subband samples into PCM — requires the 512-coefficient synthesis
+window of ISO Table 3-B.3, which is pure published table DATA with no
+closed form.  `synthesize()` accepts that table (`d_table=`, or a .npy
+via RAYKG_MP3_DTABLE) and raises a clear error without it.  Everything
+above it — the actual *decoding* — runs for real and is pinned by the
+`media_mp3` oracle query against planted integer spectra.
+
+A tiny mono encoder (`encode_mp3`) emits spec-conformant frames
+(44.1 kHz, long blocks, table-1 big values, gain 210) from chosen
+quantized spectra, so fixtures exercise the full header → reservoir →
+Huffman → requantize → IMDCT chain with exactly known values.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "encode_mp3", "parse_mp3_frames", "decode_mp3_granules",
+    "decode_mp3_spectrum", "imdct_long", "synthesize",
+]
+
+# --- constants ----------------------------------------------------------------
+
+BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                  256, 320, -1]  # kbit/s; index 0 free, 15 forbidden
+SAMPLE_RATES_V1 = [44100, 48000, 32000, -1]
+
+# long-block scalefactor band boundaries (start index of each band; the
+# final entry is 576) — ISO Table 3-B.8 for MPEG-1
+SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+
+# scalefac_compress -> (slen1, slen2), ISO 2.4.2.7
+SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+
+PRETAB = np.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3,
+                   3, 3, 2, 0], dtype=np.int64)
+
+# alias-reduction coefficients (ISO 2.4.3.4.10.1): ci -> cs, ca
+_ALIAS_C = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041,
+                     -0.0142, -0.0037])
+_ALIAS_CS = 1.0 / np.sqrt(1.0 + _ALIAS_C ** 2)
+_ALIAS_CA = _ALIAS_C * _ALIAS_CS
+
+
+# --- Huffman tables -----------------------------------------------------------
+
+def _build_pairs(entries: List[Tuple[int, int, int, int]]) -> Dict[str, Tuple[int, int]]:
+    """entries = [(x, y, hlen, hcod)] -> {bitstring: (x, y)}; validates
+    prefix-freeness and Kraft completeness (both must hold for a spec
+    table — a transcription slip cannot load silently)."""
+    table: Dict[str, Tuple[int, int]] = {}
+    for x, y, hlen, hcod in entries:
+        code = format(hcod, f"0{hlen}b")
+        table[code] = (x, y)
+    codes = sorted(table)
+    for i, c in enumerate(codes):
+        for c2 in codes[i + 1:]:
+            if c2.startswith(c):
+                raise AssertionError(f"huffman prefix clash: {c} / {c2}")
+    kraft = sum(2.0 ** -len(c) for c in codes)
+    if abs(kraft - 1.0) > 1e-12:
+        raise AssertionError(f"huffman table incomplete: kraft={kraft}")
+    return table
+
+# ISO 11172-3 Annex B: pair tables.  Table 0 decodes everything to 0.
+HUFFMAN_TABLES: Dict[int, Optional[Dict[str, Tuple[int, int]]]] = {
+    0: {},  # all-zero region: no bits read
+    1: _build_pairs([
+        (0, 0, 1, 1), (0, 1, 3, 1), (1, 0, 2, 1), (1, 1, 3, 0),
+    ]),
+    2: _build_pairs([
+        (0, 0, 1, 1), (0, 1, 3, 2), (0, 2, 6, 1),
+        (1, 0, 3, 3), (1, 1, 3, 1), (1, 2, 5, 1),
+        (2, 0, 5, 3), (2, 1, 5, 2), (2, 2, 6, 0),
+    ]),
+    3: _build_pairs([
+        (0, 0, 2, 3), (0, 1, 2, 2), (0, 2, 6, 1),
+        (1, 0, 3, 1), (1, 1, 2, 1), (1, 2, 5, 1),
+        (2, 0, 5, 3), (2, 1, 5, 2), (2, 2, 6, 0),
+    ]),
+}
+# tables 4..31: pure table DATA from Annex B — the machinery above is
+# generic; add `HUFFMAN_TABLES[n] = _build_pairs([...])` (+ LINBITS) to
+# enable.  Table 4 and 14 are not used by the spec.
+LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+           24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
+
+def _build_quads(entries: List[Tuple[int, int, int]]) -> Dict[str, Tuple[int, int, int, int]]:
+    table: Dict[str, Tuple[int, int, int, int]] = {}
+    for q, hlen, hcod in entries:
+        code = format(hcod, f"0{hlen}b")
+        table[code] = ((q >> 3) & 1, (q >> 2) & 1, (q >> 1) & 1, q & 1)
+    codes = sorted(table)
+    for i, c in enumerate(codes):
+        for c2 in codes[i + 1:]:
+            if c2.startswith(c):
+                raise AssertionError(f"count1 prefix clash: {c} / {c2}")
+    kraft = sum(2.0 ** -len(c) for c in codes)
+    if abs(kraft - 1.0) > 1e-12:
+        raise AssertionError(f"count1 table incomplete: kraft={kraft}")
+    return table
+
+# count1 (quadruple) tables, ISO Annex B: A is variable-length, B is
+# the fixed 4-bit complement code.
+COUNT1_A = _build_quads([
+    (0, 1, 1), (1, 4, 5), (2, 4, 4), (3, 5, 5), (4, 4, 6), (5, 6, 5),
+    (6, 5, 4), (7, 6, 4), (8, 4, 7), (9, 5, 3), (10, 5, 6), (11, 6, 0),
+    (12, 5, 7), (13, 6, 2), (14, 6, 3), (15, 6, 1),
+])
+COUNT1_B = _build_quads([(q, 4, 15 - q) for q in range(16)])
+
+
+# --- bit I/O ------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("MP3 bitstream underrun")
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+    def read_huffman(self, table: Dict[str, tuple]):
+        code = ""
+        while True:
+            code += str(self.read(1))
+            if code in table:
+                return table[code]
+            if len(code) > 19:
+                raise ValueError("invalid Huffman code in MP3 stream")
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out: List[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.out.append((value >> i) & 1)
+
+    def write_code(self, code: str) -> None:
+        self.out.extend(int(c) for c in code)
+
+    def tell(self) -> int:
+        return len(self.out)
+
+    def tobytes(self, pad_to: Optional[int] = None) -> bytes:
+        bits = list(self.out)
+        target = pad_to * 8 if pad_to is not None else (len(bits) + 7) // 8 * 8
+        if len(bits) > target:
+            raise ValueError("MP3 frame overflow")
+        bits += [0] * (target - len(bits))
+        return np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+
+
+# --- side info dataclasses ----------------------------------------------------
+
+@dataclass
+class GranuleInfo:
+    part2_3_length: int = 0
+    big_values: int = 0
+    global_gain: int = 210
+    scalefac_compress: int = 0
+    window_switching: int = 0
+    block_type: int = 0
+    table_select: Tuple[int, int, int] = (1, 1, 1)
+    region0_count: int = 0
+    region1_count: int = 0
+    preflag: int = 0
+    scalefac_scale: int = 0
+    count1table_select: int = 0
+
+
+@dataclass
+class Frame:
+    sample_rate: int
+    bitrate: int
+    main_data_begin: int
+    granules: List[GranuleInfo] = field(default_factory=list)
+    main_data: bytes = b""
+
+
+# --- encoder ------------------------------------------------------------------
+
+def _huffman_encode_pair(w: _BitWriter, x: int, y: int) -> None:
+    ax, ay = abs(x), abs(y)
+    if ax > 1 or ay > 1:
+        raise ValueError("encoder emits table-1 values (|v| <= 1) only")
+    inv = {v: k for k, v in HUFFMAN_TABLES[1].items()}
+    w.write_code(inv[(ax, ay)])
+    if ax:
+        w.write(1 if x < 0 else 0, 1)
+    if ay:
+        w.write(1 if y < 0 else 0, 1)
+
+
+def encode_mp3(
+    granule_spectra: List[np.ndarray],
+    bitrate_kbps: int = 64,
+    global_gain: int = 210,
+    reservoir_shift: int = 0,
+) -> bytes:
+    """Mono 44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED
+    spectra: each entry of ``granule_spectra`` is an int array (values
+    in {-1, 0, 1}, length <= 576); consecutive pairs of granules form
+    frames (a final odd granule pads with a zero spectrum).  Long
+    blocks, table 1, no scalefactors.  ``reservoir_shift`` > 0 moves
+    that many bytes of every non-first frame's main data into the
+    previous frame's stuffing area and sets ``main_data_begin``
+    accordingly — real bit-reservoir layout, exercising the decoder's
+    reservoir reassembly."""
+    frames = []
+    specs = [np.asarray(s, dtype=np.int64) for s in granule_spectra]
+    if len(specs) % 2:
+        specs.append(np.zeros(0, dtype=np.int64))
+    rate_idx = 0  # 44100
+    bidx = BITRATES_V1_L3.index(bitrate_kbps)
+    frame_len = 144 * bitrate_kbps * 1000 // 44100  # no padding bit
+    for gi in range(0, len(specs), 2):
+        gr_bits: List[Tuple[GranuleInfo, List[int]]] = []
+        for spec in (specs[gi], specs[gi + 1]):
+            if len(spec) > 576:
+                raise ValueError("spectrum longer than 576")
+            nz = np.flatnonzero(spec)
+            last = (int(nz[-1]) + 1 if len(nz) else 0)
+            big_values = (last + 1) // 2
+            w = _BitWriter()
+            for p in range(big_values):
+                x = int(spec[2 * p]) if 2 * p < len(spec) else 0
+                y = int(spec[2 * p + 1]) if 2 * p + 1 < len(spec) else 0
+                _huffman_encode_pair(w, x, y)
+            info = GranuleInfo(
+                part2_3_length=w.tell(),
+                big_values=big_values,
+                global_gain=global_gain,
+            )
+            gr_bits.append((info, w.out))
+        frames.append(gr_bits)
+
+    if not 0 <= reservoir_shift <= 511:
+        raise ValueError("main_data_begin is a 9-bit field (0..511)")
+    main_cap = frame_len - 21  # bytes after header(4) + mono side info(17)
+    out_frames: List[bytearray] = []
+    for fi, gr_bits in enumerate(frames):
+        mdb = reservoir_shift if fi > 0 else 0
+        hw = _BitWriter()
+        hw.write(0x7FF, 11)   # sync
+        hw.write(0b11, 2)     # MPEG-1
+        hw.write(0b01, 2)     # Layer III
+        hw.write(1, 1)        # no CRC
+        hw.write(bidx, 4)
+        hw.write(rate_idx, 2)
+        hw.write(0, 1)        # padding
+        hw.write(0, 1)        # private
+        hw.write(0b11, 2)     # mode: mono
+        hw.write(0, 2)        # mode extension
+        hw.write(0, 1)        # copyright
+        hw.write(1, 1)        # original
+        hw.write(0, 2)        # emphasis
+        # side info, mono: 9+5+4 then 2 x 59 bits
+        hw.write(mdb, 9)      # main_data_begin
+        hw.write(0, 5)        # private
+        hw.write(0, 4)        # scfsi
+        for info, _bits in gr_bits:
+            hw.write(info.part2_3_length, 12)
+            hw.write(info.big_values, 9)
+            hw.write(info.global_gain, 8)
+            hw.write(0, 4)    # scalefac_compress
+            hw.write(0, 1)    # window switching: normal long block
+            for t in info.table_select:
+                hw.write(t, 5)
+            hw.write(info.region0_count, 4)
+            hw.write(info.region1_count, 3)
+            hw.write(0, 1)    # preflag
+            hw.write(0, 1)    # scalefac_scale
+            hw.write(0, 1)    # count1table_select
+        head = hw.tobytes(pad_to=21)
+        mw = _BitWriter()
+        for _info, bits in gr_bits:
+            mw.out.extend(bits)
+        used = (mw.tell() + 7) // 8
+        main = mw.tobytes(pad_to=main_cap)
+        if mdb:
+            prev_used = out_frames[-1][1]
+            if prev_used > main_cap - mdb:
+                raise ValueError(
+                    "previous frame has no reservoir room: lower "
+                    "reservoir_shift or the spectrum density"
+                )
+            # real bit-reservoir layout: the first mdb bytes of this
+            # frame's main data live at the END of the previous frame
+            out_frames[-1][0][frame_len - mdb :] = main[:mdb]
+            main = main[mdb:] + b"\x00" * mdb
+            used = max(used - mdb, 0)  # bytes still in OWN region
+        out_frames.append([bytearray(head + main), used])
+    return b"".join(bytes(f[0]) for f in out_frames)
+
+
+# --- decoder ------------------------------------------------------------------
+
+def parse_mp3_frames(payload: bytes) -> List[Frame]:
+    """Sync-scan the stream into frames with parsed side info and raw
+    main-data slices (reservoir NOT yet resolved)."""
+    frames: List[Frame] = []
+    pos = 0
+    n = len(payload)
+    if payload[:3] == b"ID3":  # ID3v2 tag: skip (syncsafe size)
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + size
+    while pos + 4 <= n:
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        if (h >> 21) != 0x7FF:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        version = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if version != 0b11 or layer != 0b01:
+            raise NotImplementedError("only MPEG-1 Layer III supported")
+        crc_absent = (h >> 16) & 1
+        bidx = (h >> 12) & 0xF
+        ridx = (h >> 10) & 3
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("free-format / invalid MP3 header fields")
+        bitrate = BITRATES_V1_L3[bidx]
+        rate = SAMPLE_RATES_V1[ridx]
+        frame_len = 144 * bitrate * 1000 // rate + padding
+        body = payload[pos + 4 : pos + frame_len]
+        off = 0 if crc_absent else 2
+        nch = 1 if mode == 0b11 else 2
+        side_len = 17 if nch == 1 else 32
+        br = _BitReader(body[off : off + side_len])
+        main_data_begin = br.read(9)
+        br.read(5 if nch == 1 else 3)  # private bits
+        scfsi = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+        frame = Frame(rate, bitrate, main_data_begin)
+        frame.scfsi = scfsi  # type: ignore[attr-defined]
+        frame.nch = nch  # type: ignore[attr-defined]
+        for _g in range(2):
+            for _ch in range(nch):
+                g = GranuleInfo()
+                g.part2_3_length = br.read(12)
+                g.big_values = br.read(9)
+                g.global_gain = br.read(8)
+                g.scalefac_compress = br.read(4)
+                g.window_switching = br.read(1)
+                if g.window_switching:
+                    g.block_type = br.read(2)
+                    mixed = br.read(1)
+                    ts = (br.read(5), br.read(5))
+                    sbg = (br.read(3), br.read(3), br.read(3))
+                    g.table_select = (ts[0], ts[1], 0)
+                    g.mixed_block = mixed  # type: ignore[attr-defined]
+                    g.subblock_gain = sbg  # type: ignore[attr-defined]
+                else:
+                    g.table_select = (br.read(5), br.read(5), br.read(5))
+                    g.region0_count = br.read(4)
+                    g.region1_count = br.read(3)
+                g.preflag = br.read(1)
+                g.scalefac_scale = br.read(1)
+                g.count1table_select = br.read(1)
+                frame.granules.append(g)
+        frame.main_data = body[off + side_len :]
+        frames.append(frame)
+        pos += frame_len
+    return frames
+
+
+def decode_mp3_granules(payload: bytes) -> List[dict]:
+    """Full bitstream decode to per-granule spectra (mono): resolves the
+    bit reservoir, decodes scalefactors and Huffman data, requantizes,
+    applies alias reduction and the long-block IMDCT chain.  Returns one
+    dict per granule:
+    {is: int spectrum (576), xr: requantized floats, subbands: (18, 32)
+    time samples after IMDCT/overlap/frequency inversion}."""
+    frames = parse_mp3_frames(payload)
+    out: List[dict] = []
+    reservoir = b""
+    overlap = np.zeros((32, 18))
+    for fr in frames:
+        if fr.nch != 1:  # type: ignore[attr-defined]
+            raise NotImplementedError("stereo main-data decode: mono fixtures only")
+        if fr.main_data_begin > len(reservoir):
+            raise ValueError("MP3 bit reservoir underrun")
+        data = (reservoir[len(reservoir) - fr.main_data_begin :]
+                if fr.main_data_begin else b"") + fr.main_data
+        br = _BitReader(data)
+        sfb = np.array(SFB_LONG[fr.sample_rate], dtype=np.int64)
+        for gi, g in enumerate(fr.granules):
+            start = br.pos
+            if g.window_switching and g.block_type != 0:
+                raise NotImplementedError("short/mixed blocks: fixture scope is long blocks")
+            # scalefactors (long): sfb 0-10 slen1, 11-20 slen2
+            slen1, slen2 = SLEN[g.scalefac_compress]
+            scalefac = np.zeros(22, dtype=np.int64)
+            for band in range(11):
+                scalefac[band] = br.read(slen1)
+            for band in range(11, 21):
+                scalefac[band] = br.read(slen2)
+            # big values: 3 regions split at scalefactor band boundaries
+            r0_end = int(sfb[min(g.region0_count + 1, len(sfb) - 1)])
+            r1_end = int(sfb[min(g.region0_count + 1 + g.region1_count + 1,
+                                 len(sfb) - 1)])
+            spec = np.zeros(576, dtype=np.int64)
+            idx = 0
+            limit = g.big_values * 2
+            while idx < limit:
+                region_table = (
+                    g.table_select[0] if idx < r0_end
+                    else g.table_select[1] if idx < r1_end
+                    else g.table_select[2]
+                )
+                if region_table not in HUFFMAN_TABLES:
+                    raise NotImplementedError(
+                        f"Huffman pair table {region_table} not transcribed "
+                        "(Annex B data plug-point; machinery is generic)"
+                    )
+                table = HUFFMAN_TABLES[region_table]
+                if not table:  # table 0: all zero, no bits
+                    idx += 2
+                    continue
+                x, y = br.read_huffman(table)
+                for v in (x, y):
+                    if v == 15 and region_table in LINBITS:
+                        v += br.read(LINBITS[region_table])
+                    if v and br.read(1):
+                        v = -v
+                    if idx < 576:
+                        spec[idx] = v
+                    idx += 1
+            # count1: quads until part2_3_length exhausted
+            c1 = COUNT1_B if g.count1table_select else COUNT1_A
+            while br.pos - start < g.part2_3_length and idx < 576:
+                quad = br.read_huffman(c1)
+                for v in quad:
+                    if v and br.read(1):
+                        v = -v
+                    if idx < 576:
+                        spec[idx] = v
+                    idx += 1
+            # skip any stuffing up to part2_3_length
+            br.pos = start + g.part2_3_length
+            # requantize (long blocks)
+            gain = 2.0 ** ((g.global_gain - 210) / 4.0)
+            sf_mult = 0.5 * (g.scalefac_scale + 1)
+            band_of = np.searchsorted(sfb[1:], np.arange(576), side="right")
+            band_exp = sf_mult * (
+                scalefac[band_of] + g.preflag * PRETAB[band_of]
+            )
+            xr = (
+                np.sign(spec)
+                * np.abs(spec).astype(np.float64) ** (4.0 / 3.0)
+                * gain
+                * 2.0 ** (-band_exp)
+            )
+            # alias reduction between adjacent subbands
+            xr_ar = xr.copy()
+            for sb in range(1, 32):
+                for i in range(8):
+                    a = xr_ar[sb * 18 - 1 - i]
+                    b = xr_ar[sb * 18 + i]
+                    xr_ar[sb * 18 - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+                    xr_ar[sb * 18 + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+            # IMDCT per subband + overlap-add + frequency inversion
+            sub = np.zeros((32, 18))
+            blocks = xr_ar.reshape(32, 18)
+            z = imdct_long(blocks)  # (32, 36)
+            sub = z[:, :18] + overlap
+            overlap = z[:, 18:]
+            sub[1::2, 1::2] *= -1.0  # frequency inversion, odd subbands
+            out.append({"is": spec, "xr": xr, "subbands": sub.T.copy()})
+        reservoir = (reservoir + fr.main_data)[-511:]
+    return out
+
+
+_IMDCT_N = 36
+_IMDCT_COS = np.cos(
+    np.pi / (2 * _IMDCT_N)
+    * (2 * np.arange(_IMDCT_N)[:, None] + 1 + _IMDCT_N / 2)
+    * (2 * np.arange(18)[None, :] + 1)
+)
+_IMDCT_WIN = np.sin(np.pi / _IMDCT_N * (np.arange(_IMDCT_N) + 0.5))
+
+
+def imdct_long(blocks: np.ndarray) -> np.ndarray:
+    """(n_subbands, 18) spectral -> (n_subbands, 36) windowed time
+    (ISO 2.4.3.4.12, block_type 0): one matrix product for all
+    subbands."""
+    return (blocks @ _IMDCT_COS.T) * _IMDCT_WIN[None, :]
+
+
+def synthesize(
+    subbands: np.ndarray, d_table: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Polyphase synthesis filterbank: (n_slots, 32) subband samples ->
+    PCM (n_slots*32,).  Needs the 512-tap synthesis window of ISO
+    Table 3-B.3 — published table data with no closed form, supplied
+    via ``d_table`` or a .npy path in RAYKG_MP3_DTABLE.  The matrixing
+    (N[k,i] = cos((16+k)(2i+1)pi/64)) and FIFO are implemented; only
+    the window coefficients are external data."""
+    if d_table is None:
+        path = os.environ.get("RAYKG_MP3_DTABLE")
+        if path and os.path.exists(path):
+            d_table = np.load(path)
+    if d_table is None:
+        raise NotImplementedError(
+            "polyphase synthesis needs the ISO 11172-3 Table 3-B.3 window "
+            "(512 coefficients): pass d_table= or set RAYKG_MP3_DTABLE to "
+            "a .npy file. All decode stages above this (header, reservoir, "
+            "Huffman, requantization, alias reduction, IMDCT) are native."
+        )
+    d = np.asarray(d_table, dtype=np.float64)
+    if d.shape != (512,):
+        raise ValueError("d_table must have 512 coefficients")
+    nmat = np.cos((16 + np.arange(64))[:, None] * (2 * np.arange(32)[None, :] + 1)
+                  * np.pi / 64.0)
+    v = np.zeros(1024)
+    out = np.empty(subbands.shape[0] * 32)
+    for t in range(subbands.shape[0]):
+        v = np.roll(v, 64)  # FIFO shift; head is overwritten next
+        v[:64] = nmat @ subbands[t]
+        u = np.empty(512)
+        for i in range(8):
+            u[i * 64 : i * 64 + 32] = v[i * 128 : i * 128 + 32]
+            u[i * 64 + 32 : i * 64 + 64] = v[i * 128 + 96 : i * 128 + 128]
+        w = u * d
+        out[t * 32 : (t + 1) * 32] = w.reshape(16, 32).sum(axis=0)
+    return out
+
+
+def decode_mp3_spectrum(payload: bytes) -> dict:
+    """Bitstream-decode summary used by the oracle query: number of
+    granules, exact integer quantized-spectrum sum and nonzero count
+    (pins header/side-info/reservoir/Huffman byte-exactly), and the
+    float L1 mass of the requantized+IMDCT subband output (proves the
+    spectral chain ran)."""
+    grs = decode_mp3_granules(payload)
+    spec_sum = int(sum(int(g["is"].sum()) for g in grs))
+    nonzero = int(sum(int((g["is"] != 0).sum()) for g in grs))
+    sub_l1 = float(sum(np.abs(g["subbands"]).sum() for g in grs))
+    return {
+        "n_granules": len(grs),
+        "spectrum_sum": spec_sum,
+        "n_nonzero": nonzero,
+        "subband_l1": sub_l1,
+    }

@@ -384,6 +384,58 @@ def documents_to_mp4v_media(batch: pa.Table) -> pa.Table:
     )
 
 
+def documents_to_mp3_media(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL MPEG-1 Layer III payloads (``ops/mp3.py``):
+    2*(1+d5%2) granules of quantized spectra v_j = (d0 + 5j + 7g) % 3
+    - 1 over the first 64+d2%57 coefficients, encoded mono/44.1 kHz
+    with a digest-derived bit-reservoir shift (d3 % 24) — so the corpus
+    exercises frame sync, side info, reservoir reassembly, Huffman
+    (table 1 + sign bits) and requantization with exactly known
+    integer spectra the SQL oracle reproduces."""
+    from . import mp3
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = []
+    for t in batch["text"].to_pylist():
+        d = _doc_digest(t)
+        n = 64 + d[2] % 57
+        ng = 2 * (1 + d[5] % 2)
+        specs = [
+            ((d[0] + 5 * np.arange(n) + 7 * g) % 3) - 1 for g in range(ng)
+        ]
+        payloads.append(
+            mp3.encode_mp3(specs, bitrate_kbps=64, reservoir_shift=d[3] % 24)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def decode_mp3_spectrum_sums(batch: pa.Table) -> pa.Table:
+    """REAL MP3 bitstream decode -> exact integer quantized-spectrum
+    reductions (granule count, value sum, nonzero count) — pins the
+    header/side-info/bit-reservoir/Huffman chain byte-exactly in SQL."""
+    from . import mp3
+
+    ngs, sums, nnz = [], [], []
+    for p in batch["payload"].to_pylist():
+        r = mp3.decode_mp3_spectrum(bytes(p))
+        ngs.append(r["n_granules"])
+        sums.append(r["spectrum_sum"])
+        nnz.append(r["n_nonzero"])
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "n_granules": pa.array(ngs, type=pa.int32()),
+            "spectrum_sum": pa.array(sums, type=pa.int64()),
+            "n_nonzero": pa.array(nnz, type=pa.int64()),
+        }
+    )
+
+
 def decode_mp4_frame_sums(batch: pa.Table) -> pa.Table:
     """REAL MP4 video demux + per-frame JPEG decode -> frame count +
     exact gray-channel pixel sum (mirrors ``decode_mjpeg_frame_sums``)."""

@@ -1,0 +1,102 @@
+"""MPEG-1 Layer III bitstream codec: exact spectrum round-trips across
+bit-reservoir layouts, requantization math, IMDCT parity with the naive
+spec formula, Huffman-table tripwires, and the synthesis plug-point."""
+
+import numpy as np
+import pytest
+
+from raykg.ops import mp3
+
+
+def _specs(n_granules, n=120, seed=0):
+    return [((np.arange(n) * 5 + 7 * g + seed) % 3) - 1 for g in range(n_granules)]
+
+
+def test_spectrum_round_trip_all_reservoir_layouts():
+    specs = _specs(6)
+    for shift in (0, 1, 9, 40, 100):
+        payload = mp3.encode_mp3(specs, bitrate_kbps=64, reservoir_shift=shift)
+        grs = mp3.decode_mp3_granules(payload)
+        assert len(grs) == 6
+        for g, s in enumerate(specs):
+            want = np.zeros(576, dtype=np.int64)
+            want[: len(s)] = s
+            assert (grs[g]["is"] == want).all(), (shift, g)
+
+
+def test_reservoir_overflow_raises_loudly():
+    import pytest
+
+    with pytest.raises(ValueError, match="reservoir room"):
+        mp3.encode_mp3(_specs(4), bitrate_kbps=64, reservoir_shift=180)
+
+
+def test_requantization_gain():
+    # global_gain 214 -> 2^((214-210)/4) = 2.0; |±1|^(4/3) = 1
+    specs = _specs(2, n=32)
+    payload = mp3.encode_mp3(specs, global_gain=214)
+    grs = mp3.decode_mp3_granules(payload)
+    for g, s in enumerate(specs):
+        want = np.zeros(576)
+        want[: len(s)] = s * 2.0
+        assert np.allclose(grs[g]["xr"], want)
+
+
+def test_frame_header_fields():
+    payload = mp3.encode_mp3(_specs(2), bitrate_kbps=96)
+    (fr,) = mp3.parse_mp3_frames(payload)
+    assert fr.sample_rate == 44100 and fr.bitrate == 96
+    assert len(fr.granules) == 2
+    assert fr.granules[0].global_gain == 210
+    # frame length = 144 * bitrate / rate
+    assert len(payload) == 144 * 96000 // 44100
+
+
+def test_id3v2_tag_skipped():
+    body = mp3.encode_mp3(_specs(2))
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    frames = mp3.parse_mp3_frames(tag + body)
+    assert len(frames) == 1
+
+
+def test_imdct_matches_naive_spec_formula():
+    rng = np.random.default_rng(61)
+    X = rng.normal(size=(32, 18))
+    got = mp3.imdct_long(X)
+    n = 36
+    for sb in (0, 7, 31):
+        for i in (0, 1, 17, 35):
+            naive = sum(
+                X[sb, k] * np.cos(np.pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1))
+                for k in range(18)
+            ) * np.sin(np.pi / n * (i + 0.5))
+            assert abs(got[sb, i] - naive) < 1e-12
+
+
+def test_huffman_tables_kraft_tripwire():
+    # a mis-transcribed (incomplete or clashing) table cannot load
+    with pytest.raises(AssertionError, match="kraft"):
+        mp3._build_pairs([(0, 0, 1, 1), (0, 1, 3, 1), (1, 0, 2, 1)])
+    with pytest.raises(AssertionError, match="prefix"):
+        mp3._build_pairs(
+            [(0, 0, 1, 1), (0, 1, 2, 3), (1, 0, 2, 1), (1, 1, 2, 0)]
+        )
+
+
+def test_synthesis_is_the_documented_plug_point():
+    with pytest.raises(NotImplementedError, match="3-B.3"):
+        mp3.synthesize(np.zeros((18, 32)))
+    d = np.zeros(512)
+    d[0] = 1.0
+    assert mp3.synthesize(np.zeros((18, 32)), d_table=d).shape == (576,)
+
+
+def test_unknown_huffman_table_raises_clearly():
+    # hand-flip the table_select field to an untranscribed table id
+    payload = bytearray(mp3.encode_mp3(_specs(2)))
+    # side info mono: table_select of granule 0 region 0 begins at bit
+    # 4*8 + 9+5+4 + 12+9+8+4+1 = 32+18+34 = 84
+    bitpos = 84
+    payload[bitpos // 8] |= 0x80 >> (bitpos % 8)  # table 1 -> 17
+    with pytest.raises(NotImplementedError, match="not transcribed"):
+        mp3.decode_mp3_granules(bytes(payload))
