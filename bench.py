@@ -234,6 +234,10 @@ def run_bench() -> dict:
     timed("media_mjpeg")
     timed("media_wav")
     timed("media_ulaw")
+    # round-5 additions: MP3 bitstream decode, MP4 container demux
+    timed("media_mp3")
+    timed("media_mp4")
+    timed("media_mp4v")
     # round-4 second-session additions: the statistical-test family,
     # contrastive hard negatives, EWMA streaming window, KM survival
     timed("lineitem_spearman", consume=len)
