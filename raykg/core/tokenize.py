@@ -162,6 +162,32 @@ _KEEP_WHOLE_EXC = {
         "лв.", "хил.", "млн.", "млрд.", "проф.", "др.", "вкл.",
         "тел.",
     },
+    # round-5 breadth: the remaining Slavic/Baltic/Finnic codes whose
+    # abbreviation conventions are well established
+    "sr": {
+        "itd.", "npr.", "tzv.", "tj.", "br.", "str.", "dr.", "prof.",
+        "god.", "mil.", "tis.", "sv.", "ul.", "o.g.", "d.o.o.",
+    },
+    "sk": {
+        "napr.", "atď.", "t.j.", "resp.", "č.", "str.", "tzv.", "sv.",
+        "mil.", "mld.", "tis.", "prof.", "dr.", "spol.", "príp.",
+    },
+    "sl": {
+        "npr.", "itd.", "t.i.", "ipd.", "oz.", "št.", "str.", "dr.",
+        "prof.", "mio.", "tis.", "mlrd.", "d.o.o.", "itn.",
+    },
+    "lt": {
+        "pvz.", "t.y.", "kt.", "pan.", "dr.", "prof.", "nr.", "str.",
+        "tūkst.", "mln.", "mlrd.", "žr.", "Žr.", "pav.", "egz.",
+    },
+    "et": {
+        "nt.", "jne.", "vt.", "lk.", "nr.", "tel.", "dr.", "prof.",
+        "jm.", "vms.", "u.", "st.", "mln.", "mld.",
+    },
+    "lv": {
+        "piem.", "utt.", "u.c.", "t.i.", "lpp.", "nr.", "tel.", "dr.",
+        "prof.", "milj.", "tūkst.", "sk.", "u.tml.", "gs.",
+    },
 }
 _SPLIT_EXC = {
     "de": {

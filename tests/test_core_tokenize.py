@@ -257,3 +257,23 @@ def test_tokenize_hr_uk_el_bg_abbreviations():
         "Δες", "π.χ.", "τη", "σελ.", "πέντε", "."]
     assert toks("Вж. стр. пет, напр. сега.", lang="bg") == [
         "Вж.", "стр.", "пет", ",", "напр.", "сега", "."]
+
+
+def test_tokenize_baltic_finnic_slavic_abbreviations():
+    """Round-5 breadth: sr/sk/sl/lt/et/lv keep-whole exception sets
+    (mirrors the reference's per-language tokenizer-exception method,
+    reference test_spacy_tokenizer.py:15-47)."""
+    assert toks("Vidi npr. ovu stranicu, itd. sutra.", lang="sr") == [
+        "Vidi", "npr.", "ovu", "stranicu", ",", "itd.", "sutra", "."]
+    assert toks("Kúpte napr. chlieb, atď. dnes.", lang="sk") == [
+        "Kúpte", "napr.", "chlieb", ",", "atď.", "dnes", "."]
+    assert toks("Kupi npr. kruh, itd. jutri.", lang="sl") == [
+        "Kupi", "npr.", "kruh", ",", "itd.", "jutri", "."]
+    assert toks("Žr. pvz. puslapį, t.y. dabar.", lang="lt") == [
+        "Žr.", "pvz.", "puslapį", ",", "t.y.", "dabar", "."]
+    assert toks("Vaata nt. lehte, jne. homme.", lang="et") == [
+        "Vaata", "nt.", "lehte", ",", "jne.", "homme", "."]
+    assert toks("Skati piem. lapu, utt. rīt.", lang="lv") == [
+        "Skati", "piem.", "lapu", ",", "utt.", "rīt", "."]
+    # a language without a table still splits the trailing period
+    assert toks("piem. lapu", lang="af") == ["piem", ".", "lapu"]
