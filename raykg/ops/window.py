@@ -28,9 +28,9 @@ WindowSpec = Tuple[str, Optional[str], str, object]
 
 _KINDS = {
     "lag", "lead", "row_number", "cumsum", "cummax", "cummin", "delta",
-    "rolling_sum", "percent_rank", "ntile",
+    "rolling_sum", "percent_rank", "ntile", "rank", "dense_rank",
 }
-_RANK_KINDS = {"row_number", "percent_rank", "ntile"}
+_RANK_KINDS = {"row_number", "percent_rank", "ntile", "rank", "dense_rank"}
 
 
 def window_over(
@@ -83,6 +83,12 @@ def window_over(
         from .rank import with_keyed_ranks
 
         return with_keyed_ranks(ds, keys, order_by, specs)
+    if any(kind in ("rank", "dense_rank") for kind, _s, _o, _p in specs):
+        raise ValueError(
+            "rank/dense_rank ride the rank-by-sort path and cannot mix "
+            "with value kinds (lag/cumsum/...) in one window_over call — "
+            "split the call"
+        )
 
     def shard_windows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)

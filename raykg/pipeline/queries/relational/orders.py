@@ -888,6 +888,42 @@ def q_order_ranks(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_order_date_ranks(sf_dir: str):
+    """RANK + DENSE_RANK per priority group ordered by o_orderdate —
+    REAL TIES (thousands of orders share a date), resolved with exact
+    SQL semantics by tie-aware rank-by-sort (`ops/rank.with_keyed_ranks`
+    via `ops/window.window_over` routing): ONE range-partitioned sort on
+    (priority, date); tie runs crossing block boundaries merge through
+    the driver's O(num_blocks) edge metadata.  No shard worker ever
+    holds a whole priority group."""
+    from ....ops.window import window_over
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    out = window_over(
+        orders,
+        keys=["o_orderpriority"],
+        order_by=["o_orderdate"],
+        specs=[("rank", None, "rk", None), ("dense_rank", None, "dr", None)],
+    )
+
+    def typed(df):
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], type=pa.string()
+                ),
+                "rk": pa.array(df["rk"], type=pa.int64()),
+                "dr": pa.array(df["dr"], type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_orders_diff(sf_dir: str):
     """Row-level diff of the orders snapshot against its merged
     successor — the FUSED `ops/merge.apply_changeset_diff`: merge
@@ -1120,6 +1156,15 @@ QUERIES["orders_rollup"] = q_orders_rollup
 QUERIES["orders_merge"] = q_orders_merge
 QUERIES["orders_diff"] = q_orders_diff
 QUERIES["order_ranks"] = q_order_ranks
+QUERIES["order_date_ranks"] = q_order_date_ranks
+ORACLE_SQL["order_date_ranks"] = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_orderdate) AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderdate) AS BIGINT) AS dr
+    FROM orders
+"""
 QUERIES["lineitem_wsample"] = q_lineitem_wsample
 QUERIES["lineitem_corr"] = q_lineitem_corr
 QUERIES["region_rollup"] = q_region_rollup

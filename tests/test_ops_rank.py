@@ -182,3 +182,80 @@ def test_window_over_routes_rank_kinds_to_sort_path(ray_session):
     )
     assert (routed["pr"].to_numpy() == sharded["pr"].to_numpy()).all()
     assert (routed["t5"].to_numpy() == sharded["t5"].to_numpy()).all()
+
+
+def test_with_keyed_ranks_tie_aware_rank_dense(ray_session):
+    """rank / dense_rank / percent_rank with REAL ties, exact SQL
+    semantics, across partition counts (tie runs crossing blocks)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops.rank import with_keyed_ranks
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 800),
+            "o": rng.integers(0, 12, 800),   # heavy ties
+            "id": np.arange(800),
+        }
+    )
+    want = df.sort_values(["k", "o", "id"]).reset_index(drop=True)
+    g = want.groupby("k", sort=False)
+    want["rk"] = g["o"].rank(method="min").astype("int64")
+    want["dr"] = g["o"].rank(method="dense").astype("int64")
+    n = g["o"].transform("size")
+    want["pr"] = np.where(n > 1, (want["rk"] - 1) / (n - 1).clip(lower=1), 0.0)
+
+    for parts in (1, 9, 60):
+        got = (
+            with_keyed_ranks(
+                ray.data.from_pandas(df).repartition(parts),
+                keys=["k"],
+                order_by=["o"],   # ties! id deliberately NOT a sort key
+                specs=[
+                    ("rank", "rk", None),
+                    ("dense_rank", "dr", None),
+                    ("percent_rank", "pr", None),
+                ],
+            )
+            .to_pandas()
+            .sort_values(["k", "o", "id"])
+            .reset_index(drop=True)
+        )
+        for col in ("rk", "dr", "pr"):
+            assert (got[col].to_numpy() == want[col].to_numpy()).all(), (
+                parts, col,
+            )
+
+
+def test_with_keyed_ranks_single_key_all_one_tie(ray_session):
+    """Degenerate: one key, one giant tie run spanning every block."""
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops.rank import with_keyed_ranks
+
+    df = pd.DataFrame({"k": ["x"] * 300, "o": [7] * 300})
+    got = with_keyed_ranks(
+        ray.data.from_pandas(df).repartition(11),
+        keys=["k"], order_by=["o"],
+        specs=[("rank", "rk", None), ("dense_rank", "dr", None)],
+    ).to_pandas()
+    assert (got["rk"] == 1).all() and (got["dr"] == 1).all()
+
+
+def test_window_over_rejects_mixed_rank_value_kinds(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from raykg.ops.window import window_over
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "o": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="split the call"):
+        window_over(
+            ds, keys=["k"], order_by=["o"],
+            specs=[("rank", None, "r", None), ("cumsum", "v", "c", None)],
+        )
