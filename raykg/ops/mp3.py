@@ -246,47 +246,70 @@ def encode_mp3(
     bitrate_kbps: int = 64,
     global_gain: int = 210,
     reservoir_shift: int = 0,
+    right_spectra: Optional[List[np.ndarray]] = None,
 ) -> bytes:
-    """Mono 44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED
-    spectra: each entry of ``granule_spectra`` is an int array (values
-    in {-1, 0, 1}, length <= 576); consecutive pairs of granules form
+    """44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED spectra:
+    each entry of ``granule_spectra`` is an int array (values in
+    {-1, 0, 1}, length <= 576); consecutive pairs of granules form
     frames (a final odd granule pads with a zero spectrum).  Long
-    blocks, table 1, no scalefactors.  ``reservoir_shift`` > 0 moves
-    that many bytes of every non-first frame's main data into the
-    previous frame's stuffing area and sets ``main_data_begin``
-    accordingly — real bit-reservoir layout, exercising the decoder's
-    reservoir reassembly."""
+    blocks, table 1, no scalefactors.  ``right_spectra`` (same length)
+    switches to two-channel STEREO frames (mode 00, no joint coding):
+    the 32-byte side-info layout and per-granule channel interleave of
+    the spec.  ``reservoir_shift`` > 0 moves that many bytes of every
+    non-first frame's main data into the previous frame's stuffing area
+    and sets ``main_data_begin`` accordingly — real bit-reservoir
+    layout, exercising the decoder's reservoir reassembly."""
     frames = []
     specs = [np.asarray(s, dtype=np.int64) for s in granule_spectra]
+    rights = (
+        [np.asarray(s, dtype=np.int64) for s in right_spectra]
+        if right_spectra is not None
+        else None
+    )
+    if rights is not None and len(rights) != len(specs):
+        raise ValueError("right_spectra must match granule_spectra length")
     if len(specs) % 2:
         specs.append(np.zeros(0, dtype=np.int64))
+        if rights is not None:
+            rights.append(np.zeros(0, dtype=np.int64))
+    nch = 2 if rights is not None else 1
     rate_idx = 0  # 44100
     bidx = BITRATES_V1_L3.index(bitrate_kbps)
     frame_len = 144 * bitrate_kbps * 1000 // 44100  # no padding bit
-    for gi in range(0, len(specs), 2):
-        gr_bits: List[Tuple[GranuleInfo, List[int]]] = []
-        for spec in (specs[gi], specs[gi + 1]):
-            if len(spec) > 576:
-                raise ValueError("spectrum longer than 576")
-            nz = np.flatnonzero(spec)
-            last = (int(nz[-1]) + 1 if len(nz) else 0)
-            big_values = (last + 1) // 2
-            w = _BitWriter()
-            for p in range(big_values):
-                x = int(spec[2 * p]) if 2 * p < len(spec) else 0
-                y = int(spec[2 * p + 1]) if 2 * p + 1 < len(spec) else 0
-                _huffman_encode_pair(w, x, y)
-            info = GranuleInfo(
+
+    def one_granule(spec: np.ndarray) -> Tuple[GranuleInfo, List[int]]:
+        if len(spec) > 576:
+            raise ValueError("spectrum longer than 576")
+        nz = np.flatnonzero(spec)
+        last = (int(nz[-1]) + 1 if len(nz) else 0)
+        big_values = (last + 1) // 2
+        w = _BitWriter()
+        for p in range(big_values):
+            x = int(spec[2 * p]) if 2 * p < len(spec) else 0
+            y = int(spec[2 * p + 1]) if 2 * p + 1 < len(spec) else 0
+            _huffman_encode_pair(w, x, y)
+        return (
+            GranuleInfo(
                 part2_3_length=w.tell(),
                 big_values=big_values,
                 global_gain=global_gain,
-            )
-            gr_bits.append((info, w.out))
+            ),
+            w.out,
+        )
+
+    for gi in range(0, len(specs), 2):
+        # main-data order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
+        gr_bits: List[Tuple[GranuleInfo, List[int]]] = []
+        for g in (gi, gi + 1):
+            gr_bits.append(one_granule(specs[g]))
+            if rights is not None:
+                gr_bits.append(one_granule(rights[g]))
         frames.append(gr_bits)
 
     if not 0 <= reservoir_shift <= 511:
         raise ValueError("main_data_begin is a 9-bit field (0..511)")
-    main_cap = frame_len - 21  # bytes after header(4) + mono side info(17)
+    head_len = 4 + (17 if nch == 1 else 32)
+    main_cap = frame_len - head_len
     out_frames: List[bytearray] = []
     for fi, gr_bits in enumerate(frames):
         mdb = reservoir_shift if fi > 0 else 0
@@ -299,15 +322,16 @@ def encode_mp3(
         hw.write(rate_idx, 2)
         hw.write(0, 1)        # padding
         hw.write(0, 1)        # private
-        hw.write(0b11, 2)     # mode: mono
-        hw.write(0, 2)        # mode extension
+        hw.write(0b11 if nch == 1 else 0b00, 2)  # mode
+        hw.write(0, 2)        # mode extension (no joint coding)
         hw.write(0, 1)        # copyright
         hw.write(1, 1)        # original
         hw.write(0, 2)        # emphasis
-        # side info, mono: 9+5+4 then 2 x 59 bits
+        # side info: 9 + private(5 mono / 3 stereo) + scfsi(4/ch), then
+        # 59 bits per (granule, channel)
         hw.write(mdb, 9)      # main_data_begin
-        hw.write(0, 5)        # private
-        hw.write(0, 4)        # scfsi
+        hw.write(0, 5 if nch == 1 else 3)  # private
+        hw.write(0, 4 * nch)  # scfsi
         for info, _bits in gr_bits:
             hw.write(info.part2_3_length, 12)
             hw.write(info.big_values, 9)
@@ -321,7 +345,7 @@ def encode_mp3(
             hw.write(0, 1)    # preflag
             hw.write(0, 1)    # scalefac_scale
             hw.write(0, 1)    # count1table_select
-        head = hw.tobytes(pad_to=21)
+        head = hw.tobytes(pad_to=head_len)
         mw = _BitWriter()
         for _info, bits in gr_bits:
             mw.out.extend(bits)
@@ -384,6 +408,13 @@ def parse_mp3_frames(payload: bytes) -> List[Frame]:
         frame = Frame(rate, bitrate, main_data_begin)
         frame.scfsi = scfsi  # type: ignore[attr-defined]
         frame.nch = nch  # type: ignore[attr-defined]
+        frame.mode = mode  # type: ignore[attr-defined]
+        frame.mode_ext = (h >> 4) & 3  # type: ignore[attr-defined]
+        if mode == 0b01 and frame.mode_ext:  # type: ignore[attr-defined]
+            raise NotImplementedError(
+                "joint-stereo (MS/intensity) coding not implemented; "
+                "mono and plain LR stereo decode natively"
+            )
         for _g in range(2):
             for _ch in range(nch):
                 g = GranuleInfo()
@@ -415,19 +446,20 @@ def parse_mp3_frames(payload: bytes) -> List[Frame]:
 
 
 def decode_mp3_granules(payload: bytes) -> List[dict]:
-    """Full bitstream decode to per-granule spectra (mono): resolves the
-    bit reservoir, decodes scalefactors and Huffman data, requantizes,
-    applies alias reduction and the long-block IMDCT chain.  Returns one
-    dict per granule:
-    {is: int spectrum (576), xr: requantized floats, subbands: (18, 32)
-    time samples after IMDCT/overlap/frequency inversion}."""
+    """Full bitstream decode to per-granule spectra: resolves the bit
+    reservoir, decodes scalefactors and Huffman data, requantizes,
+    applies alias reduction and the long-block IMDCT chain.  Mono and
+    two-channel stereo (LR; joint-stereo mode_extension coding raises).
+    Returns one dict per (granule, channel) in bitstream order:
+    {channel, is: int spectrum (576), xr: requantized floats,
+    subbands: (18, 32) time samples after IMDCT/overlap/frequency
+    inversion}."""
     frames = parse_mp3_frames(payload)
     out: List[dict] = []
     reservoir = b""
-    overlap = np.zeros((32, 18))
+    overlap = np.zeros((2, 32, 18))
     for fr in frames:
-        if fr.nch != 1:  # type: ignore[attr-defined]
-            raise NotImplementedError("stereo main-data decode: mono fixtures only")
+        nch = fr.nch  # type: ignore[attr-defined]
         if fr.main_data_begin > len(reservoir):
             raise ValueError("MP3 bit reservoir underrun")
         data = (reservoir[len(reservoir) - fr.main_data_begin :]
@@ -435,6 +467,7 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
         br = _BitReader(data)
         sfb = np.array(SFB_LONG[fr.sample_rate], dtype=np.int64)
         for gi, g in enumerate(fr.granules):
+            ch = gi % nch  # granule order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
             start = br.pos
             if g.window_switching and g.block_type != 0:
                 raise NotImplementedError("short/mixed blocks: fixture scope is long blocks")
@@ -510,13 +543,15 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                     xr_ar[sb * 18 - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
                     xr_ar[sb * 18 + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
             # IMDCT per subband + overlap-add + frequency inversion
-            sub = np.zeros((32, 18))
             blocks = xr_ar.reshape(32, 18)
             z = imdct_long(blocks)  # (32, 36)
-            sub = z[:, :18] + overlap
-            overlap = z[:, 18:]
+            sub = z[:, :18] + overlap[ch]
+            overlap[ch] = z[:, 18:]
             sub[1::2, 1::2] *= -1.0  # frequency inversion, odd subbands
-            out.append({"is": spec, "xr": xr, "subbands": sub.T.copy()})
+            out.append(
+                {"channel": ch, "is": spec, "xr": xr,
+                 "subbands": sub.T.copy()}
+            )
         reservoir = (reservoir + fr.main_data)[-511:]
     return out
 

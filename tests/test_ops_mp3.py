@@ -100,3 +100,34 @@ def test_unknown_huffman_table_raises_clearly():
     payload[bitpos // 8] |= 0x80 >> (bitpos % 8)  # table 1 -> 17
     with pytest.raises(NotImplementedError, match="not transcribed"):
         mp3.decode_mp3_granules(bytes(payload))
+
+
+def test_stereo_lr_round_trip_with_reservoir():
+    """Two-channel LR stereo: 32-byte side info, per-granule channel
+    interleave, per-channel IMDCT overlap state — exact spectra for both
+    channels across reservoir layouts."""
+    L = [((np.arange(90) * 5 + 7 * g) % 3) - 1 for g in range(4)]
+    R = [((np.arange(90) * 11 + 3 * g) % 3) - 1 for g in range(4)]
+    for shift in (0, 17):
+        payload = mp3.encode_mp3(
+            L, bitrate_kbps=96, right_spectra=R, reservoir_shift=shift
+        )
+        (f0, _f1) = mp3.parse_mp3_frames(payload)
+        assert f0.nch == 2 and len(f0.granules) == 4
+        grs = mp3.decode_mp3_granules(payload)
+        assert len(grs) == 8
+        for g in range(4):
+            for ch, src in ((0, L), (1, R)):
+                got = grs[2 * g + ch]
+                assert got["channel"] == ch
+                want = np.zeros(576, dtype=np.int64)
+                want[:90] = src[g]
+                assert (got["is"] == want).all(), (shift, g, ch)
+
+
+def test_joint_stereo_raises_clearly():
+    payload = bytearray(mp3.encode_mp3(_specs(2)))
+    # header byte 3: mode in bits 7-6, mode_ext in 5-4 -> joint + MS
+    payload[3] = (payload[3] & 0x0F) | 0b0110 << 4
+    with pytest.raises(NotImplementedError, match="joint-stereo"):
+        mp3.parse_mp3_frames(bytes(payload))
