@@ -238,6 +238,7 @@ def run_bench() -> dict:
     timed("media_mp3")
     timed("media_mp4")
     timed("media_mp4v")
+    timed("order_date_ranks")
     # round-4 second-session additions: the statistical-test family,
     # contrastive hard negatives, EWMA streaming window, KM survival
     timed("lineitem_spearman", consume=len)

@@ -387,24 +387,32 @@ def documents_to_mp4v_media(batch: pa.Table) -> pa.Table:
 def documents_to_mp3_media(batch: pa.Table) -> pa.Table:
     """Deterministic REAL MPEG-1 Layer III payloads (``ops/mp3.py``):
     2*(1+d5%2) granules of quantized spectra v_j = (d0 + 5j + 7g) % 3
-    - 1 over the first 64+d2%57 coefficients, encoded mono/44.1 kHz
-    with a digest-derived bit-reservoir shift (d3 % 24) — so the corpus
-    exercises frame sync, side info, reservoir reassembly, Huffman
-    (table 1 + sign bits) and requantization with exactly known
-    integer spectra the SQL oracle reproduces."""
+    - 1 over the first 64+d2%57 coefficients, 44.1 kHz with a
+    digest-derived bit-reservoir shift (d3 % 24).  ODD doc_ids encode
+    TWO-CHANNEL stereo (right channel w_j = (d1 + 11j + 3g) % 3 - 1;
+    32-byte side info, per-granule channel interleave) — so the corpus
+    exercises frame sync, both side-info layouts, reservoir reassembly,
+    Huffman and requantization with exactly known integer spectra the
+    SQL oracle reproduces."""
     from . import mp3
 
     ids = batch["doc_id"].to_pylist()
     payloads = []
-    for t in batch["text"].to_pylist():
+    for i, t in zip(ids, batch["text"].to_pylist()):
         d = _doc_digest(t)
         n = 64 + d[2] % 57
         ng = 2 * (1 + d[5] % 2)
         specs = [
             ((d[0] + 5 * np.arange(n) + 7 * g) % 3) - 1 for g in range(ng)
         ]
+        rights = (
+            [((d[1] + 11 * np.arange(n) + 3 * g) % 3) - 1 for g in range(ng)]
+            if int(i) % 2
+            else None
+        )
         payloads.append(
-            mp3.encode_mp3(specs, bitrate_kbps=64, reservoir_shift=d[3] % 24)
+            mp3.encode_mp3(specs, bitrate_kbps=64, reservoir_shift=d[3] % 24,
+                           right_spectra=rights)
         )
     return pa.table(
         {

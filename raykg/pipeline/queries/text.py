@@ -998,16 +998,22 @@ ORACLE_SQL["media_flac"] = f"""
 """
 ORACLE_SQL["media_mp3"] = f"""
     WITH {_MD5_BYTES_CTE},
-    dims AS (SELECT media_id, d0, 64 + d2 % 57 AS n,
-                    2 * (1 + d5 % 2) AS ng FROM d),
-    vals AS (SELECT media_id, ng, ((d0 + 5 * j.j + 7 * g.g) % 3) - 1 AS v
+    dims AS (SELECT media_id, d0, d1, 64 + d2 % 57 AS n,
+                    2 * (1 + d5 % 2) AS ng,
+                    media_id % 2 AS stereo FROM d),
+    vals AS (SELECT media_id, ng, stereo,
+                    CASE WHEN c.ch = 0
+                         THEN ((d0 + 5 * j.j + 7 * g.g) % 3) - 1
+                         ELSE ((d1 + 11 * j.j + 3 * g.g) % 3) - 1 END AS v
              FROM dims,
                   UNNEST(generate_series(0, ng - 1)) g(g),
+                  UNNEST(generate_series(0, CAST(stereo AS INTEGER))) c(ch),
                   UNNEST(generate_series(0, n - 1)) j(j))
-    SELECT media_id, CAST(ng AS INTEGER) AS n_granules,
+    SELECT media_id,
+           CAST(ng * (1 + stereo) AS INTEGER) AS n_granules,
            CAST(SUM(v) AS BIGINT) AS spectrum_sum,
            CAST(SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
-    FROM vals GROUP BY media_id, ng
+    FROM vals GROUP BY media_id, ng, stereo
 """
 ORACLE_SQL["media_mp4"] = f"""
     WITH {_MD5_BYTES_CTE},
