@@ -67,6 +67,18 @@ SFB_LONG = {
             156, 194, 240, 296, 364, 448, 550, 576],
 }
 
+# short-block scalefactor band WIDTHS per window (13 bands; x3 windows
+# covers 576 lines) — ISO Table 3-B.8.  Tripwire: each row must sum to
+# 192 (576 / 3), so a mis-transcribed width cannot load silently.
+SFB_SHORT_WIDTH = {
+    44100: [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56],
+    48000: [4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66],
+    32000: [4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12],
+}
+for _rate, _w in SFB_SHORT_WIDTH.items():
+    if sum(_w) != 192 or len(_w) != 13:
+        raise AssertionError(f"SFB_SHORT_WIDTH[{_rate}] mis-transcribed")
+
 # scalefac_compress -> (slen1, slen2), ISO 2.4.2.7
 SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
         (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
@@ -247,6 +259,7 @@ def encode_mp3(
     global_gain: int = 210,
     reservoir_shift: int = 0,
     right_spectra: Optional[List[np.ndarray]] = None,
+    block_type: int = 0,
 ) -> bytes:
     """44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED spectra:
     each entry of ``granule_spectra`` is an int array (values in
@@ -258,7 +271,13 @@ def encode_mp3(
     the spec.  ``reservoir_shift`` > 0 moves that many bytes of every
     non-first frame's main data into the previous frame's stuffing area
     and sets ``main_data_begin`` accordingly — real bit-reservoir
-    layout, exercising the decoder's reservoir reassembly."""
+    layout, exercising the decoder's reservoir reassembly.
+    ``block_type`` applies to every granule: 0 = normal long blocks,
+    1/3 = start/stop windows (same spectral layout), 2 = SHORT blocks
+    (window-switching side info; pass each granule's spectrum in the
+    spec's STORED order — band-major, three windows per band)."""
+    if block_type not in (0, 1, 2, 3):
+        raise ValueError("block_type must be 0..3")
     frames = []
     specs = [np.asarray(s, dtype=np.int64) for s in granule_spectra]
     rights = (
@@ -288,14 +307,15 @@ def encode_mp3(
             x = int(spec[2 * p]) if 2 * p < len(spec) else 0
             y = int(spec[2 * p + 1]) if 2 * p + 1 < len(spec) else 0
             _huffman_encode_pair(w, x, y)
-        return (
-            GranuleInfo(
-                part2_3_length=w.tell(),
-                big_values=big_values,
-                global_gain=global_gain,
-            ),
-            w.out,
+        info = GranuleInfo(
+            part2_3_length=w.tell(),
+            big_values=big_values,
+            global_gain=global_gain,
         )
+        if block_type:
+            info.window_switching = 1
+            info.block_type = block_type
+        return info, w.out
 
     for gi in range(0, len(specs), 2):
         # main-data order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
@@ -337,11 +357,20 @@ def encode_mp3(
             hw.write(info.big_values, 9)
             hw.write(info.global_gain, 8)
             hw.write(0, 4)    # scalefac_compress
-            hw.write(0, 1)    # window switching: normal long block
-            for t in info.table_select:
-                hw.write(t, 5)
-            hw.write(info.region0_count, 4)
-            hw.write(info.region1_count, 3)
+            if info.window_switching:
+                hw.write(1, 1)
+                hw.write(info.block_type, 2)
+                hw.write(0, 1)          # mixed_block_flag
+                hw.write(info.table_select[0], 5)
+                hw.write(info.table_select[1], 5)
+                for _w in range(3):
+                    hw.write(0, 3)      # subblock_gain
+            else:
+                hw.write(0, 1)
+                for t in info.table_select:
+                    hw.write(t, 5)
+                hw.write(info.region0_count, 4)
+                hw.write(info.region1_count, 3)
             hw.write(0, 1)    # preflag
             hw.write(0, 1)    # scalefac_scale
             hw.write(0, 1)    # count1table_select
@@ -469,19 +498,39 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
         for gi, g in enumerate(fr.granules):
             ch = gi % nch  # granule order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
             start = br.pos
-            if g.window_switching and g.block_type != 0:
-                raise NotImplementedError("short/mixed blocks: fixture scope is long blocks")
-            # scalefactors (long): sfb 0-10 slen1, 11-20 slen2
+            short = bool(g.window_switching and g.block_type == 2)
+            if g.window_switching and g.block_type == 0:
+                raise ValueError("window_switching with block_type 0 is forbidden")
+            if short and getattr(g, "mixed_block", 0):
+                raise NotImplementedError(
+                    "mixed short/long blocks not implemented"
+                )
             slen1, slen2 = SLEN[g.scalefac_compress]
-            scalefac = np.zeros(22, dtype=np.int64)
-            for band in range(11):
-                scalefac[band] = br.read(slen1)
-            for band in range(11, 21):
-                scalefac[band] = br.read(slen2)
+            if short:
+                # short blocks: bands 0-5 slen1, 6-11 slen2, x3 windows
+                scalefac_s = np.zeros((13, 3), dtype=np.int64)
+                for band in range(6):
+                    for w in range(3):
+                        scalefac_s[band, w] = br.read(slen1)
+                for band in range(6, 12):
+                    for w in range(3):
+                        scalefac_s[band, w] = br.read(slen2)
+            else:
+                # long: sfb 0-10 slen1, 11-20 slen2
+                scalefac = np.zeros(22, dtype=np.int64)
+                for band in range(11):
+                    scalefac[band] = br.read(slen1)
+                for band in range(11, 21):
+                    scalefac[band] = br.read(slen2)
             # big values: 3 regions split at scalefactor band boundaries
-            r0_end = int(sfb[min(g.region0_count + 1, len(sfb) - 1)])
-            r1_end = int(sfb[min(g.region0_count + 1 + g.region1_count + 1,
-                                 len(sfb) - 1)])
+            # (window-switching granules: fixed 36-line region0, no
+            # region2 — ISO 2.4.2.7)
+            if g.window_switching:
+                r0_end, r1_end = 36, 576
+            else:
+                r0_end = int(sfb[min(g.region0_count + 1, len(sfb) - 1)])
+                r1_end = int(sfb[min(g.region0_count + 1 + g.region1_count + 1,
+                                     len(sfb) - 1)])
             spec = np.zeros(576, dtype=np.int64)
             idx = 0
             limit = g.big_values * 2
@@ -521,30 +570,59 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                     idx += 1
             # skip any stuffing up to part2_3_length
             br.pos = start + g.part2_3_length
-            # requantize (long blocks)
-            gain = 2.0 ** ((g.global_gain - 210) / 4.0)
             sf_mult = 0.5 * (g.scalefac_scale + 1)
-            band_of = np.searchsorted(sfb[1:], np.arange(576), side="right")
-            band_exp = sf_mult * (
-                scalefac[band_of] + g.preflag * PRETAB[band_of]
-            )
-            xr = (
-                np.sign(spec)
-                * np.abs(spec).astype(np.float64) ** (4.0 / 3.0)
-                * gain
-                * 2.0 ** (-band_exp)
-            )
-            # alias reduction between adjacent subbands
-            xr_ar = xr.copy()
-            for sb in range(1, 32):
-                for i in range(8):
-                    a = xr_ar[sb * 18 - 1 - i]
-                    b = xr_ar[sb * 18 + i]
-                    xr_ar[sb * 18 - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
-                    xr_ar[sb * 18 + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
-            # IMDCT per subband + overlap-add + frequency inversion
-            blocks = xr_ar.reshape(32, 18)
-            z = imdct_long(blocks)  # (32, 36)
+            mag = np.abs(spec).astype(np.float64) ** (4.0 / 3.0)
+            if short:
+                # per stored position: gain uses the position's window's
+                # subblock_gain and (band, window) scalefactor
+                widths = SFB_SHORT_WIDTH[fr.sample_rate]
+                sbg = getattr(g, "subblock_gain", (0, 0, 0))
+                exp = np.zeros(576)
+                pos_i = 0
+                for b in range(13):
+                    for w in range(3):
+                        e = (
+                            (g.global_gain - 210 - 8 * sbg[w]) / 4.0
+                            - sf_mult * scalefac_s[b, w]
+                        )
+                        exp[pos_i : pos_i + widths[b]] = e
+                        pos_i += widths[b]
+                xr = np.sign(spec) * mag * 2.0 ** exp
+                # reorder stored (band-major, window-interleaved) lines
+                # into per-subband (window, line) groups for the IMDCT
+                xr_w = np.zeros((3, 192))
+                pos_i = 0
+                bstart = 0
+                for b in range(13):
+                    for w in range(3):
+                        xr_w[w, bstart : bstart + widths[b]] = xr[
+                            pos_i : pos_i + widths[b]
+                        ]
+                        pos_i += widths[b]
+                    bstart += widths[b]
+                reord = xr_w.reshape(3, 32, 6).transpose(1, 0, 2)
+                # NO alias reduction for pure short blocks
+                z = imdct_short(reord.reshape(32, 18))
+            else:
+                gain = 2.0 ** ((g.global_gain - 210) / 4.0)
+                band_of = np.searchsorted(sfb[1:], np.arange(576), side="right")
+                band_exp = sf_mult * (
+                    scalefac[band_of] + g.preflag * PRETAB[band_of]
+                )
+                xr = np.sign(spec) * mag * gain * 2.0 ** (-band_exp)
+                # alias reduction between adjacent subbands
+                xr_ar = xr.copy()
+                for sb in range(1, 32):
+                    for i in range(8):
+                        a = xr_ar[sb * 18 - 1 - i]
+                        b = xr_ar[sb * 18 + i]
+                        xr_ar[sb * 18 - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+                        xr_ar[sb * 18 + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+                z = imdct_long(
+                    xr_ar.reshape(32, 18),
+                    g.block_type if g.window_switching else 0,
+                )
+            # overlap-add + frequency inversion (all block types)
             sub = z[:, :18] + overlap[ch]
             overlap[ch] = z[:, 18:]
             sub[1::2, 1::2] *= -1.0  # frequency inversion, odd subbands
@@ -564,12 +642,50 @@ _IMDCT_COS = np.cos(
 )
 _IMDCT_WIN = np.sin(np.pi / _IMDCT_N * (np.arange(_IMDCT_N) + 0.5))
 
+# block_type 1 (start) / 3 (stop) long windows: sine ramps meeting the
+# short-window shape at the switching boundary (ISO 2.4.3.4.10.3)
+_i = np.arange(36)
+_WIN_START = np.where(
+    _i < 18, _IMDCT_WIN,
+    np.where(_i < 24, 1.0,
+             np.where(_i < 30, np.sin(np.pi / 12 * (_i + 0.5 - 18)), 0.0)),
+)
+_WIN_STOP = np.where(
+    _i < 6, 0.0,
+    np.where(_i < 12, np.sin(np.pi / 12 * (_i + 0.5 - 6)),
+             np.where(_i < 18, 1.0, _IMDCT_WIN)),
+)
+del _i
+_LONG_WINDOWS = {0: _IMDCT_WIN, 1: _WIN_START, 3: _WIN_STOP}
 
-def imdct_long(blocks: np.ndarray) -> np.ndarray:
+_IMDCT12_COS = np.cos(
+    np.pi / 24.0
+    * (2 * np.arange(12)[:, None] + 1 + 6)
+    * (2 * np.arange(6)[None, :] + 1)
+)
+_IMDCT12_WIN = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+
+
+def imdct_long(blocks: np.ndarray, block_type: int = 0) -> np.ndarray:
     """(n_subbands, 18) spectral -> (n_subbands, 36) windowed time
-    (ISO 2.4.3.4.12, block_type 0): one matrix product for all
+    (ISO 2.4.3.4.12; block_type 0 normal, 1 start, 3 stop — same
+    36-point transform, different window): one matrix product for all
     subbands."""
-    return (blocks @ _IMDCT_COS.T) * _IMDCT_WIN[None, :]
+    return (blocks @ _IMDCT_COS.T) * _LONG_WINDOWS[block_type][None, :]
+
+
+def imdct_short(blocks: np.ndarray) -> np.ndarray:
+    """(n_subbands, 18) short-block spectral — each subband holding
+    3 windows x 6 lines in (window, line) order — -> (n_subbands, 36):
+    three windowed 12-point IMDCTs overlap-added at offsets 6/12/18
+    (ISO 2.4.3.4.12, block_type 2)."""
+    ns = blocks.shape[0]
+    out = np.zeros((ns, 36))
+    w3 = blocks.reshape(ns, 3, 6)
+    z = (w3 @ _IMDCT12_COS.T) * _IMDCT12_WIN[None, None, :]  # (ns, 3, 12)
+    for w in range(3):
+        out[:, 6 + 6 * w : 18 + 6 * w] += z[:, w, :]
+    return out
 
 
 def synthesize(

@@ -388,12 +388,15 @@ def documents_to_mp3_media(batch: pa.Table) -> pa.Table:
     """Deterministic REAL MPEG-1 Layer III payloads (``ops/mp3.py``):
     2*(1+d5%2) granules of quantized spectra v_j = (d0 + 5j + 7g) % 3
     - 1 over the first 64+d2%57 coefficients, 44.1 kHz with a
-    digest-derived bit-reservoir shift (d3 % 24).  ODD doc_ids encode
-    TWO-CHANNEL stereo (right channel w_j = (d1 + 11j + 3g) % 3 - 1;
-    32-byte side info, per-granule channel interleave) — so the corpus
-    exercises frame sync, both side-info layouts, reservoir reassembly,
-    Huffman and requantization with exactly known integer spectra the
-    SQL oracle reproduces."""
+    digest-derived bit-reservoir shift (d3 % 24) and block type
+    (d4 % 4 -> normal / start / SHORT / stop windows — spectrum sums
+    are position-independent, so one oracle pins every window-switching
+    layout).  ODD doc_ids encode TWO-CHANNEL stereo (right channel
+    w_j = (d1 + 11j + 3g) % 3 - 1; 32-byte side info, per-granule
+    channel interleave) — so the corpus exercises frame sync, all
+    side-info layouts, reservoir reassembly, Huffman and
+    requantization with exactly known integer spectra the SQL oracle
+    reproduces."""
     from . import mp3
 
     ids = batch["doc_id"].to_pylist()
@@ -412,7 +415,7 @@ def documents_to_mp3_media(batch: pa.Table) -> pa.Table:
         )
         payloads.append(
             mp3.encode_mp3(specs, bitrate_kbps=64, reservoir_shift=d[3] % 24,
-                           right_spectra=rights)
+                           right_spectra=rights, block_type=d[4] % 4)
         )
     return pa.table(
         {

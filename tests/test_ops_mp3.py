@@ -131,3 +131,63 @@ def test_joint_stereo_raises_clearly():
     payload[3] = (payload[3] & 0x0F) | 0b0110 << 4
     with pytest.raises(NotImplementedError, match="joint-stereo"):
         mp3.parse_mp3_frames(bytes(payload))
+
+
+def test_all_block_types_round_trip():
+    """Normal, start, stop, and SHORT granules: spectrum recovery is
+    exact through side-info layout, Huffman, and reservoir for every
+    window type."""
+    specs = [((np.arange(150) * 5 + 7 * g) % 3) - 1 for g in range(4)]
+    for bt in (0, 1, 2, 3):
+        payload = mp3.encode_mp3(
+            specs, bitrate_kbps=64, block_type=bt, reservoir_shift=11
+        )
+        grs = mp3.decode_mp3_granules(payload)
+        for g in range(4):
+            want = np.zeros(576, dtype=np.int64)
+            want[:150] = specs[g]
+            assert (grs[g]["is"] == want).all(), (bt, g)
+        fr = mp3.parse_mp3_frames(payload)[0]
+        assert fr.granules[0].window_switching == (1 if bt else 0)
+        assert fr.granules[0].block_type == (bt if bt else 0)
+
+
+def test_short_block_reorder_lands_in_right_subband():
+    # stored pos 56 = band 4 (start 16, width 6), window 1, line 2
+    # -> per-window line 18 -> subband 3
+    spec = np.zeros(576, dtype=np.int64)
+    spec[56] = 1
+    g0 = mp3.decode_mp3_granules(mp3.encode_mp3([spec, spec], block_type=2))[0]
+    sub = g0["subbands"]
+    nz = np.flatnonzero(np.abs(sub).sum(axis=0) > 1e-12)
+    assert nz.tolist() == [3]
+
+
+def test_imdct_short_matches_naive_formula():
+    rng = np.random.default_rng(71)
+    X = rng.normal(size=(2, 18))  # 2 subbands, 3 windows x 6 lines
+    got = mp3.imdct_short(X)
+    for sb in range(2):
+        naive = np.zeros(36)
+        for w in range(3):
+            for i in range(12):
+                v = sum(
+                    X[sb, w * 6 + k]
+                    * np.cos(np.pi / 24 * (2 * i + 1 + 6) * (2 * k + 1))
+                    for k in range(6)
+                ) * np.sin(np.pi / 12 * (i + 0.5))
+                naive[6 + 6 * w + i] += v
+        assert np.allclose(got[sb], naive, atol=1e-12)
+
+
+def test_start_stop_windows_match_spec_shapes():
+    # start window: sine ramp 0-17, flat 18-23, short ramp 24-29, zero tail
+    w1 = mp3._LONG_WINDOWS[1]
+    assert np.allclose(w1[:18], np.sin(np.pi / 36 * (np.arange(18) + 0.5)))
+    assert (w1[18:24] == 1.0).all()
+    assert np.allclose(
+        w1[24:30], np.sin(np.pi / 12 * (np.arange(24, 30) + 0.5 - 18))
+    )
+    assert (w1[30:] == 0.0).all()
+    # stop window is the time-reversed start window
+    assert np.allclose(mp3._LONG_WINDOWS[3], w1[::-1])
