@@ -260,6 +260,7 @@ def encode_mp3(
     reservoir_shift: int = 0,
     right_spectra: Optional[List[np.ndarray]] = None,
     block_type: int = 0,
+    joint_ms: bool = False,
 ) -> bytes:
     """44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED spectra:
     each entry of ``granule_spectra`` is an int array (values in
@@ -275,9 +276,14 @@ def encode_mp3(
     ``block_type`` applies to every granule: 0 = normal long blocks,
     1/3 = start/stop windows (same spectral layout), 2 = SHORT blocks
     (window-switching side info; pass each granule's spectrum in the
-    spec's STORED order — band-major, three windows per band)."""
+    spec's STORED order — band-major, three windows per band).
+    ``joint_ms`` (requires ``right_spectra``) emits joint-stereo frames
+    with MS coding on: channel 0 carries MID and channel 1 SIDE
+    spectra; the decoder reconstructs L/R as (M±S)/sqrt2."""
     if block_type not in (0, 1, 2, 3):
         raise ValueError("block_type must be 0..3")
+    if joint_ms and right_spectra is None:
+        raise ValueError("joint_ms needs right_spectra (the SIDE channel)")
     frames = []
     specs = [np.asarray(s, dtype=np.int64) for s in granule_spectra]
     rights = (
@@ -342,8 +348,15 @@ def encode_mp3(
         hw.write(rate_idx, 2)
         hw.write(0, 1)        # padding
         hw.write(0, 1)        # private
-        hw.write(0b11 if nch == 1 else 0b00, 2)  # mode
-        hw.write(0, 2)        # mode extension (no joint coding)
+        if nch == 1:
+            hw.write(0b11, 2)  # mode: mono
+            hw.write(0, 2)
+        elif joint_ms:
+            hw.write(0b01, 2)  # mode: joint stereo
+            hw.write(0b10, 2)  # mode_ext: MS on, intensity off
+        else:
+            hw.write(0b00, 2)  # mode: stereo
+            hw.write(0, 2)
         hw.write(0, 1)        # copyright
         hw.write(1, 1)        # original
         hw.write(0, 2)        # emphasis
@@ -439,10 +452,10 @@ def parse_mp3_frames(payload: bytes) -> List[Frame]:
         frame.nch = nch  # type: ignore[attr-defined]
         frame.mode = mode  # type: ignore[attr-defined]
         frame.mode_ext = (h >> 4) & 3  # type: ignore[attr-defined]
-        if mode == 0b01 and frame.mode_ext:  # type: ignore[attr-defined]
+        if mode == 0b01 and frame.mode_ext & 1:  # type: ignore[attr-defined]
             raise NotImplementedError(
-                "joint-stereo (MS/intensity) coding not implemented; "
-                "mono and plain LR stereo decode natively"
+                "intensity-stereo coding not implemented; mono, LR and "
+                "MS joint stereo decode natively"
             )
         for _g in range(2):
             for _ch in range(nch):
@@ -495,6 +508,7 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                 if fr.main_data_begin else b"") + fr.main_data
         br = _BitReader(data)
         sfb = np.array(SFB_LONG[fr.sample_rate], dtype=np.int64)
+        pending: List[list] = []  # spectral results awaiting IMDCT stage
         for gi, g in enumerate(fr.granules):
             ch = gi % nch  # granule order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
             start = br.pos
@@ -588,21 +602,6 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                         exp[pos_i : pos_i + widths[b]] = e
                         pos_i += widths[b]
                 xr = np.sign(spec) * mag * 2.0 ** exp
-                # reorder stored (band-major, window-interleaved) lines
-                # into per-subband (window, line) groups for the IMDCT
-                xr_w = np.zeros((3, 192))
-                pos_i = 0
-                bstart = 0
-                for b in range(13):
-                    for w in range(3):
-                        xr_w[w, bstart : bstart + widths[b]] = xr[
-                            pos_i : pos_i + widths[b]
-                        ]
-                        pos_i += widths[b]
-                    bstart += widths[b]
-                reord = xr_w.reshape(3, 32, 6).transpose(1, 0, 2)
-                # NO alias reduction for pure short blocks
-                z = imdct_short(reord.reshape(32, 18))
             else:
                 gain = 2.0 ** ((g.global_gain - 210) / 4.0)
                 band_of = np.searchsorted(sfb[1:], np.arange(576), side="right")
@@ -610,26 +609,64 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                     scalefac[band_of] + g.preflag * PRETAB[band_of]
                 )
                 xr = np.sign(spec) * mag * gain * 2.0 ** (-band_exp)
-                # alias reduction between adjacent subbands
-                xr_ar = xr.copy()
-                for sb in range(1, 32):
-                    for i in range(8):
-                        a = xr_ar[sb * 18 - 1 - i]
-                        b = xr_ar[sb * 18 + i]
-                        xr_ar[sb * 18 - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
-                        xr_ar[sb * 18 + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
-                z = imdct_long(
-                    xr_ar.reshape(32, 18),
-                    g.block_type if g.window_switching else 0,
+            pending.append([ch, g, short, spec, xr])
+            if ch != nch - 1:
+                continue
+            # MS joint stereo (mode_ext bit 1): channels carry mid/side;
+            # L = (M+S)/sqrt2, R = (M-S)/sqrt2 on the requantized spectra
+            if (
+                nch == 2
+                and fr.mode == 0b01  # type: ignore[attr-defined]
+                and fr.mode_ext & 2  # type: ignore[attr-defined]
+            ):
+                inv = 1.0 / np.sqrt(2.0)
+                m_xr, s_xr = pending[0][4], pending[1][4]
+                pending[0][4] = (m_xr + s_xr) * inv
+                pending[1][4] = (m_xr - s_xr) * inv
+            for pch, pg, pshort, pspec, pxr in pending:
+                if pshort:
+                    widths = SFB_SHORT_WIDTH[fr.sample_rate]
+                    # reorder stored (band-major, window-interleaved)
+                    # lines into per-subband (window, line) IMDCT groups
+                    xr_w = np.zeros((3, 192))
+                    pos_i = 0
+                    bstart = 0
+                    for b in range(13):
+                        for w in range(3):
+                            xr_w[w, bstart : bstart + widths[b]] = pxr[
+                                pos_i : pos_i + widths[b]
+                            ]
+                            pos_i += widths[b]
+                        bstart += widths[b]
+                    reord = xr_w.reshape(3, 32, 6).transpose(1, 0, 2)
+                    # NO alias reduction for pure short blocks
+                    z = imdct_short(reord.reshape(32, 18))
+                else:
+                    # alias reduction between adjacent subbands
+                    xr_ar = pxr.copy()
+                    for sb in range(1, 32):
+                        for i in range(8):
+                            a = xr_ar[sb * 18 - 1 - i]
+                            b = xr_ar[sb * 18 + i]
+                            xr_ar[sb * 18 - 1 - i] = (
+                                a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+                            )
+                            xr_ar[sb * 18 + i] = (
+                                b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+                            )
+                    z = imdct_long(
+                        xr_ar.reshape(32, 18),
+                        pg.block_type if pg.window_switching else 0,
+                    )
+                # overlap-add + frequency inversion (all block types)
+                sub = z[:, :18] + overlap[pch]
+                overlap[pch] = z[:, 18:]
+                sub[1::2, 1::2] *= -1.0  # frequency inversion, odd subbands
+                out.append(
+                    {"channel": pch, "is": pspec, "xr": pxr,
+                     "subbands": sub.T.copy()}
                 )
-            # overlap-add + frequency inversion (all block types)
-            sub = z[:, :18] + overlap[ch]
-            overlap[ch] = z[:, 18:]
-            sub[1::2, 1::2] *= -1.0  # frequency inversion, odd subbands
-            out.append(
-                {"channel": ch, "is": spec, "xr": xr,
-                 "subbands": sub.T.copy()}
-            )
+            pending = []
         reservoir = (reservoir + fr.main_data)[-511:]
     return out
 

@@ -125,12 +125,34 @@ def test_stereo_lr_round_trip_with_reservoir():
                 assert (got["is"] == want).all(), (shift, g, ch)
 
 
-def test_joint_stereo_raises_clearly():
+def test_intensity_stereo_raises_clearly():
     payload = bytearray(mp3.encode_mp3(_specs(2)))
-    # header byte 3: mode in bits 7-6, mode_ext in 5-4 -> joint + MS
-    payload[3] = (payload[3] & 0x0F) | 0b0110 << 4
-    with pytest.raises(NotImplementedError, match="joint-stereo"):
+    # header byte 3: mode in bits 7-6, mode_ext in 5-4 -> joint + intensity
+    payload[3] = (payload[3] & 0x0F) | 0b0101 << 4
+    with pytest.raises(NotImplementedError, match="intensity"):
         mp3.parse_mp3_frames(bytes(payload))
+
+
+def test_ms_joint_stereo_reconstructs_lr():
+    """MS-coded frames: channels carry mid/side integers; requantized
+    output is L/R = (M±S)/sqrt2, while the raw quantized spectra stay
+    the coded mid/side values."""
+    M = [((np.arange(80) * 5 + 7 * g) % 3) - 1 for g in range(2)]
+    S = [((np.arange(80) * 11 + 3 * g) % 3) - 1 for g in range(2)]
+    payload = mp3.encode_mp3(M, right_spectra=S, joint_ms=True)
+    fr = mp3.parse_mp3_frames(payload)[0]
+    assert fr.mode == 0b01 and fr.mode_ext == 0b10
+    grs = mp3.decode_mp3_granules(payload)
+    inv = 1 / np.sqrt(2)
+    for g in range(2):
+        m = np.zeros(576)
+        m[:80] = M[g]
+        s = np.zeros(576)
+        s[:80] = S[g]
+        assert np.allclose(grs[2 * g]["xr"], (m + s) * inv)
+        assert np.allclose(grs[2 * g + 1]["xr"], (m - s) * inv)
+        assert (grs[2 * g]["is"][:80] == M[g]).all()
+        assert (grs[2 * g + 1]["is"][:80] == S[g]).all()
 
 
 def test_all_block_types_round_trip():
