@@ -39,8 +39,10 @@ stages (`ops/multimodal.py`) decode them for REAL:
   real PCM (sowt/twos) and MJPEG ('jpeg') track decode.
 - **MP3** (MPEG-1 Layer III) bitstream decode lives in ``ops/mp3.py``
   — frame sync, side info, bit reservoir, Huffman, requantization,
-  alias reduction, IMDCT; the polyphase synthesis window (ISO Table
-  3-B.3, pure table data) is its one documented plug-point.
+  alias reduction, IMDCT across all window layouts (normal/start/stop/
+  short/mixed) and stereo modes (mono/LR/MS); the polyphase synthesis
+  window (ISO Table 3-B.3, pure table data) is its one documented
+  plug-point.
 
 Still raising ``NotImplementedError``: arithmetic-coded / lossless /
 hierarchical JPEG, AAC-in-MP4, the remaining MP3 Huffman pair tables

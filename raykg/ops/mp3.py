@@ -10,6 +10,13 @@ What is REAL here (and exactly verifiable):
 - **bit reservoir**: main data reassembled across frames via
   main_data_begin, exactly as the spec's reservoir machinery requires,
 - **scalefactor decode** (long-block slen1/slen2 with scfsi sharing),
+- **stereo**: mono, plain LR stereo, and MS joint stereo
+  (L/R = (M±S)/sqrt2 on the requantized spectra); intensity stereo is
+  the one unimplemented stereo mode (raises by name),
+- **all window layouts**: normal/start/stop long blocks, SHORT blocks
+  (window-switching side info, per-(band,window) requantization with
+  subblock_gain, spectral reorder, 3x12-point IMDCT), and MIXED blocks
+  (long low subbands + short above),
 - **Huffman decode** of the big_values and count1 regions.  The code
   tables included (0-3 for pairs, A and B for count1 quads) are checked
   at import time for PREFIX-FREENESS and KRAFT COMPLETENESS (sum of
@@ -261,6 +268,7 @@ def encode_mp3(
     right_spectra: Optional[List[np.ndarray]] = None,
     block_type: int = 0,
     joint_ms: bool = False,
+    mixed: bool = False,
 ) -> bytes:
     """44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED spectra:
     each entry of ``granule_spectra`` is an int array (values in
@@ -279,9 +287,13 @@ def encode_mp3(
     spec's STORED order — band-major, three windows per band).
     ``joint_ms`` (requires ``right_spectra``) emits joint-stereo frames
     with MS coding on: channel 0 carries MID and channel 1 SIDE
-    spectra; the decoder reconstructs L/R as (M±S)/sqrt2."""
+    spectra; the decoder reconstructs L/R as (M±S)/sqrt2.  ``mixed``
+    (with block_type=2) sets the mixed_block_flag: lines 0-35 are
+    long-coded, the short stored section starts at short band 3."""
     if block_type not in (0, 1, 2, 3):
         raise ValueError("block_type must be 0..3")
+    if mixed and block_type != 2:
+        raise ValueError("mixed blocks require block_type=2")
     if joint_ms and right_spectra is None:
         raise ValueError("joint_ms needs right_spectra (the SIDE channel)")
     frames = []
@@ -373,7 +385,7 @@ def encode_mp3(
             if info.window_switching:
                 hw.write(1, 1)
                 hw.write(info.block_type, 2)
-                hw.write(0, 1)          # mixed_block_flag
+                hw.write(1 if mixed else 0, 1)  # mixed_block_flag
                 hw.write(info.table_select[0], 5)
                 hw.write(info.table_select[1], 5)
                 for _w in range(3):
@@ -513,14 +525,25 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
             ch = gi % nch  # granule order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
             start = br.pos
             short = bool(g.window_switching and g.block_type == 2)
+            mixed = bool(short and getattr(g, "mixed_block", 0))
             if g.window_switching and g.block_type == 0:
                 raise ValueError("window_switching with block_type 0 is forbidden")
-            if short and getattr(g, "mixed_block", 0):
-                raise NotImplementedError(
-                    "mixed short/long blocks not implemented"
-                )
             slen1, slen2 = SLEN[g.scalefac_compress]
-            if short:
+            if mixed:
+                # mixed blocks: LONG bands 0-7 (slen1) for the first two
+                # subbands (lines 0-35), then SHORT bands 3-11 x3
+                # windows (3-5 slen1, 6-11 slen2) — ISO 2.4.2.7
+                scalefac = np.zeros(22, dtype=np.int64)
+                for band in range(8):
+                    scalefac[band] = br.read(slen1)
+                scalefac_s = np.zeros((13, 3), dtype=np.int64)
+                for band in range(3, 6):
+                    for w in range(3):
+                        scalefac_s[band, w] = br.read(slen1)
+                for band in range(6, 12):
+                    for w in range(3):
+                        scalefac_s[band, w] = br.read(slen2)
+            elif short:
                 # short blocks: bands 0-5 slen1, 6-11 slen2, x3 windows
                 scalefac_s = np.zeros((13, 3), dtype=np.int64)
                 for band in range(6):
@@ -588,12 +611,20 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
             mag = np.abs(spec).astype(np.float64) ** (4.0 / 3.0)
             if short:
                 # per stored position: gain uses the position's window's
-                # subblock_gain and (band, window) scalefactor
+                # subblock_gain and (band, window) scalefactor.  Mixed
+                # blocks requantize lines 0-35 with the LONG rule and
+                # the short section starting at short band 3.
                 widths = SFB_SHORT_WIDTH[fr.sample_rate]
                 sbg = getattr(g, "subblock_gain", (0, 0, 0))
                 exp = np.zeros(576)
-                pos_i = 0
-                for b in range(13):
+                if mixed:
+                    band_of = np.searchsorted(sfb[1:], np.arange(36),
+                                              side="right")
+                    exp[:36] = (g.global_gain - 210) / 4.0 - sf_mult * (
+                        scalefac[band_of] + g.preflag * PRETAB[band_of]
+                    )
+                pos_i = 36 if mixed else 0
+                for b in range(3 if mixed else 0, 13):
                     for w in range(3):
                         e = (
                             (g.global_gain - 210 - 8 * sbg[w]) / 4.0
@@ -609,7 +640,7 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                     scalefac[band_of] + g.preflag * PRETAB[band_of]
                 )
                 xr = np.sign(spec) * mag * gain * 2.0 ** (-band_exp)
-            pending.append([ch, g, short, spec, xr])
+            pending.append([ch, g, (short, mixed), spec, xr])
             if ch != nch - 1:
                 continue
             # MS joint stereo (mode_ext bit 1): channels carry mid/side;
@@ -623,15 +654,17 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                 m_xr, s_xr = pending[0][4], pending[1][4]
                 pending[0][4] = (m_xr + s_xr) * inv
                 pending[1][4] = (m_xr - s_xr) * inv
-            for pch, pg, pshort, pspec, pxr in pending:
+            for pch, pg, (pshort, pmixed), pspec, pxr in pending:
                 if pshort:
                     widths = SFB_SHORT_WIDTH[fr.sample_rate]
                     # reorder stored (band-major, window-interleaved)
                     # lines into per-subband (window, line) IMDCT groups
+                    # (mixed: the short section starts at band 3 /
+                    # per-window line 12 / subband 2)
                     xr_w = np.zeros((3, 192))
-                    pos_i = 0
-                    bstart = 0
-                    for b in range(13):
+                    pos_i = 36 if pmixed else 0
+                    bstart = 12 if pmixed else 0
+                    for b in range(3 if pmixed else 0, 13):
                         for w in range(3):
                             xr_w[w, bstart : bstart + widths[b]] = pxr[
                                 pos_i : pos_i + widths[b]
@@ -639,8 +672,26 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                             pos_i += widths[b]
                         bstart += widths[b]
                     reord = xr_w.reshape(3, 32, 6).transpose(1, 0, 2)
-                    # NO alias reduction for pure short blocks
-                    z = imdct_short(reord.reshape(32, 18))
+                    if pmixed:
+                        # lower two subbands are LONG: alias-reduce
+                        # their single boundary, long IMDCT for them,
+                        # short IMDCT above
+                        low = pxr[:36].copy()
+                        for i in range(8):
+                            a = low[17 - i]
+                            b2 = low[18 + i]
+                            low[17 - i] = a * _ALIAS_CS[i] - b2 * _ALIAS_CA[i]
+                            low[18 + i] = b2 * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+                        z = np.concatenate(
+                            [
+                                imdct_long(low.reshape(2, 18), 0),
+                                imdct_short(reord.reshape(32, 18)[2:]),
+                            ],
+                            axis=0,
+                        )
+                    else:
+                        # NO alias reduction for pure short blocks
+                        z = imdct_short(reord.reshape(32, 18))
                 else:
                     # alias reduction between adjacent subbands
                     xr_ar = pxr.copy()

@@ -213,3 +213,32 @@ def test_start_stop_windows_match_spec_shapes():
     assert (w1[30:] == 0.0).all()
     # stop window is the time-reversed start window
     assert np.allclose(mp3._LONG_WINDOWS[3], w1[::-1])
+
+
+def test_mixed_block_round_trip_and_geometry():
+    """mixed_block_flag granules: lines 0-35 long-coded (long
+    scalefactor bands, alias reduction at the single long boundary,
+    long IMDCT), short section starting at short band 3 / subband 2."""
+    specs = [((np.arange(200) * 5 + 7 * g) % 3) - 1 for g in range(4)]
+    payload = mp3.encode_mp3(specs, block_type=2, mixed=True, reservoir_shift=7)
+    fr = mp3.parse_mp3_frames(payload)[0]
+    assert fr.granules[0].mixed_block == 1
+    grs = mp3.decode_mp3_granules(payload)
+    for g in range(4):
+        want = np.zeros(576, dtype=np.int64)
+        want[:200] = specs[g]
+        assert (grs[g]["is"] == want).all(), g
+    # long-section line 20 -> subband 1 (alias leak into 0 allowed);
+    # short stored pos 36 = short band 3 w0 l0 -> subband 2
+    for planted, want_sb in ((20, 1), (36, 2)):
+        s = np.zeros(576, dtype=np.int64)
+        s[planted] = 1
+        g0 = mp3.decode_mp3_granules(
+            mp3.encode_mp3([s, s], block_type=2, mixed=True)
+        )[0]
+        nz = np.flatnonzero(np.abs(g0["subbands"]).sum(axis=0) > 1e-12)
+        assert want_sb in nz.tolist()
+    import pytest
+
+    with pytest.raises(ValueError, match="block_type=2"):
+        mp3.encode_mp3(specs, block_type=1, mixed=True)
