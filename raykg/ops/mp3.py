@@ -269,6 +269,11 @@ def encode_mp3(
     block_type: int = 0,
     joint_ms: bool = False,
     mixed: bool = False,
+    scalefactors: Optional[List[np.ndarray]] = None,
+    scalefac_compress: int = 0,
+    scalefac_scale: int = 0,
+    preflag: int = 0,
+    scfsi: Tuple[int, int, int, int] = (0, 0, 0, 0),
 ) -> bytes:
     """44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED spectra:
     each entry of ``granule_spectra`` is an int array (values in
@@ -289,13 +294,30 @@ def encode_mp3(
     with MS coding on: channel 0 carries MID and channel 1 SIDE
     spectra; the decoder reconstructs L/R as (M±S)/sqrt2.  ``mixed``
     (with block_type=2) sets the mixed_block_flag: lines 0-35 are
-    long-coded, the short stored section starts at short band 3."""
+    long-coded, the short stored section starts at short band 3.
+
+    ``scalefactors`` (mono long blocks only): one 21-entry int array
+    per granule, encoded with ``scalefac_compress`` (values must fit
+    the slen bit widths); ``scalefac_scale``/``preflag`` set the
+    matching requantization flags, and ``scfsi`` marks the four
+    scalefactor groups (bands 0-5 / 6-10 / 11-15 / 16-20) that granule
+    1 SHARES with granule 0 — granule 1 then omits those bits, the
+    spec's scfsi machinery."""
     if block_type not in (0, 1, 2, 3):
         raise ValueError("block_type must be 0..3")
     if mixed and block_type != 2:
         raise ValueError("mixed blocks require block_type=2")
     if joint_ms and right_spectra is None:
         raise ValueError("joint_ms needs right_spectra (the SIDE channel)")
+    if scalefactors is not None:
+        if right_spectra is not None or block_type:
+            raise ValueError(
+                "scalefactors are supported for mono long blocks only"
+            )
+        if len(scalefactors) != len(granule_spectra):
+            raise ValueError("one scalefactor array per granule")
+    elif any(scfsi):
+        raise ValueError("scfsi needs scalefactors")
     frames = []
     specs = [np.asarray(s, dtype=np.int64) for s in granule_spectra]
     rights = (
@@ -309,18 +331,40 @@ def encode_mp3(
         specs.append(np.zeros(0, dtype=np.int64))
         if rights is not None:
             rights.append(np.zeros(0, dtype=np.int64))
+        if scalefactors is not None:
+            scalefactors = list(scalefactors) + [np.zeros(21, dtype=np.int64)]
     nch = 2 if rights is not None else 1
     rate_idx = 0  # 44100
     bidx = BITRATES_V1_L3.index(bitrate_kbps)
     frame_len = 144 * bitrate_kbps * 1000 // 44100  # no padding bit
 
-    def one_granule(spec: np.ndarray) -> Tuple[GranuleInfo, List[int]]:
+    _slen1, _slen2 = SLEN[scalefac_compress]
+
+    def one_granule(
+        spec: np.ndarray, g_idx: int = 0
+    ) -> Tuple[GranuleInfo, List[int]]:
         if len(spec) > 576:
             raise ValueError("spectrum longer than 576")
         nz = np.flatnonzero(spec)
         last = (int(nz[-1]) + 1 if len(nz) else 0)
         big_values = (last + 1) // 2
         w = _BitWriter()
+        if scalefactors is not None:
+            sf = np.asarray(scalefactors[g_idx], dtype=np.int64)
+            if len(sf) != 21:
+                raise ValueError("scalefactors arrays must have 21 entries")
+            second = g_idx % 2 == 1
+            for band in range(21):
+                slen = _slen1 if band < 11 else _slen2
+                grp = 0 if band < 6 else 1 if band < 11 else 2 if band < 16 else 3
+                if second and scfsi[grp]:
+                    continue  # shared with granule 0 (scfsi)
+                if sf[band] >> slen:
+                    raise ValueError(
+                        f"scalefactor {sf[band]} does not fit slen={slen}"
+                    )
+                if slen:
+                    w.write(int(sf[band]), slen)
         for p in range(big_values):
             x = int(spec[2 * p]) if 2 * p < len(spec) else 0
             y = int(spec[2 * p + 1]) if 2 * p + 1 < len(spec) else 0
@@ -329,6 +373,11 @@ def encode_mp3(
             part2_3_length=w.tell(),
             big_values=big_values,
             global_gain=global_gain,
+            scalefac_compress=(
+                scalefac_compress if scalefactors is not None else 0
+            ),
+            preflag=preflag,
+            scalefac_scale=scalefac_scale,
         )
         if block_type:
             info.window_switching = 1
@@ -339,7 +388,7 @@ def encode_mp3(
         # main-data order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
         gr_bits: List[Tuple[GranuleInfo, List[int]]] = []
         for g in (gi, gi + 1):
-            gr_bits.append(one_granule(specs[g]))
+            gr_bits.append(one_granule(specs[g], g_idx=g))
             if rights is not None:
                 gr_bits.append(one_granule(rights[g]))
         frames.append(gr_bits)
@@ -376,12 +425,14 @@ def encode_mp3(
         # 59 bits per (granule, channel)
         hw.write(mdb, 9)      # main_data_begin
         hw.write(0, 5 if nch == 1 else 3)  # private
-        hw.write(0, 4 * nch)  # scfsi
+        for _ch in range(nch):
+            for bit in scfsi:
+                hw.write(bit, 1)
         for info, _bits in gr_bits:
             hw.write(info.part2_3_length, 12)
             hw.write(info.big_values, 9)
             hw.write(info.global_gain, 8)
-            hw.write(0, 4)    # scalefac_compress
+            hw.write(info.scalefac_compress, 4)
             if info.window_switching:
                 hw.write(1, 1)
                 hw.write(info.block_type, 2)
@@ -396,8 +447,8 @@ def encode_mp3(
                     hw.write(t, 5)
                 hw.write(info.region0_count, 4)
                 hw.write(info.region1_count, 3)
-            hw.write(0, 1)    # preflag
-            hw.write(0, 1)    # scalefac_scale
+            hw.write(info.preflag, 1)
+            hw.write(info.scalefac_scale, 1)
             hw.write(0, 1)    # count1table_select
         head = hw.tobytes(pad_to=head_len)
         mw = _BitWriter()
@@ -521,6 +572,7 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
         br = _BitReader(data)
         sfb = np.array(SFB_LONG[fr.sample_rate], dtype=np.int64)
         pending: List[list] = []  # spectral results awaiting IMDCT stage
+        saved_scalefac = np.zeros((2, 22), dtype=np.int64)  # scfsi state
         for gi, g in enumerate(fr.granules):
             ch = gi % nch  # granule order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
             start = br.pos
@@ -553,12 +605,21 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                     for w in range(3):
                         scalefac_s[band, w] = br.read(slen2)
             else:
-                # long: sfb 0-10 slen1, 11-20 slen2
+                # long: sfb 0-10 slen1, 11-20 slen2; granule 1 SHARES
+                # the groups whose scfsi bit is set (copies granule 0's
+                # values and reads no bits — ISO 2.4.2.7)
                 scalefac = np.zeros(22, dtype=np.int64)
-                for band in range(11):
-                    scalefac[band] = br.read(slen1)
-                for band in range(11, 21):
-                    scalefac[band] = br.read(slen2)
+                second = gi >= nch
+                ch_scfsi = fr.scfsi[ch]  # type: ignore[attr-defined]
+                for band in range(21):
+                    slen = slen1 if band < 11 else slen2
+                    grp = (0 if band < 6 else 1 if band < 11
+                           else 2 if band < 16 else 3)
+                    if second and not g.window_switching and ch_scfsi[grp]:
+                        scalefac[band] = saved_scalefac[ch][band]
+                    elif slen:
+                        scalefac[band] = br.read(slen)
+                saved_scalefac[ch] = scalefac
             # big values: 3 regions split at scalefactor band boundaries
             # (window-switching granules: fixed 36-line region0, no
             # region2 — ISO 2.4.2.7)

@@ -242,3 +242,62 @@ def test_mixed_block_round_trip_and_geometry():
 
     with pytest.raises(ValueError, match="block_type=2"):
         mp3.encode_mp3(specs, block_type=1, mixed=True)
+
+
+def test_scalefactors_scfsi_preflag_round_trip():
+    """Nonzero scalefactors (scalefac_scale=1 -> exact powers of two),
+    scfsi group sharing (granule 1 copies granule 0's groups and reads
+    no bits), and preflag/pretab all requantize exactly."""
+    rng = np.random.default_rng(9)
+    specs = [((np.arange(120) * 5 + 7 * g) % 3) - 1 for g in range(4)]
+    sfs = [rng.integers(0, 4, 21) for _ in range(4)]
+    payload = mp3.encode_mp3(
+        specs, scalefactors=sfs, scalefac_compress=9,
+        scalefac_scale=1, reservoir_shift=5,
+    )
+    grs = mp3.decode_mp3_granules(payload)
+    sfb = np.array(mp3.SFB_LONG[44100])
+    band_of = np.searchsorted(sfb[1:], np.arange(576), side="right")
+    for g in range(4):
+        want = np.zeros(576)
+        want[:120] = specs[g]
+        want *= 2.0 ** (-sfs[g][np.minimum(band_of, 20)].astype(float))
+        assert np.allclose(grs[g]["xr"], want), g
+
+    sfs2 = [rng.integers(0, 4, 21) for _ in range(2)]
+    payload = mp3.encode_mp3(
+        specs[:2], scalefactors=sfs2, scalefac_compress=9,
+        scalefac_scale=1, scfsi=(1, 0, 1, 0),
+    )
+    grs = mp3.decode_mp3_granules(payload)
+    eff1 = sfs2[1].copy()
+    eff1[0:6] = sfs2[0][0:6]
+    eff1[11:16] = sfs2[0][11:16]
+    for g, eff in ((0, sfs2[0]), (1, eff1)):
+        want = np.zeros(576)
+        want[:120] = specs[g]
+        want *= 2.0 ** (-eff[np.minimum(band_of, 20)].astype(float))
+        assert np.allclose(grs[g]["xr"], want), g
+
+    payload = mp3.encode_mp3(
+        specs[:2], scalefactors=[np.zeros(21, int)] * 2,
+        scalefac_scale=1, preflag=1,
+    )
+    grs = mp3.decode_mp3_granules(payload)
+    pre = mp3.PRETAB[np.minimum(band_of, 21)]
+    want = np.zeros(576)
+    want[:120] = specs[0]
+    want *= 2.0 ** (-pre.astype(float))
+    assert np.allclose(grs[0]["xr"], want)
+
+
+def test_scalefactor_guards():
+    specs = [np.zeros(4, dtype=np.int64)] * 2
+    with pytest.raises(ValueError, match="slen"):
+        mp3.encode_mp3(specs, scalefactors=[np.full(21, 9)] * 2,
+                       scalefac_compress=9)
+    with pytest.raises(ValueError, match="scfsi needs scalefactors"):
+        mp3.encode_mp3(specs, scfsi=(1, 0, 0, 0))
+    with pytest.raises(ValueError, match="mono long blocks"):
+        mp3.encode_mp3(specs, scalefactors=[np.zeros(21, int)] * 2,
+                       block_type=2)
