@@ -413,9 +413,24 @@ def documents_to_mp3_media(batch: pa.Table) -> pa.Table:
             if int(i) % 2
             else None
         )
+        bt = d[4] % 4
+        # mono long-block docs also carry digest-derived scalefactors
+        # with scfsi sharing — the raw spectra (what the oracle sums)
+        # are unchanged; the requant exponent path runs for real
+        sfs = (
+            [(d[1] + 7 * np.arange(21) + g) % 4 for g in range(ng)]
+            if rights is None and bt == 0
+            else None
+        )
         payloads.append(
-            mp3.encode_mp3(specs, bitrate_kbps=64, reservoir_shift=d[3] % 24,
-                           right_spectra=rights, block_type=d[4] % 4)
+            mp3.encode_mp3(
+                specs, bitrate_kbps=64, reservoir_shift=d[3] % 24,
+                right_spectra=rights, block_type=bt,
+                scalefactors=sfs,
+                scalefac_compress=9 if sfs is not None else 0,
+                scalefac_scale=1 if sfs is not None else 0,
+                scfsi=(d[5] % 2, 0, d[5] % 2, 0) if sfs is not None else (0, 0, 0, 0),
+            )
         )
     return pa.table(
         {

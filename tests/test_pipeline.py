@@ -573,3 +573,27 @@ def test_prep_corpus_job_resume_and_decontam(ray_session, tmp_path):
         )
         assert r4["tables"]["clean"]["rows"] < r4["tables"]["canonical"]["rows"]
         assert r4["tables"]["packed"]["rows"] == r4["tables"]["clean"]["rows"]
+
+
+def test_prep_cli_end_to_end(tmp_path):
+    """`python -m raykg.job --prep` as the driver would run it: a
+    subprocess with its own Ray session, JSON report on stdout."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "prep_cli")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "raykg.job", "--prep",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--num-partitions", "4", "--num-cpus", "4",
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["tables"]["kept"]["rows"] > 0
+    assert report["tables"]["packed"]["rows"] == report["tables"]["canonical"]["rows"]
