@@ -57,11 +57,22 @@ def _shard_ids(batch: pa.Table, keys: Sequence[str], num_shards: int) -> np.ndar
     return acc.astype(np.int32)
 
 
+def default_shards(requested: int | None = None, fallback: int = 64) -> int:
+    """Resolve a shard count: explicit caller value wins; otherwise the
+    RAYKG_NUM_SHARDS env (the one knob a multi-node deployment sets —
+    SCALE_NOTES.md: >= 4x total cores); otherwise ``fallback`` (sized
+    for this 32-cpu box)."""
+    if requested is not None:
+        return int(requested)
+    env = os.environ.get("RAYKG_NUM_SHARDS")
+    return int(env) if env else fallback
+
+
 def sharded_groupby_apply(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
     apply: Callable[[pd.DataFrame], pd.DataFrame],
-    num_shards: int = 64,
+    num_shards: int | None = None,
     row_cap: int | None = None,
     byte_cap: int | None = None,
 ) -> "ray.data.Dataset":
@@ -79,6 +90,7 @@ def sharded_groupby_apply(
     naming the hottest key and the scale-safe alternative instead of
     OOMing — a skewed or low-cardinality key cannot ride this plan."""
     keys = list(keys)
+    num_shards = default_shards(num_shards)
     row_cap, byte_cap = _caps(row_cap, byte_cap)
 
     def add_shard(batch: pa.Table) -> pa.Table:

@@ -162,13 +162,17 @@ def bucketed_hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     on: str,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     how: str = "inner",
 ) -> "ray.data.Dataset":
     """Two large sides: add ``bucket = crc32(key) % B`` to both, groupby the
     bucket, and merge matching buckets pairwise inside per-bucket kernels —
     an explicit partitioned hash join.  Skewed keys should be salted into
-    sub-buckets by the caller (raise ``num_buckets``)."""
+    sub-buckets by the caller (raise ``num_buckets``).  Default bucket
+    count resolves RAYKG_NUM_SHARDS (multi-node knob) then 64."""
+    from .agg import default_shards
+
+    num_buckets = default_shards(num_buckets)
     both, own_r_cols, out_fields = _align_and_bucket(left, right, on, num_buckets)
 
     def merge(g: pd.DataFrame) -> pa.Table:

@@ -956,3 +956,13 @@ def test_sharded_groupby_volume_guard(ray_session):
         num_shards=1, row_cap=1000,
     ).to_pandas()
     assert sorted(out["n"].tolist()) == [10, 90]
+
+
+def test_default_shards_env_knob(monkeypatch):
+    from raykg.ops.agg import default_shards
+
+    assert default_shards(16) == 16           # explicit wins
+    assert default_shards(None) == 64         # fallback
+    monkeypatch.setenv("RAYKG_NUM_SHARDS", "256")
+    assert default_shards(None) == 256        # cluster-wide env
+    assert default_shards(8) == 8
