@@ -188,6 +188,32 @@ _KEEP_WHOLE_EXC = {
         "piem.", "utt.", "u.c.", "t.i.", "lpp.", "nr.", "tel.", "dr.",
         "prof.", "milj.", "tūkst.", "sk.", "u.tml.", "gs.",
     },
+    "af": {
+        "bv.", "ens.", "mnr.", "mev.", "dr.", "prof.", "nr.", "bl.",
+        "o.a.", "d.w.s.", "a.g.v.", "i.p.v.",
+    },
+    "sq": {
+        "p.sh.", "etj.", "d.m.th.", "nr.", "fq.", "dr.", "prof.",
+        "z.", "znj.", "shek.",
+    },
+    "eu": {
+        "adib.", "etab.", "zk.", "or.", "tel.", "dr.", "K.a.", "K.o.",
+    },
+    "ga": {
+        "m.sh.", "srl.", "lch.", "uimh.", "dr.", "prof.", "teo.",
+        "e.g.", "i.e.",
+    },
+    "is": {
+        "t.d.", "o.s.frv.", "þ.e.", "m.a.", "u.þ.b.", "nr.", "bls.",
+        "dr.", "prófm.", "sbr.", "skv.", "kr.",
+    },
+    "mk": {
+        "итн.", "т.е.", "бр.", "стр.", "д-р.", "проф.",
+        "ул.", "мил.", "илј.",
+    },
+    "tl": {
+        "atbp.", "hal.", "blg.", "p.", "gng.", "bb.", "dr.", "prop.",
+    },
 }
 _SPLIT_EXC = {
     "de": {

@@ -277,3 +277,23 @@ def test_tokenize_baltic_finnic_slavic_abbreviations():
         "Skati", "piem.", "lapu", ",", "utt.", "rīt", "."]
     # a language without a table still splits the trailing period
     assert toks("piem. lapu", lang="af") == ["piem", ".", "lapu"]
+
+
+def test_tokenize_final_breadth_batch():
+    """af/sq/eu/ga/is/mk/tl keep-whole exception sets — completing the
+    per-language abbreviation coverage for every supported code with
+    well-established conventions."""
+    assert toks("Koop bv. brood, ens. vandag.", lang="af") == [
+        "Koop", "bv.", "brood", ",", "ens.", "vandag", "."]
+    assert toks("Merr p.sh. bukë, etj. nesër.", lang="sq") == [
+        "Merr", "p.sh.", "bukë", ",", "etj.", "nesër", "."]
+    assert toks("Har adib. ogia, etab. bihar.", lang="eu") == [
+        "Har", "adib.", "ogia", ",", "etab.", "bihar", "."]
+    assert toks("Féach m.sh. leathanach, srl. amárach.", lang="ga") == [
+        "Féach", "m.sh.", "leathanach", ",", "srl.", "amárach", "."]
+    assert toks("Sjá t.d. síðu, o.s.frv. á morgun.", lang="is") == [
+        "Sjá", "t.d.", "síðu", ",", "o.s.frv.", "á", "morgun", "."]
+    assert toks("Види т.е. страна, итн. утре.", lang="mk") == [
+        "Види", "т.е.", "страна", ",", "итн.", "утре", "."]
+    assert toks("Bumili atbp. tinapay, hal. bukas.", lang="tl") == [
+        "Bumili", "atbp.", "tinapay", ",", "hal.", "bukas", "."]
