@@ -10,9 +10,11 @@ What is REAL here (and exactly verifiable):
 - **bit reservoir**: main data reassembled across frames via
   main_data_begin, exactly as the spec's reservoir machinery requires,
 - **scalefactor decode** (long-block slen1/slen2 with scfsi sharing),
-- **stereo**: mono, plain LR stereo, and MS joint stereo
-  (L/R = (M±S)/sqrt2 on the requantized spectra); intensity stereo is
-  the one unimplemented stereo mode (raises by name),
+- **stereo**: mono, plain LR stereo, MS joint stereo
+  (L/R = (M±S)/sqrt2 on the requantized spectra), and INTENSITY stereo
+  (long blocks: bands in the right channel's zero region steer the left
+  channel's energy by tan(pos*pi/12) position ratios, pos 7 falling
+  back to MS/LR per the ms bit; intensity-on-short raises),
 - **all window layouts**: normal/start/stop long blocks, SHORT blocks
   (window-switching side info, per-(band,window) requantization with
   subblock_gain, spectral reorder, 3x12-point IMDCT), and MIXED blocks
@@ -39,10 +41,12 @@ via RAYKG_MP3_DTABLE) and raises a clear error without it.  Everything
 above it — the actual *decoding* — runs for real and is pinned by the
 `media_mp3` oracle query against planted integer spectra.
 
-A tiny mono encoder (`encode_mp3`) emits spec-conformant frames
-(44.1 kHz, long blocks, table-1 big values, gain 210) from chosen
-quantized spectra, so fixtures exercise the full header → reservoir →
-Huffman → requantize → IMDCT chain with exactly known values.
+A tiny encoder (`encode_mp3`) emits spec-conformant frames (44.1 kHz,
+table-1 big values) from chosen quantized spectra across every layout:
+mono/LR/MS/intensity stereo, normal/start/stop/short/mixed blocks,
+scalefactors with scfsi sharing, and bit-reservoir placements — so
+fixtures exercise the full header → reservoir → Huffman → requantize →
+IMDCT chain with exactly known values.
 """
 from __future__ import annotations
 
@@ -270,10 +274,12 @@ def encode_mp3(
     joint_ms: bool = False,
     mixed: bool = False,
     scalefactors: Optional[List[np.ndarray]] = None,
+    scalefactors_right: Optional[List[np.ndarray]] = None,
     scalefac_compress: int = 0,
     scalefac_scale: int = 0,
     preflag: int = 0,
     scfsi: Tuple[int, int, int, int] = (0, 0, 0, 0),
+    joint_intensity: bool = False,
 ) -> bytes:
     """44.1 kHz MPEG-1 Layer III frames from chosen QUANTIZED spectra:
     each entry of ``granule_spectra`` is an int array (values in
@@ -310,14 +316,23 @@ def encode_mp3(
     if joint_ms and right_spectra is None:
         raise ValueError("joint_ms needs right_spectra (the SIDE channel)")
     if scalefactors is not None:
-        if right_spectra is not None or block_type:
+        if block_type:
             raise ValueError(
-                "scalefactors are supported for mono long blocks only"
+                "scalefactors are supported for long blocks only"
             )
         if len(scalefactors) != len(granule_spectra):
             raise ValueError("one scalefactor array per granule")
+        if right_spectra is not None and scalefactors_right is None:
+            raise ValueError(
+                "stereo with scalefactors needs scalefactors_right"
+            )
     elif any(scfsi):
         raise ValueError("scfsi needs scalefactors")
+    if joint_intensity and (right_spectra is None or scalefactors_right is None):
+        raise ValueError(
+            "joint_intensity needs right_spectra (zeroed in the intensity "
+            "region) and scalefactors_right (the intensity positions)"
+        )
     frames = []
     specs = [np.asarray(s, dtype=np.int64) for s in granule_spectra]
     rights = (
@@ -341,7 +356,7 @@ def encode_mp3(
     _slen1, _slen2 = SLEN[scalefac_compress]
 
     def one_granule(
-        spec: np.ndarray, g_idx: int = 0
+        spec: np.ndarray, g_idx: int = 0, sf_list=None
     ) -> Tuple[GranuleInfo, List[int]]:
         if len(spec) > 576:
             raise ValueError("spectrum longer than 576")
@@ -349,8 +364,8 @@ def encode_mp3(
         last = (int(nz[-1]) + 1 if len(nz) else 0)
         big_values = (last + 1) // 2
         w = _BitWriter()
-        if scalefactors is not None:
-            sf = np.asarray(scalefactors[g_idx], dtype=np.int64)
+        if sf_list is not None:
+            sf = np.asarray(sf_list[g_idx], dtype=np.int64)
             if len(sf) != 21:
                 raise ValueError("scalefactors arrays must have 21 entries")
             second = g_idx % 2 == 1
@@ -374,7 +389,7 @@ def encode_mp3(
             big_values=big_values,
             global_gain=global_gain,
             scalefac_compress=(
-                scalefac_compress if scalefactors is not None else 0
+                scalefac_compress if sf_list is not None else 0
             ),
             preflag=preflag,
             scalefac_scale=scalefac_scale,
@@ -388,9 +403,11 @@ def encode_mp3(
         # main-data order: gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
         gr_bits: List[Tuple[GranuleInfo, List[int]]] = []
         for g in (gi, gi + 1):
-            gr_bits.append(one_granule(specs[g], g_idx=g))
+            gr_bits.append(one_granule(specs[g], g_idx=g, sf_list=scalefactors))
             if rights is not None:
-                gr_bits.append(one_granule(rights[g]))
+                gr_bits.append(
+                    one_granule(rights[g], g_idx=g, sf_list=scalefactors_right)
+                )
         frames.append(gr_bits)
 
     if not 0 <= reservoir_shift <= 511:
@@ -412,9 +429,12 @@ def encode_mp3(
         if nch == 1:
             hw.write(0b11, 2)  # mode: mono
             hw.write(0, 2)
-        elif joint_ms:
+        elif joint_ms or joint_intensity:
             hw.write(0b01, 2)  # mode: joint stereo
-            hw.write(0b10, 2)  # mode_ext: MS on, intensity off
+            hw.write(
+                (0b10 if joint_ms else 0) | (0b01 if joint_intensity else 0),
+                2,
+            )
         else:
             hw.write(0b00, 2)  # mode: stereo
             hw.write(0, 2)
@@ -515,11 +535,6 @@ def parse_mp3_frames(payload: bytes) -> List[Frame]:
         frame.nch = nch  # type: ignore[attr-defined]
         frame.mode = mode  # type: ignore[attr-defined]
         frame.mode_ext = (h >> 4) & 3  # type: ignore[attr-defined]
-        if mode == 0b01 and frame.mode_ext & 1:  # type: ignore[attr-defined]
-            raise NotImplementedError(
-                "intensity-stereo coding not implemented; mono, LR and "
-                "MS joint stereo decode natively"
-            )
         for _g in range(2):
             for _ch in range(nch):
                 g = GranuleInfo()
@@ -701,21 +716,62 @@ def decode_mp3_granules(payload: bytes) -> List[dict]:
                     scalefac[band_of] + g.preflag * PRETAB[band_of]
                 )
                 xr = np.sign(spec) * mag * gain * 2.0 ** (-band_exp)
-            pending.append([ch, g, (short, mixed), spec, xr])
+            pending.append(
+                [ch, g, (short, mixed), spec, xr,
+                 scalefac if not short else None]
+            )
             if ch != nch - 1:
                 continue
-            # MS joint stereo (mode_ext bit 1): channels carry mid/side;
-            # L = (M+S)/sqrt2, R = (M-S)/sqrt2 on the requantized spectra
-            if (
-                nch == 2
-                and fr.mode == 0b01  # type: ignore[attr-defined]
-                and fr.mode_ext & 2  # type: ignore[attr-defined]
-            ):
+            joint = nch == 2 and fr.mode == 0b01  # type: ignore[attr-defined]
+            mext = fr.mode_ext if nch == 2 else 0  # type: ignore[attr-defined]
+            if joint and mext & 1:
+                # INTENSITY stereo (long blocks): scalefactor bands lying
+                # entirely in the right channel's zero region carry an
+                # intensity position in the RIGHT channel's scalefactors;
+                # L = m*ratio/(1+ratio), R = m/(1+ratio),
+                # ratio = tan(pos*pi/12); pos 6 -> (1, 0); pos 7 -> band
+                # falls back to MS (if on) or LR.  ISO 2.4.3.4.9.3.
+                if pending[0][2][0] or pending[1][2][0]:
+                    raise NotImplementedError(
+                        "intensity stereo on short/mixed blocks"
+                    )
+                m_xr, s_xr = pending[0][4], pending[1][4]
+                r_sf = pending[1][5]
+                nz = np.flatnonzero(pending[1][3])
+                rzero = int(nz[-1]) + 1 if len(nz) else 0
+                in_band = np.zeros(576, dtype=bool)
+                for band in range(21):
+                    lo, hi = int(sfb[band]), int(sfb[band + 1])
+                    if lo < rzero:
+                        continue  # right channel still has data here
+                    pos = int(r_sf[band])
+                    if pos == 7:
+                        continue  # not intensity-coded: MS/LR fallback
+                    if pos == 6:
+                        k_l, k_r = 1.0, 0.0
+                    else:
+                        ratio = np.tan(pos * np.pi / 12.0)
+                        k_l = ratio / (1.0 + ratio)
+                        k_r = 1.0 / (1.0 + ratio)
+                    s_xr[lo:hi] = m_xr[lo:hi] * k_r
+                    m_xr[lo:hi] = m_xr[lo:hi] * k_l
+                    in_band[lo:hi] = True
+                pending[0][4], pending[1][4] = m_xr, s_xr
+                if mext & 2:  # MS on the non-intensity remainder
+                    inv = 1.0 / np.sqrt(2.0)
+                    rest = ~in_band
+                    m2, s2 = m_xr.copy(), s_xr.copy()
+                    m_xr[rest] = (m2[rest] + s2[rest]) * inv
+                    s_xr[rest] = (m2[rest] - s2[rest]) * inv
+            elif joint and mext & 2:
+                # MS joint stereo: channels carry mid/side;
+                # L = (M+S)/sqrt2, R = (M-S)/sqrt2 on the requantized
+                # spectra
                 inv = 1.0 / np.sqrt(2.0)
                 m_xr, s_xr = pending[0][4], pending[1][4]
                 pending[0][4] = (m_xr + s_xr) * inv
                 pending[1][4] = (m_xr - s_xr) * inv
-            for pch, pg, (pshort, pmixed), pspec, pxr in pending:
+            for pch, pg, (pshort, pmixed), pspec, pxr, _psf in pending:
                 if pshort:
                     widths = SFB_SHORT_WIDTH[fr.sample_rate]
                     # reorder stored (band-major, window-interleaved)

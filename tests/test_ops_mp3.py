@@ -125,14 +125,6 @@ def test_stereo_lr_round_trip_with_reservoir():
                 assert (got["is"] == want).all(), (shift, g, ch)
 
 
-def test_intensity_stereo_raises_clearly():
-    payload = bytearray(mp3.encode_mp3(_specs(2)))
-    # header byte 3: mode in bits 7-6, mode_ext in 5-4 -> joint + intensity
-    payload[3] = (payload[3] & 0x0F) | 0b0101 << 4
-    with pytest.raises(NotImplementedError, match="intensity"):
-        mp3.parse_mp3_frames(bytes(payload))
-
-
 def test_ms_joint_stereo_reconstructs_lr():
     """MS-coded frames: channels carry mid/side integers; requantized
     output is L/R = (M±S)/sqrt2, while the raw quantized spectra stay
@@ -298,6 +290,67 @@ def test_scalefactor_guards():
                        scalefac_compress=9)
     with pytest.raises(ValueError, match="scfsi needs scalefactors"):
         mp3.encode_mp3(specs, scfsi=(1, 0, 0, 0))
-    with pytest.raises(ValueError, match="mono long blocks"):
+    with pytest.raises(ValueError, match="long blocks only"):
         mp3.encode_mp3(specs, scalefactors=[np.zeros(21, int)] * 2,
                        block_type=2)
+    with pytest.raises(ValueError, match="scalefactors_right"):
+        mp3.encode_mp3(specs, right_spectra=specs,
+                       scalefactors=[np.zeros(21, int)] * 2)
+
+
+def test_intensity_stereo_reconstructs_positions():
+    """Intensity-coded bands (right channel zero region) steer the left
+    channel's energy by position: L = m*ratio/(1+ratio),
+    R = m/(1+ratio), ratio = tan(pos*pi/12); pos 6 -> (1, 0); pos 7 ->
+    band not intensity-coded.  Bands still holding right-channel data
+    are untouched."""
+    sfb = np.array(mp3.SFB_LONG[44100])
+    L = [((np.arange(100) * 5 + 7 * g) % 3) - 1 for g in range(2)]
+    R = []
+    for g in range(2):
+        r = np.zeros(100, dtype=np.int64)
+        r[:30] = ((np.arange(30) * 11 + 3 * g) % 3) - 1  # rzero = 30
+        R.append(r)
+    pos = np.zeros(21, dtype=np.int64)  # below band 7: plain scalefac 0
+    for b in range(7, 21):              # intensity region (starts >= 30)
+        pos[b] = b % 8                  # includes pos 7 (fallback bands)
+    sfs0 = [np.zeros(21, dtype=np.int64)] * 2
+    payload = mp3.encode_mp3(
+        L, right_spectra=R, joint_intensity=True,
+        scalefactors=sfs0, scalefactors_right=[pos] * 2,
+        scalefac_compress=13,
+    )
+    fr = mp3.parse_mp3_frames(payload)[0]
+    assert fr.mode == 0b01 and fr.mode_ext == 0b01
+    grs = mp3.decode_mp3_granules(payload)
+    for g in range(2):
+        wl = np.zeros(576)
+        wl[:100] = L[g]
+        wr = np.zeros(576)
+        wr[:100] = R[g]
+        exp_l, exp_r = wl.copy(), wr.copy()
+        for b in range(7, 21):
+            p = b % 8
+            if p == 7:
+                continue  # falls back to LR (no MS here)
+            lo, hi = sfb[b], sfb[b + 1]
+            if p == 6:
+                kl, kr = 1.0, 0.0
+            else:
+                ratio = np.tan(p * np.pi / 12)
+                kl, kr = ratio / (1 + ratio), 1 / (1 + ratio)
+            exp_r[lo:hi] = wl[lo:hi] * kr
+            exp_l[lo:hi] = wl[lo:hi] * kl
+        assert np.allclose(grs[2 * g]["xr"], exp_l), g
+        assert np.allclose(grs[2 * g + 1]["xr"], exp_r), g
+
+
+def test_intensity_on_short_blocks_raises():
+    specs = [np.zeros(8, dtype=np.int64)] * 2
+    payload = bytearray(
+        mp3.encode_mp3(specs, right_spectra=specs, block_type=2)
+    )
+    # flip mode to joint + intensity
+    payload[3] = (payload[3] & 0x0F) | 0b0101 << 4
+    with pytest.raises(NotImplementedError, match="short"):
+        mp3.decode_mp3_granules(bytes(payload))
