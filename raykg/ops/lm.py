@@ -54,18 +54,40 @@ def _bigram_rows(
     bigram per batch."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids: List = []
-        w1s: List[str] = []
-        w2s: List[str] = []
-        for i, t in zip(
-            batch[id_column].to_pylist(), batch[text_column].to_pylist()
-        ):
-            toks = WORD_RE.findall(t or "")
-            if len(toks) >= 2:
-                w1s.extend(toks[:-1])
-                w2s.extend(toks[1:])
-                ids.extend([i] * (len(toks) - 1))
-        df = pd.DataFrame({id_column: ids, "w1": w1s, "w2": w2s})
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # Arrow-native tokenization (no Python per string):
+        # utf8_split_whitespace emits empty tokens at string edges, so
+        # filter zero-length tokens from the flattened child array and
+        # rebuild per-doc counts — the result matches WORD_RE (\S+)
+        # exactly; bigram pairs are two shifted takes of the kept tokens
+        toks = pc.utf8_split_whitespace(
+            pc.coalesce(batch[text_column], pa.scalar(""))
+        ).combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values  # child array; offsets index into it directly
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        kept_flat = flat.filter(pa.array(keep))
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        counts = csum[offsets[1:]] - csum[offsets[:-1]]  # \S+ per doc
+        new_off = np.concatenate([[0], np.cumsum(counts)])
+        nbi = np.maximum(counts - 1, 0)  # bigrams per doc
+        idx = np.concatenate(
+            [np.arange(o, o + k) for o, k in zip(new_off[:-1], nbi)]
+        ) if nbi.any() else np.zeros(0, dtype=np.int64)
+        w1 = kept_flat.take(pa.array(idx, type=pa.int64()))
+        w2 = kept_flat.take(pa.array(idx + 1, type=pa.int64()))
+        doc_ids = batch[id_column].take(
+            pa.array(np.repeat(np.arange(batch.num_rows), nbi),
+                     type=pa.int64())
+        )
+        df = pd.DataFrame(
+            {id_column: doc_ids.to_pandas(), "w1": w1.to_pandas(),
+             "w2": w2.to_pandas()}
+        )
         g = df.groupby([id_column, "w1", "w2"], sort=False, as_index=False).size()
         return pa.table(
             {
