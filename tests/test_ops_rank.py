@@ -259,3 +259,84 @@ def test_window_over_rejects_mixed_rank_value_kinds(ray_session):
             ds, keys=["k"], order_by=["o"],
             specs=[("rank", None, "r", None), ("cumsum", "v", "c", None)],
         )
+
+
+def test_with_keyed_ranks_randomized_configs(ray_session):
+    """Randomized stress: every rank kind vs DuckDB window functions
+    across key cardinality x tie density x dtype x block count.
+
+    Configs with duplicate (key, order) tuples only check the tie-aware
+    kinds (rank / dense_rank / percent_rank) — row_number / ntile are
+    nondeterministic there, exactly as in SQL.
+    """
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raykg.ops.rank import with_keyed_ranks
+
+    rng = np.random.default_rng(977)
+    configs = [
+        # (n_rows, n_keys, order_distinct, key_dtype, parts)
+        (400, 1, 400, "str", 11),      # one giant key, total order
+        (600, 2, 9, "str", 13),        # heavy ties crossing blocks
+        (800, 37, 800, "int", 5),      # many keys, total order
+        (500, 5, 3, "int", 17),        # extreme tie density
+        (300, 60, 300, "str", 1),      # more keys than rows/block, 1 block
+        (700, 4, 50, "int", 29),       # moderate ties, many blocks
+    ]
+    for n, nk, od, kdt, parts in configs:
+        keyvals = (
+            np.array([f"key_{i:03d}" for i in range(nk)])
+            if kdt == "str"
+            else np.arange(100, 100 + nk, dtype=np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "k": keyvals[rng.integers(0, nk, n)],
+                "o": rng.integers(0, od, n).astype(np.int64),
+                "rid": np.arange(n, dtype=np.int64),
+            }
+        )
+        total_order = not df.duplicated(["k", "o"]).any()
+        specs = [
+            ("rank", "r_rank", None),
+            ("dense_rank", "r_dense", None),
+            ("percent_rank", "r_pct", None),
+        ]
+        if total_order:
+            specs += [("row_number", "r_rn", None), ("ntile", "r_nt", 7)]
+        got = (
+            with_keyed_ranks(
+                ray.data.from_pandas(df).repartition(parts),
+                keys=["k"],
+                order_by=["o"],
+                specs=specs,
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        sel = [
+            "RANK() OVER w AS r_rank",
+            "DENSE_RANK() OVER w AS r_dense",
+            "PERCENT_RANK() OVER w AS r_pct",
+        ]
+        if total_order:
+            sel += ["ROW_NUMBER() OVER w AS r_rn", "NTILE(7) OVER w AS r_nt"]
+        want = duckdb.sql(
+            "SELECT rid, " + ", ".join(sel) +
+            " FROM df WINDOW w AS (PARTITION BY k ORDER BY o)"
+            " ORDER BY rid"
+        ).df()
+        cols = ["r_rank", "r_dense", "r_pct"] + (
+            ["r_rn", "r_nt"] if total_order else []
+        )
+        for c in cols:
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=np.float64),
+                want[c].to_numpy(dtype=np.float64),
+                rtol=0, atol=1e-12,
+                err_msg=f"config={(n, nk, od, kdt, parts)} col={c}",
+            )
