@@ -282,6 +282,8 @@ def run_bench() -> dict:
     timed("dsir_weights")
     timed("mention_chains")
     timed("containment_pairs")
+    timed("winnow_fps", consume=len)
+    timed("winnow_pairs")
     timed("conv_latency")
     timed("xalign_mutual")
     timed("ccnet_buckets")

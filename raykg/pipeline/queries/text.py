@@ -2191,3 +2191,105 @@ ORACLE_SQL["vocab_overlap"] = r"""
     WHERE sa.source = i.source_a AND sb.source = i.source_b
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003 — MOSS)
+
+WINNOW_K = 4
+WINNOW_W = 5
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_BUCKET = 512
+
+
+def q_winnow_fps(sf_dir: str):
+    """Winnowed document fingerprints (MOSS): rightmost-minimal 63-bit
+    k-gram hash per sliding window of WINNOW_W hashes — expected density
+    2/(w+1) of the k-gram count, with the guarantee that any shared run
+    of >= WINNOW_W + WINNOW_K - 1 words yields a shared fingerprint.
+    Zero exchanges (ops/winnow.py)."""
+    from ...ops.winnow import winnow_fingerprints
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
+
+
+def q_winnow_pairs(sf_dir: str):
+    """MOSS overlap report: document pairs sharing >= WINNOW_MIN_SHARED
+    distinct winnowed fingerprints.  One exchange over the winnowed
+    (already ~2/(w+1)-density) fingerprint rows — the scale argument for
+    winnowing over the full shingle inverted index."""
+    from ...ops.winnow import winnow_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_pairs(
+        docs,
+        k=WINNOW_K,
+        window=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_bucket_members=WINNOW_MAX_BUCKET,
+    )
+
+
+QUERIES["winnow_fps"] = q_winnow_fps
+QUERIES["winnow_pairs"] = q_winnow_pairs
+
+# the fingerprint-selection CTE chain, shared by both oracles: word
+# k-grams (short-doc fallback = one whole-text gram, as in jaccard_pairs),
+# 63-bit md5 hashes, full windows of LEAST(w, n_grams) hashes, rightmost
+# position attaining the window minimum, distinct (pos, fp) per doc
+_WINNOW_SEL_CTE = f"""
+    w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= {WINNOW_K} THEN list_transform(
+                          generate_series(1, len(ws) - {WINNOW_K - 1}),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               || ' ' || ws[i+3])
+                      WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                      ELSE [] END AS gs
+          FROM w),
+    h AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+                 CAST(('0x' || substr(md5(gs[r.i]), 1, 16))::UBIGINT >> 1
+                      AS BIGINT) AS fp
+          FROM g, LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i) r),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM h GROUP BY doc_id),
+    win AS (SELECT h.doc_id, h.pos, h.fp,
+                   MIN(h.fp) OVER (PARTITION BY h.doc_id ORDER BY h.pos
+                                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                   AND CURRENT ROW) AS wmin,
+                   COUNT(*) OVER (PARTITION BY h.doc_id ORDER BY h.pos
+                                  ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                  AND CURRENT ROW) AS wn
+            FROM h),
+    e AS (SELECT win.doc_id, win.pos AS e, win.wmin,
+                 LEAST({WINNOW_W}, n.ng) AS weff
+          FROM win JOIN n USING (doc_id)
+          WHERE win.wn = LEAST({WINNOW_W}, n.ng)),
+    sel AS (SELECT e.doc_id, e.e, e.wmin, MAX(h.pos) AS spos
+            FROM e JOIN h ON h.doc_id = e.doc_id
+                         AND h.pos BETWEEN e.e - e.weff + 1 AND e.e
+                         AND h.fp = e.wmin
+            GROUP BY e.doc_id, e.e, e.wmin)
+"""
+
+ORACLE_SQL["winnow_fps"] = f"""
+    WITH {_WINNOW_SEL_CTE}
+    SELECT DISTINCT doc_id, spos AS pos, wmin AS fp FROM sel
+"""
+
+ORACLE_SQL["winnow_pairs"] = f"""
+    WITH {_WINNOW_SEL_CTE},
+    f AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel),
+    ok AS (SELECT fp FROM f GROUP BY fp
+           HAVING COUNT(*) <= {WINNOW_MAX_BUCKET}),
+    ff AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
