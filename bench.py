@@ -284,6 +284,8 @@ def run_bench() -> dict:
     timed("containment_pairs")
     timed("winnow_fps", consume=len)
     timed("winnow_pairs")
+    timed("cdc_chunks", consume=len)
+    timed("cdc_dedup")
     timed("conv_latency")
     timed("xalign_mutual")
     timed("ccnet_buckets")

@@ -2293,3 +2293,78 @@ ORACLE_SQL["winnow_pairs"] = f"""
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (LBFS/FastCDC-style storage dedup)
+
+CDC_DIVISOR = 8
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunks per document: a word ends a chunk iff its
+    32-bit md5 prefix % CDC_DIVISOR == 0 (word-granular Rabin-threshold
+    boundary, expected chunk = CDC_DIVISOR words) — edits only perturb
+    the chunks they touch, so snapshot re-crawls share chunk hashes.
+    Zero exchanges (ops/cdc.py)."""
+    from ...ops.cdc import cdc_chunks
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cdc_chunks(docs, divisor=CDC_DIVISOR)
+
+
+def q_cdc_dedup(sf_dir: str):
+    """Per-source CDC storage-dedup profile: chunk/word totals plus how
+    many of them are corpus-wide duplicates (what a chunk store would
+    NOT store twice).  One hash-sharded exchange over (hash, source)
+    rows; chunk text never moves."""
+    from ...ops.cdc import cdc_dedup_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return cdc_dedup_stats(docs, divisor=CDC_DIVISOR)
+
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+QUERIES["cdc_dedup"] = q_cdc_dedup
+
+_CDC_CH_CTE = f"""
+    w AS (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws
+          FROM documents),
+    t AS (SELECT doc_id, source, CAST(r.i AS BIGINT) AS wpos, ws[r.i] AS w,
+                 CASE WHEN ('0x' || substr(md5(ws[r.i]), 1, 8))::UBIGINT
+                           % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS bnd
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) r),
+    c AS (SELECT doc_id, source, wpos, w,
+                 1 + COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY wpos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS ci
+          FROM t),
+    ch AS (SELECT doc_id, source, CAST(ci AS BIGINT) AS chunk_idx,
+                  CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(('0x' || substr(md5(string_agg(w, ' ' ORDER BY wpos)),
+                                       1, 16))::UBIGINT >> 1
+                       AS BIGINT) AS chunk_hash
+           FROM c GROUP BY doc_id, source, ci)
+"""
+
+ORACLE_SQL["cdc_chunks"] = f"""
+    WITH {_CDC_CH_CTE}
+    SELECT doc_id, chunk_idx, n_words, chunk_hash FROM ch
+"""
+
+ORACLE_SQL["cdc_dedup"] = f"""
+    WITH {_CDC_CH_CTE},
+    cnt AS (SELECT chunk_hash, COUNT(*) AS m FROM ch GROUP BY chunk_hash)
+    SELECT ch.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ch.n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(*) FILTER (WHERE cnt.m > 1) AS BIGINT) AS dup_chunks,
+           CAST(COALESCE(SUM(ch.n_words) FILTER (WHERE cnt.m > 1), 0)
+                AS BIGINT) AS dup_words
+    FROM ch JOIN cnt USING (chunk_hash)
+    GROUP BY ch.source
+"""
