@@ -330,6 +330,7 @@ def run_bench() -> dict:
     timed("tpch_q15", consume=len)
     timed("tpch_q20", consume=len)
     timed("type_trend", consume=len)
+    timed("type_theil_sen", consume=len)
     timed("conv_lang_entropy")
     timed("revenue_lorenz", consume=len)
     timed("order_gaps")

@@ -125,3 +125,60 @@ def grouped_daily_trend(ds, group: str, ts_column: str) -> pa.Table:
             "z_stat": pa.array([r[4] for r in rows], type=pa.float64()),
         }
     )
+
+
+def grouped_theil_sen(ds, group: str, ts_column: str) -> pa.Table:
+    """Per-``group`` Theil–Sen estimator over the daily-count series
+    (Theil 1950 / Sen 1968): slope = median of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i) over day pairs, intercept = median of
+    y − slope·x — the robust companion to :func:`grouped_daily_trend`'s
+    Mann–Kendall test (up to ~29% outlier days cannot move it, unlike
+    OLS in ``ops/regress``).  Same scale shape as the rest of this
+    module: per-batch (group, day) count partials, ONE calendar-bounded
+    groupby, then the O(days²) pair fold per group is a driver-side
+    numpy kernel over a few-thousand-element vector.  Groups with fewer
+    than two day buckets have no pairwise slope and are omitted (as an
+    inner-join SQL mirror does)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsv = batch[ts_column].to_numpy(zero_copy_only=False)
+        days = tsv.astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"g": batch[group].to_pylist(), "day": days})
+        out = df.groupby(["g", "day"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    daily = (
+        ds.select_columns([group, ts_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "day"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["g", "day"])
+    )
+
+    def rnd6(v: float) -> float:
+        return float(np.floor(abs(v) * 1e6 + 0.5) / 1e6 * np.sign(v)) + 0.0
+
+    rows = []
+    for g, sub in daily.groupby("g", sort=True):
+        x = sub["day"].to_numpy(np.int64)
+        y = sub["n"].to_numpy(np.int64)
+        if len(x) < 2:
+            continue
+        iu, ju = np.triu_indices(len(x), k=1)
+        slopes = (y[ju] - y[iu]).astype(np.float64) / (
+            x[ju] - x[iu]
+        ).astype(np.float64)
+        slope = float(np.median(slopes))
+        icept = float(np.median(y.astype(np.float64) - slope * x))
+        rows.append((g, len(x), rnd6(slope), rnd6(icept)))
+    return pa.table(
+        {
+            group: pa.array([r[0] for r in rows], from_pandas=True),
+            "n_buckets": pa.array([r[1] for r in rows], type=pa.int64()),
+            "slope": pa.array([r[2] for r in rows], type=pa.float64()),
+            "intercept": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )

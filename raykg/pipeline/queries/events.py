@@ -2147,3 +2147,45 @@ ORACLE_SQL["type_trend"] = """
             JOIN var ON var.event_type = sz.event_type
     ORDER BY sz.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-type Theil–Sen robust daily-count trend
+# ---------------------------------------------------------------------------
+
+
+def q_type_theil_sen(sf_dir: str):
+    """Per-event-type Theil–Sen robust slope/intercept of the daily
+    count series — median of pairwise slopes (up to ~29% outlier days
+    cannot move it, unlike value_slope's OLS).  Per-batch day partials,
+    one calendar-bounded groupby, driver-side O(days²) fold per type
+    (`ops/trend.grouped_theil_sen`)."""
+    from ...ops.trend import grouped_theil_sen
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return grouped_theil_sen(ev, "event_type", "ts")
+
+
+QUERIES["type_theil_sen"] = q_type_theil_sen
+ORACLE_SQL["type_theil_sen"] = """
+    WITH d AS (SELECT event_type,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                          AS x,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    sl AS (SELECT a.event_type,
+                  MEDIAN((b.y - a.y) * 1.0 / (b.x - a.x)) AS slope
+           FROM d a JOIN d b ON a.event_type = b.event_type AND b.x > a.x
+           GROUP BY a.event_type),
+    ic AS (SELECT d.event_type,
+                  MEDIAN(d.y - sl.slope * d.x) AS icept
+           FROM d JOIN sl USING (event_type) GROUP BY d.event_type),
+    nb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets
+           FROM d GROUP BY event_type)
+    SELECT nb.event_type, nb.n_buckets,
+           ROUND(sl.slope, 6) AS slope,
+           ROUND(ic.icept, 6) AS intercept
+    FROM nb JOIN sl USING (event_type) JOIN ic USING (event_type)
+"""

@@ -714,3 +714,37 @@ def test_ntile_bucket_matches_sql_ntile():
         ).fetchnumpy()
         expect = list(sql.values())[0].astype(np.int64)
         assert np.array_equal(got, expect), n
+
+
+def test_grouped_theil_sen_robust_to_outlier(ray_session):
+    """Theil–Sen ignores a single wild outlier day that would wreck OLS,
+    and matches the direct median-of-pairwise-slopes definition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from raykg.ops.trend import grouped_theil_sen
+
+    days = pd.date_range("2024-01-01", periods=11, freq="D")
+    # clean linear series y = 2x + 3 rendered as per-day row counts,
+    # with day 5 an extreme outlier (count 500)
+    counts = [3 + 2 * i for i in range(11)]
+    counts[5] = 500
+    rows = []
+    for d, n in zip(days, counts):
+        rows += [{"event_type": "a", "ts": d}] * n
+    # a second group with a single day: omitted from the output
+    rows.append({"event_type": "b", "ts": days[0]})
+    df = pd.DataFrame(rows)
+    got = grouped_theil_sen(
+        ray.data.from_pandas(df).repartition(5), "event_type", "ts"
+    ).to_pandas()
+    assert got["event_type"].tolist() == ["a"]
+    x = np.array([(d - pd.Timestamp("1970-01-01")).days for d in days],
+                 dtype=np.int64)
+    y = np.array(counts, dtype=np.int64)
+    iu, ju = np.triu_indices(len(x), 1)
+    want_slope = float(np.median((y[ju] - y[iu]) / (x[ju] - x[iu])))
+    assert got["slope"].iloc[0] == round(want_slope, 6)
+    # the outlier cannot move the slope far from the clean trend of 2
+    assert abs(got["slope"].iloc[0] - 2.0) < 0.6
+    assert got["n_buckets"].iloc[0] == 11
