@@ -286,6 +286,7 @@ def run_bench() -> dict:
     timed("winnow_pairs")
     timed("cdc_chunks", consume=len)
     timed("cdc_dedup")
+    timed("dup_gram_rate", consume=len)
     timed("conv_latency")
     timed("xalign_mutual")
     timed("ccnet_buckets")

@@ -2368,3 +2368,51 @@ ORACLE_SQL["cdc_dedup"] = f"""
     FROM ch JOIN cnt USING (chunk_hash)
     GROUP BY ch.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-doc duplicate-n-gram rate (novelty / memorization-risk QA)
+
+DUPGRAM_N = 5
+
+
+def q_dup_gram_rate(sf_dir: str):
+    """Per-document duplicate-n-gram rate: the fraction of a doc's
+    distinct DUPGRAM_N-grams that occur in >= 2 distinct documents —
+    the per-doc diagnostic behind n-gram-overlap dedup (Lee et al.
+    2022).  One hash-sharded exchange over 63-bit gram hashes
+    (ops/novelty.py); gram text never moves."""
+    from ...ops.novelty import dup_gram_rate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_gram_rate(docs, n=DUPGRAM_N)
+
+
+QUERIES["dup_gram_rate"] = q_dup_gram_rate
+ORACLE_SQL["dup_gram_rate"] = f"""
+    WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= {DUPGRAM_N} THEN
+                          list_distinct(list_transform(
+                              generate_series(1, len(ws) - {DUPGRAM_N - 1}),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   || ' ' || ws[i+3] || ' ' || ws[i+4]))
+                      WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                      ELSE [] END AS gs
+          FROM w),
+    h AS (SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(unnest(gs)), 1, 16))::UBIGINT >> 1
+                      AS BIGINT) AS fp
+          FROM g),
+    cnt AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY fp)
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE cnt.nd > 1) AS BIGINT) AS dup_grams,
+           ROUND(COUNT(*) FILTER (WHERE cnt.nd > 1) * 1.0 / COUNT(*), 6)
+               AS dup_rate
+    FROM h JOIN cnt USING (fp)
+    GROUP BY h.doc_id
+"""
