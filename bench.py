@@ -287,6 +287,8 @@ def run_bench() -> dict:
     timed("cdc_chunks", consume=len)
     timed("cdc_dedup")
     timed("dup_gram_rate", consume=len)
+    timed("winnow_clusters")
+    timed("mix_weights", consume=len)
     timed("conv_latency")
     timed("xalign_mutual")
     timed("ccnet_buckets")

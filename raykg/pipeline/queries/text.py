@@ -2416,3 +2416,117 @@ ORACLE_SQL["dup_gram_rate"] = f"""
     FROM h JOIN cnt USING (fp)
     GROUP BY h.doc_id
 """
+
+
+def q_winnow_clusters(sf_dir: str):
+    """Near-dup clusters over the MOSS pair graph: connected components
+    (min-label BSP, ops/components.py) of documents sharing >=
+    WINNOW_MIN_SHARED winnowed fingerprints — the cluster view of
+    winnow_pairs, as dup_clusters is to jaccard_pairs, but over the
+    ~2/(w+1)-density fingerprint index."""
+    from ...ops.components import connected_components
+    from ...ops.winnow import winnow_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = winnow_pairs(
+        docs,
+        k=WINNOW_K,
+        window=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_bucket_members=WINNOW_MAX_BUCKET,
+    )
+    return connected_components(pairs, id_a="id_a", id_b="id_b").select_columns(
+        ["doc_id", "cluster_id"]
+    )
+
+
+QUERIES["winnow_clusters"] = q_winnow_clusters
+ORACLE_SQL["winnow_clusters"] = f"""
+    WITH RECURSIVE {_WINNOW_SEL_CTE},
+    f AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel),
+    ok AS (SELECT fp FROM f GROUP BY fp
+           HAVING COUNT(*) <= {WINNOW_MAX_BUCKET}),
+    ff AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp)),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) >= {WINNOW_MIN_SHARED}),
+    ed AS (SELECT id_a AS src, id_b AS dst FROM p
+           UNION SELECT id_b, id_a FROM p),
+    cc(node, label) AS (
+        SELECT src, src FROM ed
+        UNION
+        SELECT ed.dst, cc.label FROM cc JOIN ed ON ed.src = cc.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM cc GROUP BY node
+"""
+
+
+def q_mix_weights(sf_dir: str):
+    """Temperature-based corpus mixing weights per language (the
+    multilingual sampling scheme of Arivazhagan et al. 2019 / mT5):
+    p_i ∝ n_i^(1/T) with T=2, i.e. sqrt — chosen because IEEE sqrt is
+    correctly rounded everywhere, so quantizing floor(sqrt(n)*1e6) to
+    int64 makes numerator AND denominator exact integers on both sides
+    of the oracle.  Per-batch lang partials, one bounded groupby, O(langs)
+    driver combine (the distinct-langs pre-flight shape)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        langs, counts = _np.unique(
+            _np.asarray(batch["lang"].to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                "lang": pa.array([str(x) for x in langs], type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("lang")
+    )
+    n = agg["n"].to_numpy(np.int64)
+    w = np.floor(np.sqrt(n.astype(np.float64)) * 1e6).astype(np.int64)
+    total_n, total_w = int(n.sum()), int(w.sum())
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"].tolist(), type=pa.string()),
+            "n_docs": pa.array(n),
+            "w_sqrt_x1e6": pa.array(w),
+            "p_raw": pa.array(
+                np.floor(n / total_n * 1e6 + 0.5) / 1e6, type=pa.float64()
+            ),
+            "p_temp": pa.array(
+                np.floor(w / total_w * 1e6 + 0.5) / 1e6, type=pa.float64()
+            ),
+        }
+    )
+
+
+QUERIES["mix_weights"] = q_mix_weights
+ORACLE_SQL["mix_weights"] = """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    q AS (SELECT lang, n,
+                 CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS w
+          FROM c),
+    t AS (SELECT SUM(n) AS tn, SUM(w) AS tw FROM q)
+    SELECT q.lang, q.n AS n_docs, q.w AS w_sqrt_x1e6,
+           ROUND(q.n * 1.0 / t.tn, 6) AS p_raw,
+           ROUND(q.w * 1.0 / t.tw, 6) AS p_temp
+    FROM q, t
+"""
