@@ -282,11 +282,11 @@ def run_bench() -> dict:
     timed("dsir_weights")
     timed("mention_chains")
     timed("containment_pairs")
-    timed("winnow_fps", consume=len)
+    timed("winnow_fps")
     timed("winnow_pairs")
-    timed("cdc_chunks", consume=len)
+    timed("cdc_chunks")
     timed("cdc_dedup")
-    timed("dup_gram_rate", consume=len)
+    timed("dup_gram_rate")
     timed("winnow_clusters")
     timed("mix_weights", consume=len)
     timed("conv_latency")
