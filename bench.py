@@ -289,6 +289,7 @@ def run_bench() -> dict:
     timed("dup_gram_rate")
     timed("winnow_clusters")
     timed("mix_weights", consume=len)
+    timed("source_kl", consume=len)
     timed("conv_latency")
     timed("xalign_mutual")
     timed("ccnet_buckets")

@@ -118,3 +118,92 @@ def dsir_weights(
         )
 
     return docs.map_batches(weigh, batch_format="pyarrow")
+
+
+def source_kl(
+    docs: "ray.data.Dataset",
+    group_column: str = "source",
+    text_column: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> pa.Table:
+    """Per-group vocabulary drift: the add-one-smoothed KL divergence of
+    each group's hashed-unigram distribution from the whole corpus, in
+    the EXACT int64 quantized-log arithmetic of :func:`dsir_weights`:
+
+        kl_q(s) = Σ_b (n_sb+1) · [ L(n_sb+1) − L(N_s+B)
+                                  − L(n_cb+1) + L(N_c+B) ]
+
+    (≈ (N_s + B) · KL(P_s ‖ P_corpus) · 1e6, summed over ALL B buckets
+    incl. zero-count ones) — the domain-shift diagnostic behind data
+    mixing decisions: a group with high kl_q is vocabulary-atypical for
+    the corpus.  Distributed plan: one counting pass with per-batch
+    (group, bucket) partials -> ONE groupby exchange of <= B x groups
+    cells (both domains bounded: B = 4096, groups = source domain) ->
+    an O(B x groups) driver fold.  Rows never move."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        counts: dict = {}
+        for text, g in zip(
+            batch[text_column].to_pylist(), batch[group_column].to_pylist()
+        ):
+            arr = counts.get(g)
+            if arr is None:
+                arr = counts[g] = np.zeros(n_buckets, dtype=np.int64)
+            for tok in (text or "").split(" "):
+                b = cache.get(tok)
+                if b is None:
+                    b = cache[tok] = _bucket(tok, n_buckets)
+                arr[b] += 1
+        gs, bs, ns = [], [], []
+        for g, arr in counts.items():
+            hit = (arr > 0).nonzero()[0]
+            gs += [g] * len(hit)
+            bs.append(hit)
+            ns.append(arr[hit])
+        return pa.table(
+            {
+                "g": pa.array(gs, type=pa.string()),
+                "bucket": pa.array(
+                    np.concatenate(bs) if bs else np.zeros(0, dtype=np.int64)
+                ),
+                "n": pa.array(
+                    np.concatenate(ns) if ns else np.zeros(0, dtype=np.int64)
+                ),
+            }
+        )
+
+    cells = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["g", "bucket"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    groups = sorted(cells["g"].unique().tolist())
+    gidx = {g: i for i, g in enumerate(groups)}
+    mat = np.zeros((len(groups), n_buckets), dtype=np.int64)
+    mat[
+        cells["g"].map(gidx).to_numpy(np.int64),
+        cells["bucket"].to_numpy(np.int64),
+    ] = cells["n"].to_numpy(np.int64)
+    corpus = mat.sum(axis=0)
+    n_c = int(corpus.sum())
+    lc = _lq(corpus + 1)
+    lnc = int(_lq([n_c + n_buckets])[0])
+    out_kl = np.empty(len(groups), dtype=np.int64)
+    out_nt = np.empty(len(groups), dtype=np.int64)
+    for i in range(len(groups)):
+        row = mat[i]
+        n_s = int(row.sum())
+        ls = _lq(row + 1)
+        lns = int(_lq([n_s + n_buckets])[0])
+        out_kl[i] = int(((row + 1) * (ls - lns - lc + lnc)).sum())
+        out_nt[i] = n_s
+    return pa.table(
+        {
+            group_column: pa.array(groups, type=pa.string()),
+            "n_tokens": pa.array(out_nt),
+            "kl_q": pa.array(out_kl),
+        }
+    )

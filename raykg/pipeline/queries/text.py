@@ -2530,3 +2530,53 @@ ORACLE_SQL["mix_weights"] = """
            ROUND(q.w * 1.0 / t.tw, 6) AS p_temp
     FROM q, t
 """
+
+
+def q_source_kl(sf_dir: str):
+    """Per-source vocabulary-drift score: add-one-smoothed KL divergence
+    of each source's hashed-unigram distribution from the whole corpus,
+    in the exact int64 quantized-log arithmetic shared with
+    dsir_weights (ops/dsir.source_kl) — the domain-shift diagnostic
+    behind mixing decisions.  One bounded (source x 4096-bucket)
+    exchange; rows never move."""
+    from ...ops.dsir import source_kl
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return source_kl(docs, group_column="source")
+
+
+QUERIES["source_kl"] = q_source_kl
+ORACLE_SQL["source_kl"] = """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tb AS (SELECT source,
+                  CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096
+                       AS BIGINT) AS b
+           FROM tok),
+    sc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tb GROUP BY 1, 2),
+    cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM tb GROUP BY 1),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tb GROUP BY 1),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tb),
+    grid AS (SELECT s.source, g.b
+             FROM (SELECT DISTINCT source FROM tb) s,
+                  (SELECT unnest(range(4096)) AS b) g),
+    cells AS (SELECT grid.source, grid.b,
+                     COALESCE(sc.n, 0) AS nsb, COALESCE(cb.n, 0) AS ncb
+              FROM grid
+              LEFT JOIN sc ON sc.source = grid.source AND sc.b = grid.b
+              LEFT JOIN cb ON cb.b = grid.b)
+    SELECT cells.source, ns.n AS n_tokens,
+           CAST(SUM((nsb + 1) *
+                (CAST(FLOOR(LN(CAST(nsb + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+               - CAST(FLOOR(LN(CAST(ns.n + 4096 AS DOUBLE)) * 1000000) AS BIGINT)
+               - CAST(FLOOR(LN(CAST(ncb + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+               + CAST(FLOOR(LN(CAST(nc.n + 4096 AS DOUBLE)) * 1000000) AS BIGINT)))
+                AS BIGINT) AS kl_q
+    FROM cells
+    JOIN ns ON ns.source = cells.source
+    CROSS JOIN nc
+    GROUP BY cells.source, ns.n
+"""

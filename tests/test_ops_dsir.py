@@ -57,3 +57,50 @@ def test_dsir_matches_reference_and_discriminates():
     en = got.loc[[0, 1, 4], "dsir_w"].mean()
     de = got.loc[[2, 3], "dsir_w"].mean()
     assert en > de
+
+
+def test_source_kl_identical_sources_zero_ish(ray_session):
+    """Two groups with the same text distribution have (near-)equal
+    kl_q; a vocabulary-disjoint group scores strictly higher; the
+    statistic matches a direct numpy evaluation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from raykg.ops.dsir import N_BUCKETS, _bucket, _lq, source_kl
+
+    same = "alpha beta gamma delta epsilon " * 5
+    other = "zeta eta theta iota kappa " * 5
+    df = pd.DataFrame(
+        {
+            "source": ["a"] * 4 + ["b"] * 4 + ["c"] * 4,
+            "text": [same.strip()] * 8 + [other.strip()] * 4,
+        }
+    )
+    got = (
+        source_kl(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got.loc["a", "kl_q"] == got.loc["b", "kl_q"]
+    assert got.loc["c", "kl_q"] > got.loc["a", "kl_q"]
+    # direct reference for group c
+    mat = np.zeros((2, N_BUCKETS), dtype=np.int64)
+    for tok in (same.strip() + " ").split(" ")[:-1] * 8:
+        mat[0, _bucket(tok, N_BUCKETS)] += 1
+    for tok in (other.strip() + " ").split(" ")[:-1] * 4:
+        mat[1, _bucket(tok, N_BUCKETS)] += 1
+    corpus = mat.sum(axis=0)
+    row = mat[1]
+    want = int(
+        (
+            (row + 1)
+            * (
+                _lq(row + 1)
+                - int(_lq([int(row.sum()) + N_BUCKETS])[0])
+                - _lq(corpus + 1)
+                + int(_lq([int(corpus.sum()) + N_BUCKETS])[0])
+            )
+        ).sum()
+    )
+    assert got.loc["c", "kl_q"] == want
+    assert got.loc["c", "n_tokens"] == row.sum()
